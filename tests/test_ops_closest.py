@@ -1,0 +1,112 @@
+"""Golden tests for closest (kNN interval join) — semantics pinned to
+reference tests/test_ops.py:1168-1493."""
+
+import pytest
+from helpers import ivals
+
+import bioframe_spark as bf
+
+
+@pytest.fixture(scope="module")
+def d1(spark):
+    return ivals(spark, [("chr1", 10, 20)])
+
+
+@pytest.fixture(scope="module")
+def d2(spark):
+    return ivals(spark, [("chr1", 0, 5), ("chr1", 22, 30), ("chr1", 40, 50)])
+
+
+def test_closest_basic(d1, d2):
+    out = bf.closest(d1, d2, k=1)
+    r = out.collect()
+    assert len(r) == 1
+    assert (r[0]["start_"], r[0]["end_"], r[0]["distance"]) == (22, 30, 2)
+
+
+def test_closest_k(d1, d2):
+    out = bf.closest(d1, d2, k=2)
+    got = sorted((r["start_"], r["distance"]) for r in out.collect())
+    assert got == [(0, 5), (22, 2)]
+    out3 = bf.closest(d1, d2, k=3)
+    got3 = sorted((r["start_"], r["distance"]) for r in out3.collect())
+    assert got3 == [(0, 5), (22, 2), (40, 20)]
+
+
+def test_closest_overlap_wins(spark, d1):
+    d2 = ivals(spark, [("chr1", 15, 25), ("chr1", 21, 22)])
+    out = bf.closest(d1, d2, k=1).collect()
+    assert (out[0]["start_"], out[0]["distance"]) == (15, 0)
+
+
+def test_closest_ignore_overlaps(spark, d1):
+    d2 = ivals(spark, [("chr1", 15, 25), ("chr1", 26, 30)])
+    out = bf.closest(d1, d2, k=1, ignore_overlaps=True).collect()
+    assert (out[0]["start_"], out[0]["distance"]) == (26, 6)
+
+
+def test_closest_ignore_directions(spark, d1):
+    d2 = ivals(spark, [("chr1", 0, 5), ("chr1", 22, 30)])
+    up = bf.closest(d1, d2, k=1, ignore_downstream=True).collect()
+    assert (up[0]["start_"], up[0]["distance"]) == (0, 5)
+    dn = bf.closest(d1, d2, k=1, ignore_upstream=True).collect()
+    assert (dn[0]["start_"], dn[0]["distance"]) == (22, 2)
+
+
+def test_closest_direction_col(spark):
+    d1 = ivals(spark, [("chr1", 10, 20, "-")], extra=[("strand", "string")])
+    d2 = ivals(spark, [("chr1", 0, 5), ("chr1", 22, 30)])
+    # on '-' strand, upstream is to the right
+    up = bf.closest(d1, d2, k=1, ignore_downstream=True, direction_col="strand").collect()
+    assert (up[0]["start_"], up[0]["distance"]) == (22, 2)
+    dn = bf.closest(d1, d2, k=1, ignore_upstream=True, direction_col="strand").collect()
+    assert (dn[0]["start_"], dn[0]["distance"]) == (0, 5)
+
+
+def test_closest_no_candidates(spark, d1):
+    d2 = ivals(spark, [("chr2", 0, 5)])
+    out = bf.closest(d1, d2, k=1).collect()
+    assert len(out) == 1
+    assert out[0]["start_"] is None and out[0]["distance"] is None
+
+
+def test_closest_self(spark):
+    d = ivals(spark, [("chr1", 0, 5), ("chr1", 6, 10), ("chr1", 20, 30)])
+    out = bf.closest(d, k=1)
+    got = {r["start"]: (r["start_"], r["distance"]) for r in out.collect()}
+    assert got[0] == (6, 1)
+    assert got[6] == (0, 1)
+    assert got[20] == (6, 10)
+
+
+def test_closest_tie_breaking(spark):
+    d1 = ivals(spark, [("chr1", 10, 11)])
+    d2 = ivals(
+        spark,
+        [("chr1", 0, 5, 2.0), ("chr1", 16, 21, 1.0)],  # both at distance 5
+        extra=[("score", "double")],
+    )
+    # default tie-break: canonical (start2, end2) order → (0,5)
+    out = bf.closest(d1, d2, k=1).collect()
+    assert out[0]["start_"] == 0
+    # tie_breaking_col: lower score wins → (16,21)
+    out2 = bf.closest(d1, d2, k=1, tie_breaking_col="score").collect()
+    assert out2[0]["start_"] == 16
+
+
+def test_closest_return_overlap(spark):
+    d1 = ivals(spark, [("chr1", 10, 20)])
+    d2 = ivals(spark, [("chr1", 15, 25)])
+    r = bf.closest(d1, d2, k=1, return_overlap=True).collect()[0]
+    assert r["have_overlap"] is True
+    assert (r["overlap_start"], r["overlap_end"]) == (15, 20)
+
+
+def test_closest_multi_chrom(spark):
+    d1 = ivals(spark, [("chr1", 10, 20), ("chr2", 10, 20), ("chr3", 0, 5)])
+    d2 = ivals(spark, [("chr1", 30, 40), ("chr2", 0, 2)])
+    out = bf.closest(d1, d2, k=1)
+    got = {r["chrom"]: (r["start_"], r["distance"]) for r in out.collect()}
+    assert got["chr1"] == (30, 10)
+    assert got["chr2"] == (0, 8)
+    assert got["chr3"] == (None, None)

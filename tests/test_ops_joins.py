@@ -1,0 +1,150 @@
+"""Golden tests for the join family: overlap / setdiff / count_overlaps /
+coverage / subtract. Expectations hand-derived from the reference semantics
+(tests/test_ops.py:301-2069 style: literal frames, exact values)."""
+
+import pytest
+from helpers import ivals, rows
+
+import bioframe_spark as bf
+
+D1 = [
+    ("chr1", 1, 5),
+    ("chr1", 3, 8),
+    ("chr1", 6, 6),    # point
+    ("chr1", 8, 10),
+    ("chr1", 12, 14),
+    ("chr2", 4, 10),
+]
+D2 = [
+    ("chr1", 4, 6),
+    ("chr1", 8, 10),
+    ("chr2", 5, 6),
+]
+
+
+@pytest.fixture(scope="module")
+def d1(spark):
+    return ivals(spark, D1)
+
+
+@pytest.fixture(scope="module")
+def d2(spark):
+    return ivals(spark, D2)
+
+
+def test_overlap_inner(d1, d2):
+    out = bf.overlap(d1, d2, how="inner")
+    got, cols = rows(out)
+    assert cols == ["chrom", "chrom_", "end", "end_", "start", "start_"]
+    expected = sorted(
+        [
+            ("chr1", "chr1", 5, 6, 1, 4),
+            ("chr1", "chr1", 8, 6, 3, 4),
+            ("chr1", "chr1", 10, 10, 8, 8),
+            ("chr2", "chr2", 10, 6, 4, 5),
+        ]
+    )
+    assert [t for t in got] == [tuple(e) for e in expected]
+
+
+def test_overlap_left(d1, d2):
+    out = bf.overlap(d1, d2, how="left")
+    got, _ = rows(out)
+    assert len(got) == 6  # 4 pairs + 2 unmatched rows with null right side
+    n_null = sum(1 for t in got if any(v is None for v in t))
+    assert n_null == 2
+
+
+def test_overlap_outer(d1, d2, spark):
+    extra2 = ivals(spark, D2 + [("chr3", 0, 5)])
+    out = bf.overlap(d1, extra2, how="outer")
+    got, _ = rows(out)
+    assert len(got) == 7  # 4 pairs + 2 left-only + 1 right-only
+
+
+def test_overlap_points(spark):
+    # a point overlaps a covering segment; two adjacent points don't overlap
+    pts = ivals(spark, [("chr1", 1, 1), ("chr1", 2, 2)])
+    seg = ivals(spark, [("chr1", 0, 5)])
+    assert bf.overlap(pts, seg, how="inner").count() == 2
+    assert bf.overlap(pts, pts.select("chrom", "start", "end"),
+                      how="inner", suffixes=("", "_y")).count() == 2  # only self-pairs
+    # point at segment end does not overlap (half-open)
+    seg2 = ivals(spark, [("chr1", 0, 1)])
+    assert bf.overlap(ivals(spark, [("chr1", 1, 1)]), seg2, how="inner").count() == 0
+
+
+def test_overlap_on_key(spark):
+    a = ivals(spark, [("chr1", 1, 5, "+"), ("chr1", 1, 5, "-")],
+              extra=[("strand", "string")])
+    b = ivals(spark, [("chr1", 3, 6, "+")], extra=[("strand", "string")])
+    out = bf.overlap(a, b, how="inner", on=["strand"])
+    assert out.count() == 1
+    assert out.collect()[0]["strand"] == "+"
+
+
+def test_overlap_return_overlap(d1, d2):
+    out = bf.overlap(d1, d2, how="inner", return_overlap=True)
+    got = {(r["start"], r["start_"]): (r["overlap_start"], r["overlap_end"])
+           for r in out.collect()}
+    assert got[(1, 4)] == (4, 5)
+    assert got[(3, 4)] == (4, 6)
+    assert got[(8, 8)] == (8, 10)
+
+
+def test_overlap_binned_matches_plain(d1, d2):
+    plain, _ = rows(bf.overlap(d1, d2, how="inner"))
+    binned, _ = rows(bf.overlap(d1, d2, how="inner", strategy="binned", bin_size=4))
+    assert plain == binned
+    plain_l, _ = rows(bf.overlap(d1, d2, how="left"))
+    binned_l, _ = rows(bf.overlap(d1, d2, how="left", strategy="binned", bin_size=4))
+    assert plain_l == binned_l
+
+
+def test_setdiff(d1, d2):
+    out = bf.setdiff(d1, d2)
+    got, _ = rows(out)  # cols sorted: chrom, end, start
+    assert got == sorted([("chr1", 6, 6), ("chr1", 14, 12)])
+
+
+def test_count_overlaps(d1, d2):
+    out = bf.count_overlaps(d1, d2)
+    got = {(r["chrom"], r["start"], r["end"]): r["count"] for r in out.collect()}
+    assert got == {
+        ("chr1", 1, 5): 1,
+        ("chr1", 3, 8): 1,
+        ("chr1", 6, 6): 0,
+        ("chr1", 8, 10): 1,
+        ("chr1", 12, 14): 0,
+        ("chr2", 4, 10): 1,
+    }
+
+
+def test_coverage(d1, d2):
+    out = bf.coverage(d1, d2)
+    got = {(r["chrom"], r["start"], r["end"]): r["coverage"] for r in out.collect()}
+    assert got == {
+        ("chr1", 1, 5): 1,
+        ("chr1", 3, 8): 2,
+        ("chr1", 6, 6): 0,
+        ("chr1", 8, 10): 2,
+        ("chr1", 12, 14): 0,
+        ("chr2", 4, 10): 1,
+    }
+
+
+def test_subtract(d1, d2):
+    out = bf.subtract(d1, d2)
+    got, _ = rows(out)  # cols sorted: chrom, end, start
+    expected = sorted(
+        [
+            ("chr1", 4, 1),    # [1,5) minus [4,6) -> [1,4)
+            ("chr1", 4, 3),    # [3,8) -> [3,4)
+            ("chr1", 8, 6),    # [3,8) -> [6,8)
+            ("chr1", 6, 6),    # point survives inside a gap
+            ("chr1", 14, 12),
+            ("chr2", 5, 4),
+            ("chr2", 10, 6),
+        ]
+    )
+    assert got == [tuple(e) for e in expected]
