@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The testdata is TPC-H-ish, not genomic, so every interval query first
+*derives* deterministic interval tables from the parquet (pure integer
+arithmetic — identical in Spark and DuckDB), then applies a
+``bioframe_spark`` operator. Each ``oracle_sql()`` entry re-derives the
+same intervals in a CTE and expresses the operator in ANSI SQL.
+
+Determinism rules (so value-hashes match across engines):
+- integer arithmetic only in derivations (%, *, +);
+- doubles appear only as single correctly-rounded expressions over
+  integers (sqrt/div on quantized values) or as order-independent
+  aggregates (min/max);
+- every computed column aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +19,654 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import bioframe_spark as bf
+from bioframe_spark.datapipe import dedup, similarity, text
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+N_CHROMS = 8
+CLEN = 500300  # covers max derived end (500000 + 1 + 200)
+ARM_MID = 250000
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# --------------------------------------------------------------------------
+# derived interval tables (Spark side) — mirrored in _CTE below
+# --------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ivals_a(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    start = (F.col("l_partkey") * 131 + F.col("l_linenumber") * 17) % 500000
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("aid"),
+        F.concat(F.lit("chr"), (F.col("l_orderkey") % N_CHROMS).cast("string")).alias("chrom"),
+        start.cast("long").alias("start"),
+        (start + 1 + (F.col("l_suppkey") * 7 + F.col("l_linenumber")) % 200)
+        .cast("long").alias("end"),
+        F.when(F.col("l_linenumber") % 2 == 0, "+").otherwise("-").alias("strand"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+
+
+def ivals_b(spark, sf_dir) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    start = (F.col("o_custkey") * 211 + F.col("o_orderkey") % 97) % 500000
+    return o.select(
+        F.col("o_orderkey").alias("bid"),
+        F.concat(F.lit("chr"), (F.col("o_orderkey") % N_CHROMS).cast("string")).alias("chrom"),
+        start.cast("long").alias("start"),
+        (start + 1 + F.col("o_orderkey") % 300).cast("long").alias("end"),
+        F.when(F.col("o_orderkey") % 2 == 0, "+").otherwise("-").alias("strand"),
+    )
+
+
+def ivals_s(spark, sf_dir) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    start = (F.col("s_suppkey") * 57) % 10000
+    return s.select(
+        F.col("s_suppkey").alias("sid"),
+        F.concat(F.lit("chr"), (F.col("s_suppkey") % 4).cast("string")).alias("chrom"),
+        start.cast("long").alias("start"),
+        (start + 1 + F.col("s_suppkey") % 40).cast("long").alias("end"),
+    )
+
+
+def ivals_p(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    start = (F.col("p_partkey") * 37) % 10000
+    return p.select(
+        F.col("p_partkey").alias("pid"),
+        F.concat(F.lit("chr"), (F.col("p_partkey") % 4).cast("string")).alias("chrom"),
+        start.cast("long").alias("start"),
+        (start + 1 + F.col("p_size") % 30).cast("long").alias("end"),
+    )
+
+
+def chromsizes() -> dict:
+    return {f"chr{i}": CLEN for i in range(N_CHROMS)}
+
+
+def arms_view() -> list:
+    out = []
+    for i in range(N_CHROMS):
+        out.append((f"chr{i}", 0, ARM_MID, f"chr{i}_p"))
+        out.append((f"chr{i}", ARM_MID, CLEN, f"chr{i}_q"))
+    return out
+
+
+# shared CTE prefix for every oracle (DuckDB dialect)
+_CTE = f"""
+WITH a AS (
+  SELECT l_orderkey * 10 + l_linenumber AS aid,
+         'chr' || (l_orderkey % {N_CHROMS}) AS chrom,
+         (l_partkey * 131 + l_linenumber * 17) % 500000 AS start,
+         (l_partkey * 131 + l_linenumber * 17) % 500000 + 1
+           + (l_suppkey * 7 + l_linenumber) % 200 AS "end",
+         CASE WHEN l_linenumber % 2 = 0 THEN '+' ELSE '-' END AS strand,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), b AS (
+  SELECT o_orderkey AS bid,
+         'chr' || (o_orderkey % {N_CHROMS}) AS chrom,
+         (o_custkey * 211 + o_orderkey % 97) % 500000 AS start,
+         (o_custkey * 211 + o_orderkey % 97) % 500000 + 1 + o_orderkey % 300 AS "end",
+         CASE WHEN o_orderkey % 2 = 0 THEN '+' ELSE '-' END AS strand
+  FROM orders
+), s AS (
+  SELECT s_suppkey AS sid,
+         'chr' || (s_suppkey % 4) AS chrom,
+         (s_suppkey * 57) % 10000 AS start,
+         (s_suppkey * 57) % 10000 + 1 + s_suppkey % 40 AS "end"
+  FROM supplier
+), p AS (
+  SELECT p_partkey AS pid,
+         'chr' || (p_partkey % 4) AS chrom,
+         (p_partkey * 37) % 10000 AS start,
+         (p_partkey * 37) % 10000 + 1 + p_size % 30 AS "end"
+  FROM part
+), chroms AS (
+  SELECT 'chr' || g AS chrom, CAST({CLEN} AS BIGINT) AS clen
+  FROM (SELECT unnest(generate_series(0, {N_CHROMS - 1})) AS g)
+), arms AS (
+  SELECT 'chr' || g AS chrom, 0 AS vs, {ARM_MID} AS ve, 'chr' || g || '_p' AS vname
+  FROM (SELECT unnest(generate_series(0, {N_CHROMS - 1})) AS g)
+  UNION ALL
+  SELECT 'chr' || g, {ARM_MID}, {CLEN}, 'chr' || g || '_q'
+  FROM (SELECT unnest(generate_series(0, {N_CHROMS - 1})) AS g)
+)
+"""
+
+# reusable gaps-and-islands SQL over table x(chrom,start,"end").
+# Islands are computed over DISTINCT intervals with a multiplicity count:
+# duplicate sort keys would make the two window passes tie-unstable.
+def _islands_sql(src: str, min_dist_clause: str = "start > prev_max") -> str:
+    return f"""
+  SELECT chrom, start, "end", cnt,
+         SUM(CASE WHEN prev_max IS NULL OR {min_dist_clause} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY chrom ORDER BY start, "end"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (
+    SELECT chrom, start, "end", cnt,
+           MAX("end") OVER (PARTITION BY chrom ORDER BY start, "end"
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM (SELECT chrom, start, "end", COUNT(*) AS cnt FROM {src} GROUP BY 1, 2, 3)
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_overlap_inner(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.overlap(a, b, how="inner", suffixes=("", "_b"))
+
+
+def q_overlap_left(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.overlap(a, b, how="left", suffixes=("", "_b"))
+
+
+def q_overlap_binned(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.overlap(a, b, how="inner", suffixes=("", "_b"),
+                      strategy="binned", bin_size=50_000)
+
+
+def q_overlap_strand(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.overlap(a, b.drop("strand"), how="inner", suffixes=("", "_b"),
+                      on=None).filter(F.col("strand") == "+")
+
+
+def q_overlap_on(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.overlap(a, b, how="inner", suffixes=("", "_b"), on=["strand"])
+
+
+def q_count_overlaps(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.count_overlaps(a, b.select("chrom", "start", "end"))
+
+
+def q_coverage(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.coverage(a, b.select("chrom", "start", "end"))
+
+
+def q_setdiff(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.setdiff(a, b)
+
+
+def q_merge(spark, sf_dir):
+    return bf.merge(ivals_a(spark, sf_dir).select("chrom", "start", "end"), min_dist=0)
+
+
+def q_merge_strict(spark, sf_dir):
+    return bf.merge(ivals_a(spark, sf_dir).select("chrom", "start", "end"),
+                    min_dist=None)
+
+
+def q_cluster(spark, sf_dir):
+    return bf.cluster(ivals_s(spark, sf_dir), min_dist=0)
+
+
+def q_complement(spark, sf_dir):
+    return bf.complement(ivals_a(spark, sf_dir).select("chrom", "start", "end"),
+                         view_df=chromsizes())
+
+
+def q_closest(spark, sf_dir):
+    return bf.closest(ivals_p(spark, sf_dir), ivals_s(spark, sf_dir),
+                      k=1, suffixes=("", "_s"))
+
+
+def q_closest_k2(spark, sf_dir):
+    return bf.closest(ivals_p(spark, sf_dir), ivals_s(spark, sf_dir),
+                      k=2, suffixes=("", "_s"))
+
+
+def q_subtract(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.subtract(a, b.select("chrom", "start", "end"))
+
+
+def q_trim_expand(spark, sf_dir):
+    a = ivals_a(spark, sf_dir)
+    return bf.trim(bf.expand(a, pad=5000), view_df=chromsizes()).drop("__region")
+
+
+def q_expand_scale(spark, sf_dir):
+    return bf.expand(ivals_a(spark, sf_dir), scale=3)
+
+
+def q_select_region(spark, sf_dir):
+    return bf.select(ivals_a(spark, sf_dir), "chr1:1000-25000")
+
+
+def q_assign_view(spark, sf_dir):
+    return bf.assign_view(ivals_a(spark, sf_dir), arms_view())
+
+
+def q_binnify(spark, sf_dir):
+    return bf.binnify(chromsizes(), binsize=50_000)
+
+
+def q_pair_by_distance(spark, sf_dir):
+    return bf.pair_by_distance(ivals_s(spark, sf_dir), min_sep=10, max_sep=2000,
+                               suffixes=("_1", "_2"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_chars_calc",
+        "n_stopwords", "lang_pred",
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     n=3, threshold=0.5)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    # oracle omitted (probabilistic banding) → rows-only check
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                   num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    # oracle omitted (xxhash64 not available in DuckDB) → rows-only check
+    return dedup.simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    # oracle omitted (hash-derived hyperplanes) → rows-only check
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(emb.filter(F.col("vec_id") < 10), emb,
+                                        k=5, n_planes=6, dim=64)
+
+
+def _events(spark, sf_dir):
+    """events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    default — read ts as raw nanos (runtime-settable legacy conf)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hour = F.date_format(
+        F.timestamp_seconds(F.floor(F.col("ts") / F.lit(1_000_000_000)) -
+                            (F.floor(F.col("ts") / F.lit(1_000_000_000)) % 3600)),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+def q_events_json(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).filter(F.col("k") > 50)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "overlap_inner": q_overlap_inner,
+        "overlap_left": q_overlap_left,
+        "overlap_binned": q_overlap_binned,
+        "overlap_on": q_overlap_on,
+        "count_overlaps": q_count_overlaps,
+        "coverage": q_coverage,
+        "setdiff": q_setdiff,
+        "merge": q_merge,
+        "merge_strict": q_merge_strict,
+        "cluster": q_cluster,
+        "complement": q_complement,
+        "closest": q_closest,
+        "closest_k2": q_closest_k2,
+        "subtract": q_subtract,
+        "trim_expand": q_trim_expand,
+        "expand_scale": q_expand_scale,
+        "select_region": q_select_region,
+        "assign_view": q_assign_view,
+        "binnify": q_binnify,
+        "pair_by_distance": q_pair_by_distance,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "events_hourly": q_events_hourly,
+        "events_json": q_events_json,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL)
+# --------------------------------------------------------------------------
+
+_OV = 'x.start < y."end" AND y.start < x."end"'
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ov_ab = 'a.start < b."end" AND b.start < a."end"'
+    overlap_inner = _CTE + f"""
+SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+       b.bid AS bid_b, b.chrom AS chrom_b, b.start AS start_b,
+       b."end" AS end_b, b.strand AS strand_b
+FROM a JOIN b ON a.chrom = b.chrom AND {ov_ab}
+"""
+    overlap_left = _CTE + f"""
+SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+       b.bid AS bid_b, b.chrom AS chrom_b, b.start AS start_b,
+       b."end" AS end_b, b.strand AS strand_b
+FROM a LEFT JOIN b ON a.chrom = b.chrom AND {ov_ab}
+"""
+    overlap_on = _CTE + f"""
+SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+       b.bid AS bid_b, b.chrom AS chrom_b, b.start AS start_b,
+       b."end" AS end_b, b.strand AS strand_b
+FROM a JOIN b ON a.chrom = b.chrom AND a.strand = b.strand AND {ov_ab}
+"""
+    count_overlaps = _CTE + f"""
+SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+       COUNT(b.chrom) AS count
+FROM a LEFT JOIN b ON a.chrom = b.chrom AND {ov_ab}
+GROUP BY ALL
+"""
+    coverage = _CTE + f""", bmerged AS (
+  SELECT chrom, MIN(start) AS start, MAX("end") AS "end"
+  FROM ({_islands_sql('b')}) GROUP BY chrom, island
+)
+SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+       COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
+                         ELSE LEAST(a."end", m."end") - GREATEST(a.start, m.start) END), 0) AS coverage
+FROM a LEFT JOIN bmerged m ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
+GROUP BY ALL
+"""
+    setdiff = _CTE + f"""
+SELECT a.* FROM a
+WHERE NOT EXISTS (
+  SELECT 1 FROM b WHERE a.chrom = b.chrom AND {ov_ab}
+)
+"""
+    merge = _CTE + f""", a3 AS (SELECT chrom, start, "end" FROM a)
+SELECT chrom, MIN(start) AS start, MAX("end") AS "end", SUM(cnt) AS n_intervals
+FROM ({_islands_sql('a3')}) GROUP BY chrom, island
+"""
+    merge_strict = _CTE + f""", a3 AS (SELECT chrom, start, "end" FROM a)
+SELECT chrom, MIN(start) AS start, MAX("end") AS "end", SUM(cnt) AS n_intervals
+FROM ({_islands_sql('a3', 'start >= prev_max')}) GROUP BY chrom, island
+"""
+    cluster = _CTE + f""", sx AS (SELECT chrom, start, "end", sid FROM s),
+isl AS (
+  SELECT i.*, sx.sid
+  FROM ({_islands_sql('sx')}) i
+  JOIN sx ON i.chrom = sx.chrom AND i.start = sx.start AND i."end" = sx."end"
+), spans AS (
+  SELECT chrom, island, MIN(start) AS cs, MAX("end") AS ce,
+         DENSE_RANK() OVER (ORDER BY chrom, island) - 1 AS cluster
+  FROM isl GROUP BY chrom, island
+)
+SELECT i.sid, i.chrom, i.start, i."end",
+       sp.cluster, sp.cs AS cluster_start, sp.ce AS cluster_end
+FROM isl i JOIN spans sp ON i.chrom = sp.chrom AND i.island = sp.island
+"""
+    complement = _CTE + f""", a3 AS (SELECT chrom, start, "end" FROM a),
+merged AS (
+  SELECT chrom, MIN(start) AS s, MAX("end") AS e
+  FROM ({_islands_sql('a3')}) GROUP BY chrom, island
+), gaps AS (
+  SELECT chrom, COALESCE(LAG(e) OVER (PARTITION BY chrom ORDER BY s), 0) AS start,
+         s AS "end"
+  FROM merged
+  UNION ALL
+  SELECT m.chrom, MAX(m.e) AS start, ANY_VALUE(c.clen) AS "end"
+  FROM merged m JOIN chroms c ON m.chrom = c.chrom GROUP BY m.chrom
+  UNION ALL
+  SELECT c.chrom, 0, c.clen FROM chroms c
+  WHERE NOT EXISTS (SELECT 1 FROM merged m WHERE m.chrom = c.chrom)
+)
+SELECT chrom, start, "end", chrom AS view_region
+FROM gaps WHERE start < "end"
+"""
+    closest_tmpl = _CTE + """, cand AS (
+  SELECT p.pid, p.chrom, p.start, p."end",
+         s.sid, s.chrom AS cs, s.start AS ss, s."end" AS se,
+         CASE WHEN p.start < s."end" AND s.start < p."end" THEN 0
+              ELSE GREATEST(p.start, s.start) - LEAST(p."end", s."end") + 1
+         END AS idist
+  FROM p JOIN s ON p.chrom = s.chrom
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY idist, ss, se) AS rk
+  FROM cand
+), hits AS (
+  SELECT pid, chrom, start, "end", cs, ss, se, sid,
+         CASE WHEN idist = 0 THEN 0 ELSE idist - 1 END AS distance
+  FROM ranked WHERE rk <= {K}
+)
+SELECT p.pid, p.chrom, p.start, p."end",
+       h.cs AS chrom_s, h.ss AS start_s, h.se AS end_s, h.sid AS sid_s, h.distance
+FROM p LEFT JOIN hits h USING (pid, chrom, start, "end")
+"""
+    # NB: p join hits back on pid alone suffices (pid unique); extra keys harmless
+    subtract = _CTE + f""", b3 AS (SELECT chrom, start, "end" FROM b),
+bmerged AS (
+  SELECT chrom, MIN(start) AS s, MAX("end") AS e
+  FROM ({_islands_sql('b3')}) GROUP BY chrom, island
+), allchroms AS (
+  SELECT DISTINCT chrom FROM a UNION SELECT DISTINCT chrom FROM b
+), bcomp AS (
+  SELECT chrom, COALESCE(LAG(e) OVER (PARTITION BY chrom ORDER BY s), 0) AS s, s AS e
+  FROM bmerged
+  UNION ALL
+  SELECT chrom, MAX(e), 9223372036854775807 FROM bmerged GROUP BY chrom
+  UNION ALL
+  SELECT c.chrom, 0, 9223372036854775807 FROM allchroms c
+  WHERE NOT EXISTS (SELECT 1 FROM bmerged m WHERE m.chrom = c.chrom)
+), gaps AS (SELECT * FROM bcomp WHERE s < e)
+SELECT a.aid, a.chrom, GREATEST(a.start, g.s) AS start, LEAST(a."end", g.e) AS "end",
+       a.strand, a.qty
+FROM a JOIN gaps g ON a.chrom = g.chrom AND a.start < g.e AND g.s < a."end"
+"""
+    trim_expand = _CTE + f"""
+SELECT aid, chrom,
+       GREATEST(LEAST(start - 5000, {CLEN}), 0) AS start,
+       GREATEST(LEAST("end" + 5000, {CLEN}), 0) AS "end",
+       strand, qty
+FROM a
+"""
+    expand_scale = _CTE + """
+SELECT aid, chrom, start - ("end" - start) AS start, "end" + ("end" - start) AS "end",
+       strand, qty
+FROM a
+"""
+    select_region = _CTE + """
+SELECT * FROM a
+WHERE chrom = 'chr1' AND start < 25000 AND "end" > 1000
+"""
+    assign_view = _CTE + """, j AS (
+  SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty, v.vname, v.vs,
+         LEAST(a."end", v.ve) - GREATEST(a.start, v.vs) AS ovl
+  FROM a LEFT JOIN arms v ON a.chrom = v.chrom AND a.start < v.ve AND v.vs < a."end"
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY aid, chrom, start, "end", strand, qty
+    ORDER BY ovl DESC, vs ASC) AS rk
+  FROM j
+)
+SELECT aid, chrom, start, "end", strand, qty, vname AS view_region
+FROM ranked WHERE rk = 1
+"""
+    binnify = f"""
+WITH chroms AS (
+  SELECT 'chr' || g AS chrom, CAST({CLEN} AS BIGINT) AS clen
+  FROM (SELECT unnest(generate_series(0, {N_CHROMS - 1})) AS g)
+), bins AS (
+  SELECT chrom, clen, unnest(generate_series(0, CAST(CEIL(clen / 50000.0) AS BIGINT) - 1)) AS i
+  FROM chroms
+)
+SELECT chrom, i * 50000 AS start, LEAST((i + 1) * 50000, clen) AS "end"
+FROM bins
+"""
+    pair_by_distance = _CTE + """, sm AS (
+  SELECT sid, chrom, start, "end",
+         start + ("end" - start) // 2 AS mid,
+         ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY start, "end") AS rnk
+  FROM s
+)
+SELECT x.chrom AS chrom_1, x.start AS start_1, x."end" AS end_1, x.sid AS sid_1,
+       y.chrom AS chrom_2, y.start AS start_2, y."end" AS end_2, y.sid AS sid_2
+FROM sm x JOIN sm y
+  ON x.chrom = y.chrom AND y.rnk > x.rnk
+ AND y.mid >= x.mid + 10 AND y.mid <= x.mid + 2000
+"""
+    dedup_exact = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+    text_stats = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       length(text) AS n_chars_calc,
+       len(list_filter(string_split(text, ' '),
+           x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS n_stopwords,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) * 10
+              >= len(string_split(text, ' '))
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+"""
+    jaccard_pairs = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         ))) AS shingle
+  FROM documents
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT x.doc_id AS id1, y.doc_id AS id2, COUNT(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_common, c1.n + c2.n - n_common AS n_union
+FROM common JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+WHERE CAST(n_common AS DOUBLE) >= 0.5 * (c1.n + c2.n - n_common)
+"""
+    ann_topk = """
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings WHERE vec_id < 10
+), cv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2, v FROM qv
+), cn AS (
+  SELECT vec_id, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2, v FROM cv
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) AS BIGINT) AS dot,
+         q.n2 AS qn2, c.n2 AS cn2
+  FROM qn q, cn c WHERE q.vec_id != c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
+                    neighbor_id ASC
+         ) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+    events_hourly = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+FROM events GROUP BY 1, 2
+"""
+    events_json = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+    return {
+        "overlap_inner": overlap_inner,
+        "overlap_left": overlap_left,
+        "overlap_binned": overlap_inner,  # same semantics, different physical plan
+        "overlap_on": overlap_on,
+        "count_overlaps": count_overlaps,
+        "coverage": coverage,
+        "setdiff": setdiff,
+        "merge": merge,
+        "merge_strict": merge_strict,
+        "cluster": cluster,
+        "complement": complement,
+        "closest": closest_tmpl.replace("{K}", "1"),
+        "closest_k2": closest_tmpl.replace("{K}", "2"),
+        "subtract": subtract,
+        "trim_expand": trim_expand,
+        "expand_scale": expand_scale,
+        "select_region": select_region,
+        "assign_view": assign_view,
+        "binnify": binnify,
+        "pair_by_distance": pair_by_distance,
+        "dedup_exact": dedup_exact,
+        "text_stats": text_stats,
+        "jaccard_pairs": jaccard_pairs,
+        "ann_topk": ann_topk,
+        "events_hourly": events_hourly,
+        "events_json": events_json,
+        # minhash_lsh / simhash_pairs / ann_lsh: intentionally no oracle
+        # (hash-based randomized algorithms) → rows-only check
+    }
+
+
+# --------------------------------------------------------------------------
+# entry (flagship smoke query)
+# --------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: interval join + merge + coverage pipeline at sf0.001."""
+    a = ivals_a(spark, SF_DEFAULT)
+    b = ivals_b(spark, SF_DEFAULT)
+    cov = bf.coverage(a, b.select("chrom", "start", "end"))
+    return (
+        cov.groupBy("chrom")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("coverage").alias("covered_bp"),
+            F.sum(F.col("end") - F.col("start")).alias("total_bp"),
+        )
+        .orderBy("chrom")
+    )

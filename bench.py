@@ -1,0 +1,77 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + row count materialization)
+after a warmup of the session. The headline metric is total wall time over
+the query set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bioframe_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as em  # noqa: E402
+
+BENCH_QUERIES = [
+    # the headline interval engine ops
+    "overlap_inner",
+    "overlap_binned",
+    "overlap_left",
+    "count_overlaps",
+    "coverage",
+    "merge",
+    "cluster",
+    "complement",
+    "closest",
+    "subtract",
+    "assign_view",
+    # datapipe ops
+    "dedup_exact",
+    "text_stats",
+    "jaccard_pairs",
+    "minhash_lsh",
+    "ann_topk",
+    "events_hourly",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM / parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    qs = em.queries()
+    times = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design: every method is a pure DataFrame pipeline whose shuffles are
+keyed by hash/band/shingle — no driver-side loops, no quadratic all-pairs
+stage. The only potentially-quadratic step (within-bucket pair expansion)
+is bounded by bucket size, which LSH banding keeps small by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup groups by content hash: one row per distinct text with the
+    representative (min id) and the duplicate count. Hash-groupBy —
+    map-side partial agg, one shuffle on the 128-bit digest."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct text."""
+    w_min = exact_duplicates(df, text_col, id_col).select(
+        F.col("rep_id").alias(id_col)
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: distinct n-gram word shingles per document.
+
+    Built JVM-side: transform over a sequence of token offsets.
+    """
+    toks = tokens(F.col(text_col))
+    n_sh = F.size(toks) - (n - 1)
+    # guard: Spark sequence(1, 0) counts DOWN — emit an empty array instead
+    shingles = F.when(n_sh < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id1 < id2).
+
+    shingle-inverted-index self-join: explode → join on shingle → count
+    common shingles per pair → join per-doc shingle counts → filter
+    ``inter/union >= threshold``. The shingle join key is high-cardinality,
+    so the shuffle is well-distributed; hot shingles (stopword n-grams) are
+    the skew risk — AQE skew-join splits them.
+    Output: id1, id2, n_common, n_union (integers — engine-exact).
+    """
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).cache()
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c1 = counts.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    out = (
+        common.join(c1, "id1").join(c2, "id2")
+        .withColumn("n_union", F.col("n1") + F.col("n2") - F.col("n_common"))
+        # integer-form threshold test: inter/union >= t  <=>  inter >= t*union
+        .filter(F.col("n_common").cast("double") >= F.lit(threshold) * F.col("n_union"))
+        .select("id1", "id2", "n_common", "n_union")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    xxhash64(shingle, i). One explode + one groupBy; signatures are an
+    array column."""
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
+                      n: int = 3, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified by signature
+    similarity (id1 < id2, est_jaccard = matching minhashes / num_hashes).
+
+    shingle→minhash→band→bucket-join: docs sharing any band bucket become
+    candidates; candidate generation is a self-join on (band, bucket-hash)
+    — linear in bucket sizes, never all-pairs. The estimate column is a
+    ratio of small ints (engine-exact).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes=num_hashes, n=n,
+                             text_col=text_col, id_col=id_col)
+    banded = sig.select(
+        id_col, "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id1"), F.col("signature").alias("sig1"),
+                      "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id2"), F.col("signature").alias("sig2"),
+                      "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .distinct()
+    )
+    match = F.size(
+        F.filter(
+            F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cands.withColumn("n_match", match)
+        .filter(F.col("n_match").cast("double") >= F.lit(threshold) * F.lit(num_hashes))
+        .select("id1", "id2", "n_match")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc from token hashes — bit-majority over
+    xxhash64(token). Expressed as an aggregate over exploded tokens with
+    per-bit counters packed via bitwise ops."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # per-bit vote: sum(+1/-1 per bit) > 0 → bit set
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                       ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    expr = F.lit(0).cast("long")
+    for i in range(bits):
+        expr = expr + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+    return votes.select(id_col, expr.alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, max_hamming: int = 8,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: block on 16-bit chunks (pigeonhole: distance ≤ 3 chunks
+    differ of 4 → at least one chunk equal) → join per chunk, dedup, then
+    exact bit_count filter.
+    """
+    sig = simhash(df, text_col=text_col, id_col=id_col)
+    chunks = sig.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    a = chunks.select(F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"),
+                      "chunk_id", "chunk")
+    b = chunks.select(F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"),
+                      "chunk_id", "chunk")
+    pairs = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sh1", "sh2")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+    return pairs

@@ -1,0 +1,79 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+All pure ``pyspark.sql.functions`` expressions (JVM-side, codegen) — no
+Python UDFs in the hot path. Designed for the ``documents`` table shape
+(doc_id, text, lang, source, n_chars) but parameterized by column name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small deterministic English stopword list for the language heuristic
+EN_STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+]
+
+
+def tokens(text: Column, sep: str = " ") -> Column:
+    """Whitespace tokenization (single-space sep matches the corpus)."""
+    return F.split(text, sep)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 hex)."""
+    return F.md5(text)
+
+
+def rolling_fingerprint(text: Column, width: int = 16) -> Column:
+    """Cheap shift-resistant fingerprint: md5 of the sorted distinct token
+    set (word-order independent — catches shuffled near-dups)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach integer quality features: token/char/distinct/stopword counts
+    and a crude language flag (stopword-ratio heuristic). Integer-only
+    outputs so results are engine-exact (oracle-friendly)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_stop = stopword_count(t)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_distinct_tokens": distinct_token_count(t),
+            "n_chars_calc": char_count(t),
+            "n_stopwords": n_stop,
+            # 10*stopwords >= tokens  <=>  stopword ratio >= 0.1
+            "lang_pred": F.when(n_stop * 10 >= n_tok, F.lit("en")).otherwise(F.lit("unk")),
+        }
+    )
+
+
+def doc_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Continuous quality score in [0,1]: blend of length and stopword
+    signals (double-valued — excluded from exact-hash oracles)."""
+    t = F.col(text_col)
+    n_tok = token_count(t).cast("double")
+    n_stop = stopword_count(t).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(n_stop * F.lit(10.0) / F.greatest(n_tok, F.lit(1.0)), F.lit(1.0))
+    return df.withColumn("quality", F.round(0.5 * len_score + 0.5 * stop_score, 6))

@@ -323,24 +323,32 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size):
 # gaps-and-islands family: cluster / merge
 # --------------------------------------------------------------------------
 
-def _island_ids(df: DataFrame, ck: str, sk: str, ek: str, on: list,
-                min_dist: int | None) -> DataFrame:
-    """Assign per-(chrom,*on) island numbers via the classic running-max
-    window (semantics of ``arrops.merge_intervals``, ``arrops.py:415-479``):
-    sort by (start, end); border where start > running_max_end + min_dist
-    (strict ``>=`` when min_dist is None — half-open abutting intervals
-    stay separate)."""
+def _distinct_islands(df: DataFrame, ck: str, sk: str, ek: str, on: list,
+                      min_dist: int | None) -> DataFrame:
+    """Island numbers over DISTINCT (chrom,*on,start,end) intervals with a
+    multiplicity column ``__mult`` (semantics of ``arrops.merge_intervals``,
+    ``arrops.py:415-479``: sort by (start,end); border where
+    start > running_max_end + min_dist; strict ``>=`` when min_dist is None
+    — half-open abutting intervals stay separate).
+
+    Deduplicating first makes the window sort a TOTAL order: with duplicate
+    rows, the border flag computed in one window pass and summed in another
+    can see different tie orders (a real cross-engine/cross-run hazard), and
+    it shrinks the window input. Callers re-expand via ``__mult`` or join
+    back on the interval key.
+    """
     keys = [ck] + on
+    if min_dist is not None and min_dist < 0:
+        raise ValueError("min_dist>=0 or None required")
+    dd = df.groupBy(*keys, sk, ek).agg(F.count(F.lit(1)).alias("__mult"))
     w = Window.partitionBy(*keys).orderBy(sk, ek)
     prev_max_end = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
     if min_dist is None:
         border = F.col(sk) >= prev_max_end
     else:
-        if min_dist < 0:
-            raise ValueError("min_dist>=0 or None required")
         border = F.col(sk) > prev_max_end + F.lit(min_dist)
     border = F.when(prev_max_end.isNull(), F.lit(True)).otherwise(border)
-    return df.withColumn(
+    return dd.withColumn(
         "__island",
         F.sum(border.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
@@ -367,11 +375,11 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
     _verify_columns(df, [ck, sk, ek], "merge")
     on = list(on) if on else []
     nulls, valid = _null_key_rows(df, ck, sk, ek, on)
-    isl = _island_ids(valid, ck, sk, ek, on, min_dist)
+    isl = _distinct_islands(valid, ck, sk, ek, on, min_dist)
     out = isl.groupBy(ck, *on, "__island").agg(
         F.min(sk).alias(sk),
         F.max(ek).alias(ek),
-        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__mult").alias("n_intervals"),
     ).drop("__island")
     out = out.select(ck, sk, ek, *on, "n_intervals")
     nulls_out = nulls.select(
@@ -381,15 +389,16 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
 
 
 def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist):
-    """Island ids + globally dense cluster ids.
+    """Per-row island + span + globally dense cluster ids.
 
     Reference cluster ids (``ops.py:631-685``) are dense ints numbered in
     (group-key asc, island-start asc) order. Scalable construction:
-    within-group island number from the window + per-group offsets from a
-    tiny aggregated (chrom,*on → n_islands) table (broadcast back)."""
-    isl = _island_ids(df, ck, sk, ek, on, min_dist)
+    islands over distinct intervals (tie-safe window) joined back to rows;
+    per-group offsets from a tiny aggregated (chrom,*on → n_islands) table
+    (broadcast back) — no single-partition pass over data rows."""
     keys = [ck] + on
-    counts = isl.groupBy(*keys).agg(F.max("__island").alias("__n"))
+    isl_d = _distinct_islands(df, ck, sk, ek, on, min_dist)
+    counts = isl_d.groupBy(*keys).agg(F.max("__island").alias("__n"))
     wofs = Window.orderBy(*[F.col(k).asc() for k in keys]).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -397,10 +406,15 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist):
         *[F.col(k).alias("__k_" + k) for k in keys],
         F.coalesce(F.sum("__n").over(wofs), F.lit(0)).alias("__ofs"),
     )
+    spans = isl_d.groupBy(*keys, "__island").agg(
+        F.min(sk).alias("cluster_start"), F.max(ek).alias("cluster_end")
+    )
+    rows = df.join(isl_d.select(*keys, sk, ek, "__island"), [*keys, sk, ek])
+    rows = rows.join(spans, [*keys, "__island"])
     cond = F.lit(True)
     for k in keys:
-        cond = cond & isl[k].eqNullSafe(offsets["__k_" + k])
-    out = isl.join(F.broadcast(offsets), cond, "left")
+        cond = cond & rows[k].eqNullSafe(offsets["__k_" + k])
+    out = rows.join(F.broadcast(offsets), cond, "left")
     out = out.withColumn("cluster", (F.col("__ofs") + F.col("__island") - 1).cast("long"))
     return out.drop(*["__k_" + k for k in keys], "__ofs")
 
@@ -419,14 +433,7 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
     _verify_columns(df, [ck, sk, ek], "cluster")
     on = list(on) if on else []
     nulls, valid = _null_key_rows(df, ck, sk, ek, on)
-    clustered = _cluster_islands(valid, ck, sk, ek, on, min_dist)
-    wspan = Window.partitionBy(ck, *on, "__island")
-    clustered = clustered.withColumns(
-        {
-            "cluster_start": F.min(sk).over(wspan),
-            "cluster_end": F.max(ek).over(wspan),
-        }
-    ).drop("__island")
+    clustered = _cluster_islands(valid, ck, sk, ek, on, min_dist).drop("__island")
     # null rows: singleton clusters numbered after the real ones
     n_real = F.broadcast(clustered.agg((F.coalesce(F.max("cluster"), F.lit(-1)) + 1).alias("__base")))
     wn = Window.orderBy(*[F.col(c).asc_nulls_last() for c in df.columns])
@@ -613,7 +620,9 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
             F.least(F.col(ek), F.col("__ve")).alias("__pe"),
         )
     )
-    # merge pieces per region (min_dist=0: abutting pieces fuse)
+    # merge pieces per region (min_dist=0: abutting pieces fuse);
+    # distinct first so the window sort is a total order (tie safety)
+    pieces = pieces.distinct()
     w = Window.partitionBy("__vn").orderBy("__ps", "__pe")
     prev_max = F.max("__pe").over(w.rowsBetween(Window.unboundedPreceding, -1))
     border = F.when(prev_max.isNull(), F.lit(True)).otherwise(F.col("__ps") > prev_max)
