@@ -176,7 +176,7 @@ def q_overlap_left(spark, sf_dir):
 def q_overlap_binned(spark, sf_dir):
     a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
     return bf.overlap(a, b, how="inner", suffixes=("", "_b"),
-                      strategy="binned", bin_size=50_000)
+                      strategy="binned")
 
 
 def q_overlap_strand(spark, sf_dir):

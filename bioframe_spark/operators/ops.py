@@ -112,6 +112,65 @@ def _join_type(how: str) -> str:
     return m[how]
 
 
+_BROADCAST_BYTES = 1 << 20  # only truly tiny sides take the plain path:
+# a broadcast-hash join on a ~25-key chrom column still scans the full
+# per-chromosome product row-by-row — the shuffle is not the cost, the
+# predicate evaluations are
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the frame (file-size based for scans)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 60  # unknown → assume large (prefer the scalable path)
+
+
+def _bin_stats(df1, sk1, ek1, df2, sk2, ek2) -> tuple:
+    """(lo, hi, auto_bin): global coordinate span across both sides and an
+    auto bin width — wide enough that interval duplication stays ~1×
+    (≥16× the typical length, via the cheap-to-aggregate mean), narrow
+    enough to split a chromosome into thousands of join keys. One tiny
+    column-pruned agg job per side.
+
+    The span also CLIPS intervals before binning: an overlap can only occur
+    inside both spans, so binning the clipped interval is lossless — and it
+    protects against unbounded sentinels (end = INT64_MAX would otherwise
+    explode into 10^15 bins). Mean length (not max) drives the width so one
+    whole-chromosome outlier can't force a single giant bin; long outliers
+    just duplicate into more bins, which stays cheap.
+    """
+    def stats(df, sk, ek):
+        r = df.select(
+            F.min(sk).alias("lo"), F.max(ek).alias("hi"),
+            F.avg(F.least(F.col(ek), F.lit(INT64_MAX)) - F.col(sk)).alias("len"),
+        ).first()
+        return r["lo"], r["hi"], r["len"]
+
+    lo1, hi1, len1 = stats(df1, sk1, ek1)
+    lo2, hi2, len2 = stats(df2, sk2, ek2)
+    if lo1 is None or lo2 is None:
+        return (0, 1, 10_000_000)
+    lo = min(lo1, lo2)
+    hi = min(max(hi1, hi2), INT64_MAX)
+    span = max(hi - lo, 1)
+    avg_len = min(max(len1 or 1.0, len2 or 1.0), float(span))
+    bin_size = int(min(max(avg_len * 16, span / 4096, 1024), span))
+    return (lo, hi, bin_size)
+
+
+def _choose_strategy(df1, df2, strategy: str) -> str:
+    """'auto': plain while either side is broadcast-small (Catalyst will
+    broadcast; the range predicate filters a small product), else binned —
+    a chrom-equi join between two big sides degrades to a per-chromosome
+    cartesian with a post-filter, which is quadratic in rows-per-chrom."""
+    if strategy != "auto":
+        return strategy
+    if min(_plan_size_bytes(df1), _plan_size_bytes(df2)) <= _BROADCAST_BYTES:
+        return "plain"
+    return "binned"
+
+
 # --------------------------------------------------------------------------
 # select / expand — pure filter & projection (no shuffle)
 # --------------------------------------------------------------------------
@@ -190,7 +249,7 @@ def overlap(
     on: list | None = None,
     ensure_int: bool = True,
     strategy: str = "auto",
-    bin_size: int = 10_000_000,
+    bin_size: int | None = None,
 ) -> DataFrame:
     """Interval join: all pairs of overlapping intervals (reference
     ``ops.py:361-556`` + kernel ``arrops.py:290-412``).
@@ -238,10 +297,14 @@ def overlap(
     cond = _overlap_condition(c1, s1, e1, c2, s2, e2,
                               [(c + sfx1, c + sfx2) for c in on])
 
+    strategy = _choose_strategy(d1, d2, strategy)
     if strategy == "binned":
+        lo, hi, auto_bin = _bin_stats(d1, sk1, ek1, d2, sk2, ek2)
+        if bin_size is None:
+            bin_size = auto_bin
         joined = _binned_overlap_join(L, R, (c1, s1, e1), (c2, s2, e2),
                                       [(c + sfx1, c + sfx2) for c in on],
-                                      jt, bin_size)
+                                      jt, bin_size, lo, hi)
     else:
         joined = L.join(R, cond, jt)
 
@@ -263,10 +326,13 @@ def overlap(
     return joined
 
 
-def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size):
+def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
     """Binned interval join: explode each interval over the fixed-size bins
-    it touches, equi-join on (chrom, bin, *on), apply the exact predicate,
-    and keep each pair only at bin == max(first_bin1, first_bin2).
+    it touches (clipped to the observed global span [lo, hi] — lossless for
+    pair generation, bounds the explode), equi-join on (chrom, bin, *on),
+    apply the exact predicate, and keep each pair only at
+    bin == max(first_bin1, first_bin2) — each pair survives exactly once,
+    no dedup shuffle.
 
     Distributes a single huge chromosome across many tasks; shuffle keys
     gain cardinality chrom×bins. Inner pairs are exact; outer variants are
@@ -277,8 +343,10 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size):
 
     def binned(df, c, s, e, rid):
         ee = effective_end(F.col(s), F.col(e))
-        first = F.floor(F.col(s) / bin_size)
-        last = F.floor((ee - 1) / bin_size)
+        s_clip = F.greatest(F.col(s), F.lit(lo))
+        e_clip = F.least(ee, F.lit(hi))
+        first = F.floor(s_clip / bin_size)
+        last = F.greatest(F.floor((e_clip - 1) / bin_size), first)
         return (
             df.filter(F.col(c).isNotNull())
             .withColumn("__first_bin", first)
@@ -463,12 +531,26 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
 # --------------------------------------------------------------------------
 
 def setdiff(df1: DataFrame, df2: DataFrame, cols1=None, cols2=None,
-            on: list | None = None) -> DataFrame:
+            on: list | None = None, strategy: str = "auto") -> DataFrame:
     """df1 rows with no overlap in df2 — a left **anti** interval join
-    (reference ``ops.py:1333-1368``). Maps 1:1 onto Spark's left_anti."""
+    (reference ``ops.py:1333-1368``).
+
+    Plain path maps 1:1 onto Spark left_anti; when both sides are large the
+    anti join is rewritten as binned-inner pair ids + anti on row id (the
+    chrom-equi anti join has the same per-chrom quadratic hazard as
+    ``overlap``)."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     on = list(on) if on else []
+    strategy = _choose_strategy(df1, df2, strategy)
+    if strategy == "binned":
+        d1 = _with_rid(df1, ck1, sk1, ek1, "__ad_rid")
+        hits = overlap(
+            d1, df2.select(ck2, sk2, ek2, *on), how="inner",
+            suffixes=("", "__r2"), cols1=cols1, cols2=cols2, on=on,
+            strategy="binned",
+        ).select("__ad_rid").distinct()
+        return d1.join(hits, "__ad_rid", "left_anti").drop("__ad_rid")
     r = df2.select(
         F.col(ck2).alias("__c2"), F.col(sk2).alias("__s2"), F.col(ek2).alias("__e2"),
         *[F.col(c).alias("__on_" + c) for c in on],
@@ -483,51 +565,45 @@ def setdiff(df1: DataFrame, df2: DataFrame, cols1=None, cols2=None,
 
 def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
                    return_input: bool = True, cols1=None, cols2=None,
-                   on: list | None = None) -> DataFrame:
+                   on: list | None = None, strategy: str = "auto") -> DataFrame:
     """Per df1 row, the count of overlapping df2 rows, 0 kept
-    (reference ``ops.py:1371-1438``). Left interval join → count per row id;
-    the count aggregation is partial+final (map-side combine)."""
+    (reference ``ops.py:1371-1438``). Left interval join (auto strategy) →
+    count per row id; partial+final aggregation (map-side combine)."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     on = list(on) if on else []
     d1 = _with_rid(df1, ck1, sk1, ek1)
-    r = df2.select(
-        F.col(ck2).alias("__c2"), F.col(sk2).alias("__s2"), F.col(ek2).alias("__e2"),
-        *[F.col(c).alias("__on_" + c) for c in on],
+    joined = overlap(
+        d1, df2.select(ck2, sk2, ek2, *on), how="left", suffixes=("", "__r2"),
+        cols1=cols1, cols2=cols2, on=on, strategy=strategy,
     )
-    cond = (F.col(ck1) == F.col("__c2")) & overlap_predicate(
-        F.col(sk1), F.col(ek1), F.col("__s2"), F.col("__e2")
-    )
-    for c in on:
-        cond = cond & (F.col(c) == F.col("__on_" + c))
-    joined = d1.join(r, cond, "left_outer")
     out = joined.groupBy("__rid", *[F.col(c) for c in d1.columns if c != "__rid"]).agg(
-        F.count("__c2").alias("count")
+        F.count(ck2 + "__r2").alias("count")
     )
     return out.drop("__rid")
 
 
 def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
-             return_input: bool = True, cols1=None, cols2=None) -> DataFrame:
+             return_input: bool = True, cols1=None, cols2=None,
+             strategy: str = "auto") -> DataFrame:
     """Per df1 interval: bp covered by the union of df2 intervals
     (reference ``ops.py:842-916``). df2 is merged first to bound join
     fan-out (``ops.py:888``) — at scale this is the difference between a
-    bounded join and a quadratic one."""
+    bounded join and a quadratic one (and usually shrinks df2 below the
+    broadcast threshold)."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
     d1 = _with_rid(df1, ck1, sk1, ek1)
-    r = merged2.select(
-        F.col(ck2).alias("__c2"), F.col(sk2).alias("__s2"), F.col(ek2).alias("__e2")
+    joined = overlap(
+        d1, merged2.select(ck2, sk2, ek2), how="left", suffixes=("", "__r2"),
+        cols1=cols1, cols2=cols2, strategy=strategy,
     )
-    cond = (F.col(ck1) == F.col("__c2")) & overlap_predicate(
-        F.col(sk1), F.col(ek1), F.col("__s2"), F.col("__e2")
-    )
-    joined = d1.join(r, cond, "left_outer")
+    s2, e2 = sk2 + "__r2", ek2 + "__r2"
     # NB: Spark least/greatest SKIP nulls, so guard the unmatched rows
     ov = F.when(
-        F.col("__s2").isNotNull(),
-        F.least(F.col(ek1), F.col("__e2")) - F.greatest(F.col(sk1), F.col("__s2")),
+        F.col(s2).isNotNull(),
+        F.least(F.col(ek1), F.col(e2)) - F.greatest(F.col(sk1), F.col(s2)),
     )
     out = joined.groupBy("__rid", *[F.col(c) for c in d1.columns if c != "__rid"]).agg(
         F.coalesce(F.sum(ov), F.lit(0)).cast("long").alias("coverage")
