@@ -306,6 +306,11 @@ def overlap(
                                       [(c + sfx1, c + sfx2) for c in on],
                                       jt, bin_size, lo, hi)
     else:
+        # plain path = broadcast-hash on the small side; round-robin the
+        # probe when it's big so a single-row-group file doesn't pin the
+        # whole join to one task (broadcast joins accept any partitioning)
+        if _plan_size_bytes(d1) > _BROADCAST_BYTES:
+            L = L.repartition(L.sparkSession.sparkContext.defaultParallelism * 2)
         joined = L.join(R, cond, jt)
 
     if return_overlap:
@@ -362,6 +367,13 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
         .withColumnRenamed("__first_bin", "__fb2")
         .withColumnRenamed("__bin", "__bin2")
     )
+    # Spread the probe side across the cluster: single-row-group files scan
+    # as ONE task, and a broadcast join would keep the whole per-pair
+    # workload there. Explicit numPartitions so AQE can't coalesce it away
+    # (the CPU cost here is join products, which AQE's byte-size advisory
+    # cannot see).
+    n_part = L.sparkSession.sparkContext.defaultParallelism * 2
+    lb = lb.repartition(n_part, F.col(c1), F.col("__bin"))
     cond = (F.col(c1) == F.col(c2)) & (F.col("__bin") == F.col("__bin2"))
     for a, b in on_pairs:
         cond = cond & (F.col(a) == F.col(b))
@@ -573,14 +585,14 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     ck2, sk2, ek2 = _resolve_cols(cols2)
     on = list(on) if on else []
     d1 = _with_rid(df1, ck1, sk1, ek1)
+    # join only the narrow columns; re-attach wide rows by row id afterwards
+    slim = d1.select("__rid", ck1, sk1, ek1, *on)
     joined = overlap(
-        d1, df2.select(ck2, sk2, ek2, *on), how="left", suffixes=("", "__r2"),
+        slim, df2.select(ck2, sk2, ek2, *on), how="left", suffixes=("", "__r2"),
         cols1=cols1, cols2=cols2, on=on, strategy=strategy,
     )
-    out = joined.groupBy("__rid", *[F.col(c) for c in d1.columns if c != "__rid"]).agg(
-        F.count(ck2 + "__r2").alias("count")
-    )
-    return out.drop("__rid")
+    counts = joined.groupBy("__rid").agg(F.count(ck2 + "__r2").alias("count"))
+    return d1.join(counts, "__rid").drop("__rid")
 
 
 def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
@@ -595,8 +607,9 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     ck2, sk2, ek2 = _resolve_cols(cols2)
     merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
     d1 = _with_rid(df1, ck1, sk1, ek1)
+    slim = d1.select("__rid", ck1, sk1, ek1)
     joined = overlap(
-        d1, merged2.select(ck2, sk2, ek2), how="left", suffixes=("", "__r2"),
+        slim, merged2.select(ck2, sk2, ek2), how="left", suffixes=("", "__r2"),
         cols1=cols1, cols2=cols2, strategy=strategy,
     )
     s2, e2 = sk2 + "__r2", ek2 + "__r2"
@@ -605,10 +618,10 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
         F.col(s2).isNotNull(),
         F.least(F.col(ek1), F.col(e2)) - F.greatest(F.col(sk1), F.col(s2)),
     )
-    out = joined.groupBy("__rid", *[F.col(c) for c in d1.columns if c != "__rid"]).agg(
+    sums = joined.groupBy("__rid").agg(
         F.coalesce(F.sum(ov), F.lit(0)).cast("long").alias("coverage")
     )
-    return out.drop("__rid")
+    return d1.join(sums, "__rid").drop("__rid")
 
 
 def subtract(df1: DataFrame, df2: DataFrame, return_index: bool = False,
