@@ -264,6 +264,34 @@ def q_pair_by_distance(spark, sf_dir):
                                suffixes=("_1", "_2"))
 
 
+def q_pileup(spark, sf_dir):
+    return bf.pileup(ivals_a(spark, sf_dir))
+
+
+def _bins_with_val(spark, sf_dir):
+    bins = bf.binnify(chromsizes(), binsize=50_000)
+    i = (F.col("start") / 50_000).cast("long")
+    return bins.withColumn("val", ((i / 3).cast("long") % 2))
+
+
+def q_mark_runs(spark, sf_dir):
+    return bf.mark_runs(_bins_with_val(spark, sf_dir), "val")
+
+
+def q_merge_runs(spark, sf_dir):
+    return bf.merge_runs(_bins_with_val(spark, sf_dir), "val",
+                         agg={"n_bins": F.count(F.lit(1))})
+
+
+def q_gene_coverage(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    out = bf.frac_gene_coverage(a, b.select("chrom", "start", "end"))
+    return out.select(
+        "aid", "chrom", "start", "end", "strand", "qty", "coverage", "n_genes",
+        F.round("gene_coverage", 9).alias("gene_coverage"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -355,6 +383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_view": q_assign_view,
         "binnify": q_binnify,
         "pair_by_distance": q_pair_by_distance,
+        "pileup": q_pileup,
+        "mark_runs": q_mark_runs,
+        "merge_runs": q_merge_runs,
+        "gene_coverage": q_gene_coverage,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "jaccard_pairs": q_jaccard_pairs,
@@ -547,6 +579,74 @@ FROM sm x JOIN sm y
   ON x.chrom = y.chrom AND y.rnk > x.rnk
  AND y.mid >= x.mid + 10 AND y.mid <= x.mid + 2000
 """
+    pileup = _CTE + """, ev AS (
+  SELECT chrom, start AS pos, 1 AS d FROM a
+  UNION ALL
+  SELECT chrom, "end" AS pos, -1 AS d FROM a
+), evagg AS (
+  SELECT chrom, pos, SUM(d) AS d FROM ev GROUP BY 1, 2
+), seg AS (
+  SELECT chrom, pos,
+         SUM(d) OVER (PARTITION BY chrom ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth,
+         LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos
+  FROM evagg
+)
+SELECT chrom, pos AS start, next_pos AS "end", depth
+FROM seg WHERE next_pos IS NOT NULL AND depth != 0 AND pos < next_pos
+"""
+    _binval = f"""
+binval AS (
+  SELECT chrom, i * 50000 AS start, LEAST((i + 1) * 50000, clen) AS "end",
+         ((i // 3) % 2) AS val
+  FROM (
+    SELECT chrom, clen,
+           unnest(generate_series(0, CAST(CEIL(clen / 50000.0) AS BIGINT) - 1)) AS i
+    FROM (SELECT 'chr' || g AS chrom, CAST({CLEN} AS BIGINT) AS clen
+          FROM (SELECT unnest(generate_series(0, {N_CHROMS - 1})) AS g))
+  )
+), marked AS (
+  SELECT chrom, start, "end", val,
+         SUM(CASE WHEN prev_end IS NULL OR val != prev_val OR start > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY chrom ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runnum
+  FROM (
+    SELECT chrom, start, "end", val,
+           LAG("end") OVER (PARTITION BY chrom ORDER BY start) AS prev_end,
+           LAG(val) OVER (PARTITION BY chrom ORDER BY start) AS prev_val
+    FROM binval
+  )
+)
+"""
+    mark_runs = "WITH " + _binval + """
+SELECT chrom, start, "end", val, runnum - 1 AS run FROM marked
+"""
+    merge_runs = "WITH " + _binval + """
+SELECT chrom, MIN(start) AS start, MAX("end") AS "end",
+       ANY_VALUE(val) AS val, COUNT(*) AS n_bins
+FROM marked GROUP BY chrom, runnum
+"""
+    gene_coverage = _CTE + f""", bmerged AS (
+  SELECT chrom, MIN(start) AS start, MAX("end") AS "end"
+  FROM ({_islands_sql('b')}) GROUP BY chrom, island
+), cov AS (
+  SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+         COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
+                           ELSE LEAST(a."end", m."end") - GREATEST(a.start, m.start) END), 0) AS coverage
+  FROM a LEFT JOIN bmerged m
+    ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
+  GROUP BY ALL
+), cnt AS (
+  SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+         COUNT(b.chrom) AS n_genes
+  FROM a LEFT JOIN b ON a.chrom = b.chrom AND a.start < b."end" AND b.start < a."end"
+  GROUP BY ALL
+)
+SELECT cov.*, cnt.n_genes,
+       ROUND(CAST(cov.coverage AS DOUBLE) / (cov."end" - cov.start), 9) AS gene_coverage
+FROM cov JOIN cnt USING (aid, chrom, start, "end", strand, qty)
+"""
     dedup_exact = """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text)
@@ -641,6 +741,10 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         "assign_view": assign_view,
         "binnify": binnify,
         "pair_by_distance": pair_by_distance,
+        "pileup": pileup,
+        "mark_runs": mark_runs,
+        "merge_runs": merge_runs,
+        "gene_coverage": gene_coverage,
         "dedup_exact": dedup_exact,
         "text_stats": text_stats,
         "jaccard_pairs": jaccard_pairs,

@@ -43,6 +43,7 @@ from .operators.ops import (
     complement,
     sort_bedframe,
     assign_view,
+    pileup,
 )
 from .operators.closest import closest
 from .operators.extras import (
@@ -51,6 +52,11 @@ from .operators.extras import (
     pair_by_distance,
     mark_runs,
     merge_runs,
+    frac_gene_coverage,
 )
+from .operators import sequence
+from .sources.assembly import assembly_info, assemblies_available, fetch_chromsizes
+from .sources import fileops, schemas
+from . import vis
 
 __version__ = "0.1.0"

@@ -20,7 +20,27 @@ __all__ = [
     "pair_by_distance",
     "mark_runs",
     "merge_runs",
+    "frac_gene_coverage",
 ]
+
+
+def frac_gene_coverage(df: DataFrame, genes: DataFrame, cols=None) -> DataFrame:
+    """Per interval: fraction of bp covered by genes + gene count
+    (reference ``extras.py:357-386``, which fetches the UCSC mRNA table;
+    here *genes* is any interval DataFrame — composition of ``coverage``
+    and ``count_overlaps``)."""
+    from .ops import count_overlaps, coverage
+
+    ck, sk, ek = _resolve_cols(cols)
+    cov = coverage(df, genes, cols1=cols, cols2=cols)
+    cnt = count_overlaps(df, genes, cols1=cols, cols2=cols).withColumnRenamed(
+        "count", "n_genes"
+    )
+    joined = cov.join(cnt, [c for c in cov.columns if c != "coverage"], "inner")
+    return joined.withColumn(
+        "gene_coverage",
+        F.col("coverage").cast("double") / (F.col(ek) - F.col(sk)),
+    )
 
 
 def binnify(chromsizes, binsize: int, rel_ids: bool = False, cols=None) -> DataFrame:
@@ -58,14 +78,20 @@ def make_chromarms(chromsizes, midpoints, cols=None, suffixes=("_p", "_q")) -> D
     whole-chromosome view, then name arms by fragment side."""
     ck, sk, ek = _resolve_cols(cols)
     cs = construction.from_any(chromsizes, cols=(ck, sk, ek))
-    mids = construction.from_any(midpoints, cols=(ck, sk, ek))
-    # midpoints as points: (chrom, mid, mid)
-    if "mid" in [c.lower() for c in mids.columns]:
-        pass
-    points = mids.select(
-        F.col(ck), F.col(sk).alias(sk), F.col(sk).alias(ek)
-    ) if set(mids.columns) >= {ck, sk} and ek not in mids.columns else mids
-    arms = subtract(cs, points.select(ck, sk, ek), cols1=(ck, sk, ek), cols2=(ck, sk, ek))
+    # midpoints → degenerate point intervals (chrom, mid, mid)
+    if isinstance(midpoints, dict):
+        points = construction.from_list(
+            [(c, int(m), int(m)) for c, m in midpoints.items()], cols=(ck, sk, ek)
+        )
+    else:
+        mids = construction.from_any(midpoints, cols=(ck, sk, ek))
+        if "mid" in mids.columns:
+            points = mids.select(
+                F.col(ck), F.col("mid").alias(sk), F.col("mid").alias(ek)
+            )
+        else:
+            points = mids.select(ck, sk, ek)
+    arms = subtract(cs, points, cols1=(ck, sk, ek), cols2=(ck, sk, ek))
     # fragment ordinal per chrom → suffix naming
     w = Window.partitionBy(ck).orderBy(sk)
     arms = arms.withColumn("__ord", F.row_number().over(w) - 1)

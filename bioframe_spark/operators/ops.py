@@ -55,6 +55,7 @@ __all__ = [
     "complement",
     "sort_bedframe",
     "assign_view",
+    "pileup",
 ]
 
 
@@ -825,6 +826,46 @@ def trim(df: DataFrame, view_df=None, df_view_col: str | None = None,
     if added_view_col and not return_view_columns:
         out = out.drop("__region")
     return out
+
+
+def pileup(df: DataFrame, weight_col: str | None = None, cols=None,
+           keep_zero: bool = False) -> DataFrame:
+    """Coverage depth track: step function of how many intervals (or how
+    much total weight) covers each genomic segment.
+
+    Spark-native sweep-line (semantics of the reference's internal
+    ``coverage_intervals_rle``, ``arrops.py:757-770``, which bioframe never
+    exposed publicly): explode each interval into ±weight boundary events,
+    pre-aggregate per position (makes the window sort a total order — tie
+    safety and less window input), then a running sum ordered by position
+    and a ``lead`` for segment ends. One shuffle by chrom.
+
+    Output: (chrom, start, end, depth) segments; zero-depth gaps between
+    covered segments are dropped unless ``keep_zero``.
+    """
+    ck, sk, ek = _resolve_cols(cols)
+    _verify_columns(df, [ck, sk, ek], "pileup")
+    wcol = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    valid = df.filter(F.col(ck).isNotNull() & F.col(sk).isNotNull() & F.col(ek).isNotNull())
+    starts = valid.select(F.col(ck), F.col(sk).alias("__pos"), wcol.alias("__d"))
+    ends = valid.select(F.col(ck), F.col(ek).alias("__pos"), (-wcol).alias("__d"))
+    ev = starts.unionByName(ends).groupBy(ck, "__pos").agg(F.sum("__d").alias("__d"))
+    w = Window.partitionBy(ck).orderBy("__pos")
+    seg = ev.withColumns(
+        {
+            "__depth": F.sum("__d").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            "__next": F.lead("__pos").over(w),
+        }
+    )
+    out = seg.filter(F.col("__next").isNotNull()).select(
+        F.col(ck),
+        F.col("__pos").alias(sk),
+        F.col("__next").alias(ek),
+        F.col("__depth").alias("depth"),
+    )
+    if not keep_zero:
+        out = out.filter(F.col("depth") != 0)
+    return out.filter(F.col(sk) < F.col(ek))
 
 
 def sort_bedframe(df: DataFrame, view_df=None, view_name_col: str = "name",

@@ -1,0 +1,77 @@
+"""Visualization helpers (reference ``src/bioframe/vis.py``, 237 LoC).
+
+Driver-side: collect a (small, pre-filtered) interval frame and draw
+matplotlib rectangles with per-chrom facets and greedy level stacking.
+Import of matplotlib is deferred (optional dependency pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def to_ucsc_colorstring(color) -> str:
+    """Matplotlib-compatible color → UCSC 'r,g,b' itemRgb string
+    (reference ``vis.py:18-59``)."""
+    try:
+        import matplotlib.colors as mcolors
+
+        rgb = mcolors.to_rgb(color)
+    except ImportError:
+        if isinstance(color, (tuple, list)):
+            rgb = color
+        else:
+            raise
+    return ",".join(str(int(round(c * 255))) for c in rgb[:3])
+
+
+def stack_intervals_levels(starts, ends) -> np.ndarray:
+    """Greedy first-fit interval stacking for plot levels (semantics of
+    reference ``arrops.py:773-798``; inherently sequential per chrom —
+    this is a driver-side helper for already-collected frames)."""
+    starts = np.asarray(starts)
+    ends = np.asarray(ends)
+    order = np.lexsort([ends, starts])
+    levels = np.full(starts.shape[0], -1)
+    level_ends: list[int] = []
+    for i in order:
+        placed = False
+        for lvl, le in enumerate(level_ends):
+            if starts[i] >= le:
+                levels[i] = lvl
+                level_ends[lvl] = ends[i]
+                placed = True
+                break
+        if not placed:
+            levels[i] = len(level_ends)
+            level_ends.append(ends[i])
+    return levels
+
+
+def plot_intervals(df, limit: int = 10_000, cols=None, **kwargs):
+    """Collect (bounded) and plot interval rectangles, one facet per chrom.
+
+    *df* may be a Spark DataFrame (collected with a safety ``limit``) or a
+    pandas DataFrame.
+    """
+    from .core.specs import _resolve_cols
+
+    ck, sk, ek = _resolve_cols(cols)
+    if hasattr(df, "toPandas"):
+        pdf = df.select(ck, sk, ek).limit(limit).toPandas()
+    else:
+        pdf = df
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    chroms = sorted(pdf[ck].dropna().unique())
+    fig, axes = plt.subplots(len(chroms), 1, squeeze=False, **kwargs)
+    for ax, chrom in zip(axes[:, 0], chroms):
+        sub = pdf[pdf[ck] == chrom]
+        levels = stack_intervals_levels(sub[sk].values, sub[ek].values)
+        for (s, e), lvl in zip(sub[[sk, ek]].values, levels):
+            ax.add_patch(Rectangle((s, lvl), max(e - s, 0.1), 0.8))
+        ax.set_xlim(pdf[sk].min(), pdf[ek].max())
+        ax.set_ylim(-0.5, levels.max() + 1.5 if len(levels) else 1)
+        ax.set_ylabel(chrom)
+    return fig
