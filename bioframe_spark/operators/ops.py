@@ -251,6 +251,7 @@ def overlap(
     ensure_int: bool = True,
     strategy: str = "auto",
     bin_size: int | None = None,
+    _bin_hint: tuple | None = None,
 ) -> DataFrame:
     """Interval join: all pairs of overlapping intervals (reference
     ``ops.py:361-556`` + kernel ``arrops.py:290-412``).
@@ -300,7 +301,10 @@ def overlap(
 
     strategy = _choose_strategy(d1, d2, strategy)
     if strategy == "binned":
-        lo, hi, auto_bin = _bin_stats(d1, sk1, ek1, d2, sk2, ek2)
+        # _bin_hint (lo, hi, bin) lets composite operators (subtract) skip
+        # the stats jobs when the inputs' span is already known — avoids
+        # re-executing an expensive upstream plan just to measure it
+        lo, hi, auto_bin = _bin_hint or _bin_stats(d1, sk1, ek1, d2, sk2, ek2)
         if bin_size is None:
             bin_size = auto_bin
         joined = _binned_overlap_join(L, R, (c1, s1, e1), (c2, s2, e2),
@@ -643,9 +647,14 @@ def subtract(df1: DataFrame, df2: DataFrame, return_index: bool = False,
         F.lit(INT64_MAX).cast("long").alias(ek2), F.col("c").alias("name"),
     )
     comp = complement(df2, view_df=view, cols=(ck2, sk2, ek2)).drop("view_region")
+    # span hint from the RAW inputs (cheap scans) — overlaps with the
+    # complement can only fall inside df1's own span, so clipping there is
+    # lossless and avoids executing the complement plan for stats
+    lo1, hi1, bin1 = _bin_stats(df1, sk1, ek1, df2, sk2, ek2)
     ov = overlap(
         df1, comp, how="inner", suffixes=suffixes, return_overlap=True,
-        cols1=cols1, cols2=(ck2 , sk2, ek2),
+        cols1=cols1, cols2=(ck2, sk2, ek2),
+        _bin_hint=(lo1, hi1, bin1),
     )
     sfx1, sfx2 = suffixes
     extra1 = [c for c in df1.columns if c not in (ck1, sk1, ek1)]
