@@ -107,10 +107,14 @@ def _closest_kernel(
     s2 = pdf2[sk2].to_numpy(np.int64, na_value=0)
     e2 = pdf2[ek2].to_numpy(np.int64, na_value=0)
     n1, n2 = s1.shape[0], s2.shape[0]
-    tie = (
-        pdf2[tie_breaking_col].to_numpy(float)
-        if tie_breaking_col is not None else np.zeros(n2)
-    )
+    if tie_breaking_col is None:
+        tie = np.zeros(n2)
+    elif callable(tie_breaking_col):
+        # reference surface: tie_breaking_col may be f(DataFrame) -> Series
+        # (ops.py:972-980) — evaluated per chrom group on the pandas frame
+        tie = np.asarray(tie_breaking_col(pdf2), dtype=float)
+    else:
+        tie = pdf2[tie_breaking_col].to_numpy(float)
     if direction_col is not None:
         along = (pdf1[direction_col].astype(str) != "-").to_numpy()
     else:
