@@ -320,6 +320,11 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
 
 
+def q_embedding_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs(emb, threshold=0.5)
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
@@ -392,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "events_hourly": q_events_hourly,
@@ -683,6 +689,25 @@ SELECT id1, id2, n_common, c1.n + c2.n - n_common AS n_union
 FROM common JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
 WHERE CAST(n_common AS DOUBLE) >= 0.5 * (c1.n + c2.n - n_common)
 """
+    embedding_dups = """
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), vn AS (
+  SELECT id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM v
+), pairs AS (
+  SELECT a.id AS id1, b.id AS id2,
+         CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+              i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+         a.n2 AS n1, b.n2 AS m2
+  FROM vn a JOIN vn b ON a.id < b.id
+)
+SELECT id1, id2,
+       ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(m2 AS DOUBLE))), 9) AS cos
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(m2 AS DOUBLE))) >= 0.5
+"""
     ann_topk = """
 WITH qv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -748,6 +773,7 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         "dedup_exact": dedup_exact,
         "text_stats": text_stats,
         "jaccard_pairs": jaccard_pairs,
+        "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "events_hourly": events_hourly,
         "events_json": events_json,

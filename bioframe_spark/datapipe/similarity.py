@@ -69,6 +69,37 @@ def cosine_topk(
     )
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
+
+    Baseline: self cross-join (id1<id2) over quantized vectors — exact, for
+    corpora that fit a broadcast. Scale path: run the same predicate inside
+    LSH buckets (``lsh_bucketed_topk`` machinery) so candidate generation
+    is linear in bucket sizes. Output cosine is rounded to 9 digits (a
+    single correctly-rounded double chain over integer sums — engine-exact).
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), _quantized(F.col(vec_col), "v")
+    ).withColumn("n2", _norm2(F.col("v")))
+    a = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n2").alias("n1"))
+    b = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n2").alias("m2"))
+    joined = F.broadcast(a).crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    cos = (
+        _dot(F.col("v1"), F.col("v2")).cast("double")
+        / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("m2").cast("double")))
+    )
+    return (
+        joined.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", F.round("cos", 9).alias("cos"))
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
