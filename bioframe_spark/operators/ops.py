@@ -590,14 +590,20 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     ck2, sk2, ek2 = _resolve_cols(cols2)
     on = list(on) if on else []
     d1 = _with_rid(df1, ck1, sk1, ek1)
-    # join only the narrow columns; re-attach wide rows by row id afterwards
+    # inner pairs on the narrow columns only, then left-join the counts
+    # back by row id with 0-fill — cheaper than a left interval join (no
+    # unmatched-row reconstruction inside the join)
     slim = d1.select("__rid", ck1, sk1, ek1, *on)
-    joined = overlap(
-        slim, df2.select(ck2, sk2, ek2, *on), how="left", suffixes=("", "__r2"),
+    pairs = overlap(
+        slim, df2.select(ck2, sk2, ek2, *on), how="inner", suffixes=("", "__r2"),
         cols1=cols1, cols2=cols2, on=on, strategy=strategy,
     )
-    counts = joined.groupBy("__rid").agg(F.count(ck2 + "__r2").alias("count"))
-    return d1.join(counts, "__rid").drop("__rid")
+    counts = pairs.groupBy("__rid").agg(F.count(F.lit(1)).alias("count"))
+    return (
+        d1.join(counts, "__rid", "left")
+        .withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
+        .drop("__rid")
+    )
 
 
 def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
@@ -613,20 +619,18 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
     d1 = _with_rid(df1, ck1, sk1, ek1)
     slim = d1.select("__rid", ck1, sk1, ek1)
-    joined = overlap(
-        slim, merged2.select(ck2, sk2, ek2), how="left", suffixes=("", "__r2"),
+    pairs = overlap(
+        slim, merged2.select(ck2, sk2, ek2), how="inner", suffixes=("", "__r2"),
         cols1=cols1, cols2=cols2, strategy=strategy,
     )
     s2, e2 = sk2 + "__r2", ek2 + "__r2"
-    # NB: Spark least/greatest SKIP nulls, so guard the unmatched rows
-    ov = F.when(
-        F.col(s2).isNotNull(),
-        F.least(F.col(ek1), F.col(e2)) - F.greatest(F.col(sk1), F.col(s2)),
+    ov = F.least(F.col(ek1), F.col(e2)) - F.greatest(F.col(sk1), F.col(s2))
+    sums = pairs.groupBy("__rid").agg(F.sum(ov).cast("long").alias("coverage"))
+    return (
+        d1.join(sums, "__rid", "left")
+        .withColumn("coverage", F.coalesce(F.col("coverage"), F.lit(0)))
+        .drop("__rid")
     )
-    sums = joined.groupBy("__rid").agg(
-        F.coalesce(F.sum(ov), F.lit(0)).cast("long").alias("coverage")
-    )
-    return d1.join(sums, "__rid").drop("__rid")
 
 
 def subtract(df1: DataFrame, df2: DataFrame, return_index: bool = False,
