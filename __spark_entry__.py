@@ -573,17 +573,18 @@ WITH chroms AS (
 SELECT chrom, i * 50000 AS start, LEAST((i + 1) * 50000, clen) AS "end"
 FROM bins
 """
+    # probe-overlap semantics (min_sep=10, max_sep=2000):
+    # x.mid + 10//2 < y.mid - 11//2  AND  y.mid - 2000//2 < x.mid + 2001//2
     pair_by_distance = _CTE + """, sm AS (
-  SELECT sid, chrom, start, "end",
-         start + ("end" - start) // 2 AS mid,
-         ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY start, "end") AS rnk
+  SELECT sid, chrom, start, "end", (start + "end") // 2 AS mid
   FROM s
 )
 SELECT x.chrom AS chrom_1, x.start AS start_1, x."end" AS end_1, x.sid AS sid_1,
        y.chrom AS chrom_2, y.start AS start_2, y."end" AS end_2, y.sid AS sid_2
 FROM sm x JOIN sm y
-  ON x.chrom = y.chrom AND y.rnk > x.rnk
- AND y.mid >= x.mid + 10 AND y.mid <= x.mid + 2000
+  ON x.chrom = y.chrom
+ AND x.mid + 5 < y.mid - 5
+ AND y.mid - 1000 < x.mid + 1000
 """
     pileup = _CTE + """, ev AS (
   SELECT chrom, start AS pos, 1 AS d FROM a

@@ -128,47 +128,56 @@ def pair_by_distance(
     _verify_columns(df, [ck, sk, ek], "pair_by_distance")
     if min_sep >= max_sep:
         raise ValueError("min_sep must be < max_sep")
+    if min_sep < 0:
+        raise ValueError("min_sep must be >=0")
     if (
         min_intervening is not None and max_intervening is not None
         and min_intervening > max_intervening
     ):
         raise ValueError("min_intervening must be <= max_intervening")
+    if min_intervening is not None and min_intervening < 0:
+        raise ValueError("min_intervening must be >=0")
 
-    mid = (F.col(sk) + (F.col(ek) - F.col(sk)) / 2).cast("long")
+    # EXACT probe construction of the reference (``extras.py:473-510``):
+    # right probe of x = [ref_r + min_sep//2, ref_r + (max_sep+1)//2)
+    # left probe of y  = [ref_l - max_sep//2, ref_l - (min_sep+1)//2)
+    # pair ⟺ probes overlap (half-open) — the separation window is split
+    # between the two probes with integer halving; intervening counts are
+    # positional-rank differences in (chrom,start,end) order (the
+    # reference sorts before pairing, ``extras.py:456``).
+    mid = F.floor((F.col(sk) + F.col(ek)) / 2).cast("long")
     w = Window.partitionBy(ck).orderBy(sk, ek)
     base = df.withColumn("__rank", F.row_number().over(w))
     if relative_to == "midpoints":
-        lo1, hi1 = mid + min_sep, mid + max_sep   # right probe of left partner
-        lo2, hi2 = mid, mid                        # left probe = midpoint point
+        ref_r, ref_l = mid, mid
     elif relative_to == "endpoints":
-        lo1, hi1 = F.col(ek) + min_sep, F.col(ek) + max_sep
-        lo2, hi2 = F.col(sk), F.col(sk)
+        ref_r, ref_l = F.col(ek), F.col(sk)
     else:
         raise ValueError("relative_to must be 'midpoints' or 'endpoints'")
     sfx1, sfx2 = suffixes
     left = base.select(
         *[F.col(c).alias(c + sfx1) for c in df.columns],
         F.col("__rank").alias("__rank1"),
-        lo1.alias("__lo"), hi1.alias("__hi"),
+        (ref_r + min_sep // 2).alias("__rs"),
+        (ref_r + (max_sep + 1) // 2).alias("__re"),
     )
     right = base.select(
         *[F.col(c).alias(c + sfx2) for c in df.columns],
         F.col("__rank").alias("__rank2"),
-        lo2.alias("__p"),
+        (ref_l - max_sep // 2).alias("__ls"),
+        (ref_l - (min_sep + 1) // 2).alias("__le"),
     )
     cond = (
         (F.col(ck + sfx1) == F.col(ck + sfx2))
-        & (F.col("__p") >= F.col("__lo"))
-        & (F.col("__p") <= F.col("__hi"))
-        & (F.col("__rank2") > F.col("__rank1"))
+        & overlap_predicate(F.col("__rs"), F.col("__re"), F.col("__ls"), F.col("__le"))
     )
     pairs = left.join(right, cond, "inner")
-    n_btwn = F.col("__rank2") - F.col("__rank1") - 1
+    n_btwn = F.abs(F.col("__rank2") - F.col("__rank1")) - 1
     if min_intervening is not None:
         pairs = pairs.filter(n_btwn >= min_intervening)
     if max_intervening is not None:
         pairs = pairs.filter(n_btwn <= max_intervening)
-    return pairs.drop("__rank1", "__rank2", "__lo", "__hi", "__p")
+    return pairs.drop("__rank1", "__rank2", "__rs", "__re", "__ls", "__le")
 
 
 def mark_runs(

@@ -180,13 +180,25 @@ def test_binnify(spark):
 
 
 def test_pair_by_distance(spark):
-    d = ivals(spark, [("chr1", 0, 2), ("chr1", 10, 12), ("chr1", 30, 32)])
-    # midpoints: 1, 11, 31; distances 10, 20, 30
-    out = bf.pair_by_distance(d, min_sep=5, max_sep=15)
-    got = sorted((r["start_1"], r["start_2"]) for r in out.collect())
-    assert got == [(0, 10)]
-    out2 = bf.pair_by_distance(d, min_sep=5, max_sep=25)
-    assert out2.count() == 2
+    # golden case from reference tests/test_extras.py:209-260
+    d = ivals(spark, [("chr1", 1, 3), ("chr1", 6, 8), ("chr1", 9, 11)])
+
+    def got(**kw):
+        out = bf.pair_by_distance(d, **kw)
+        return sorted((r["start_1"], r["start_2"]) for r in out.collect())
+
+    assert got(min_sep=1, max_sep=4) == [(6, 9)]
+    assert got(min_sep=1, max_sep=4, relative_to="endpoints") == [(1, 6)]
+    assert got(min_sep=1, max_sep=6) == [(1, 6), (6, 9)]
+    assert got(min_sep=1, max_sep=9) == [(1, 6), (1, 9), (6, 9)]
+    assert got(min_sep=1, max_sep=9, max_intervening=0) == [(1, 6), (6, 9)]
+    assert got(min_sep=1, max_sep=9, min_intervening=1) == [(1, 9)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bf.pair_by_distance(d, min_sep=-1, max_sep=9)
+    with _pytest.raises(ValueError):
+        bf.pair_by_distance(d, min_sep=12, max_sep=9)
 
 
 def test_mark_and_merge_runs(spark):
