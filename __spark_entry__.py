@@ -330,6 +330,13 @@ def q_ann_topk(spark, sf_dir):
     return similarity.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    # oracle omitted (approximate by construction) → rows-only check
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") < 10), emb,
+                               k=5, n_centroids=16, n_probe=4)
+
+
 def q_ann_lsh(spark, sf_dir):
     # oracle omitted (hash-derived hyperplanes) → rows-only check
     emb = _t(spark, sf_dir, "embeddings")
@@ -399,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,

@@ -31,6 +31,8 @@ from .core.construction import (
 from .core import checks
 from .operators.ops import (
     select,
+    select_mask,
+    select_indices,
     expand,
     overlap,
     cluster,

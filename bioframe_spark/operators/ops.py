@@ -191,6 +191,32 @@ def select(df: DataFrame, region, cols=None) -> DataFrame:
     )
 
 
+def select_mask(df: DataFrame, region, cols=None, mask_col: str = "mask") -> DataFrame:
+    """df + boolean column marking rows overlapping the region.
+
+    The reference returns a positional boolean array (``ops.py:29-67``);
+    Spark rows have no positions, so the mask is a column.
+    """
+    ck, sk, ek = _resolve_cols(cols)
+    chrom, start, end = parse_region(region)
+    return df.withColumn(
+        mask_col,
+        F.coalesce(
+            region_select_predicate(F.col(ck), F.col(sk), F.col(ek), chrom, start, end),
+            F.lit(False),
+        ),
+    )
+
+
+def select_indices(df: DataFrame, region, cols=None) -> DataFrame:
+    """Dense global row ids (by canonical (chrom,start,end) order) of rows
+    overlapping the region — the Spark stand-in for ``select_indices``
+    (``ops.py:69-90``)."""
+    ck, sk, ek = _resolve_cols(cols)
+    d = _with_global_rid(df, ck, sk, ek, "index")
+    return select(d, region, cols=cols).select("index")
+
+
 def expand(df: DataFrame, pad: int | None = None, scale: float | None = None,
            side: str = "both", cols=None) -> DataFrame:
     """Pad/rescale intervals (reference ``ops.py:150-225``). Projection only.

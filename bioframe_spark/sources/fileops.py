@@ -215,6 +215,45 @@ def read_alignments(path: str, chunks: list[tuple]) -> DataFrame:
     raise NotImplementedError("BAM partition reader: pysam absent in this container")
 
 
+def to_bigwig(df: DataFrame, chromsizes: dict, out_path: str,
+              value_col: str = "value") -> None:
+    """bedGraph → bigWig sink (reference ``io/fileops.py:515-593``: write a
+    sorted temp text file, then the UCSC ``bedGraphToBigWig`` CLI or
+    pybigtools on the driver — inherently a single-writer sink)."""
+    try:
+        import pybigtools  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "to_bigwig needs pybigtools or the UCSC CLI (neither installed here); "
+            "the Spark-side prep is to_bed-style: sort + coalesce(1) + text write"
+        ) from e
+    raise NotImplementedError
+
+
+def to_bigbed(df: DataFrame, chromsizes: dict, out_path: str) -> None:
+    """BED → bigBed sink (reference ``io/fileops.py:596-669``); same
+    single-writer CLI/pybigtools pattern as ``to_bigwig``."""
+    try:
+        import pybigtools  # noqa: F401
+    except ImportError as e:
+        raise ImportError("to_bigbed needs pybigtools or the UCSC CLI") from e
+    raise NotImplementedError
+
+
+def to_parquet_partitioned(df: DataFrame, path: str, by: str = "chrom",
+                           sort_within: bool = True, cols=None) -> None:
+    """Write an interval table partitioned by chromosome with rows sorted
+    within files — the layout that makes ``select(region)`` a
+    partition-pruned, row-group-pruned scan (see SCALING.md §5)."""
+    from ..core.specs import _resolve_cols
+
+    ck, sk, ek = _resolve_cols(cols)
+    out = df
+    if sort_within:
+        out = out.sortWithinPartitions(ck, sk, ek)
+    out.write.mode("overwrite").partitionBy(by).parquet(path)
+
+
 def read_bigwig(path: str, regions: list[tuple]) -> DataFrame:
     """bigWig value intervals per region (reference ``io/fileops.py:379-432``)."""
     try:

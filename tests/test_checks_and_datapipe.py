@@ -144,3 +144,23 @@ def test_stream_ops_batch_semantics(spark):
     ann = ivals(spark, [("chr1", 20, 40)])
     joined = stream_ops.stream_overlap_static(iv, ann)
     assert joined.filter("chrom_ann is not null").count() == 2
+
+
+def test_ivf_topk(spark):
+    rows_ = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows_ += [(10, [0.95, 0.05, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows_, "vec_id long, embedding array<float>")
+    out = similarity.ivf_topk(emb.filter("vec_id = 0"), emb, k=1,
+                              n_centroids=4, n_probe=4)
+    assert [r["neighbor_id"] for r in out.collect()] == [10]
+
+
+def test_select_mask_and_indices(spark):
+    from helpers import ivals
+
+    d = ivals(spark, [("chr1", 0, 5), ("chr1", 10, 20), ("chr2", 0, 5)])
+    m = bf.select_mask(d, "chr1:0-6")
+    got = {(r["chrom"], r["start"]): r["mask"] for r in m.collect()}
+    assert got == {("chr1", 0): True, ("chr1", 10): False, ("chr2", 0): False}
+    idx = bf.select_indices(d, "chr1:0-6")
+    assert [r["index"] for r in idx.collect()] == [0]
