@@ -33,11 +33,14 @@ BENCH_QUERIES = [
     "closest",
     "subtract",
     "assign_view",
+    "pileup",
+    "gene_coverage",
     # datapipe ops
     "dedup_exact",
     "text_stats",
     "jaccard_pairs",
     "minhash_lsh",
+    "embedding_dups",
     "ann_topk",
     "events_hourly",
 ]

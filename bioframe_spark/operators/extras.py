@@ -27,17 +27,32 @@ __all__ = [
 def frac_gene_coverage(df: DataFrame, genes: DataFrame, cols=None) -> DataFrame:
     """Per interval: fraction of bp covered by genes + gene count
     (reference ``extras.py:357-386``, which fetches the UCSC mRNA table;
-    here *genes* is any interval DataFrame — composition of ``coverage``
-    and ``count_overlaps``)."""
-    from .ops import count_overlaps, coverage
+    here *genes* is any interval DataFrame).
+
+    Single row-id base: coverage sums (vs merged genes) and overlap counts
+    (vs raw genes) are aggregated separately on the narrow projection and
+    both joined back by id — one wide pass instead of a wide-key join of
+    two full operator outputs."""
+    from .ops import _with_rid, merge, overlap
 
     ck, sk, ek = _resolve_cols(cols)
-    cov = coverage(df, genes, cols1=cols, cols2=cols)
-    cnt = count_overlaps(df, genes, cols1=cols, cols2=cols).withColumnRenamed(
-        "count", "n_genes"
+    d1 = _with_rid(df, ck, sk, ek)
+    slim = d1.select("__rid", ck, sk, ek)
+    merged = merge(genes, min_dist=0, cols=cols).filter(F.col(ck).isNotNull())
+    covp = overlap(slim, merged.select(ck, sk, ek), how="inner",
+                   suffixes=("", "__r2"), cols1=cols, cols2=cols)
+    ov = F.least(F.col(ek), F.col(ek + "__r2")) - F.greatest(F.col(sk), F.col(sk + "__r2"))
+    sums = covp.groupBy("__rid").agg(F.sum(ov).cast("long").alias("coverage"))
+    cntp = overlap(slim, genes.select(ck, sk, ek), how="inner",
+                   suffixes=("", "__r2"), cols1=cols, cols2=cols)
+    cnts = cntp.groupBy("__rid").agg(F.count(F.lit(1)).alias("n_genes"))
+    out = (
+        d1.join(sums, "__rid", "left").join(cnts, "__rid", "left")
+        .withColumn("coverage", F.coalesce(F.col("coverage"), F.lit(0)))
+        .withColumn("n_genes", F.coalesce(F.col("n_genes"), F.lit(0)))
+        .drop("__rid")
     )
-    joined = cov.join(cnt, [c for c in cov.columns if c != "coverage"], "inner")
-    return joined.withColumn(
+    return out.withColumn(
         "gene_coverage",
         F.col("coverage").cast("double") / (F.col(ek) - F.col(sk)),
     )
