@@ -21,6 +21,7 @@ from .core.stringops import (
     is_complete_ucsc_string,
 )
 from .core.construction import (
+    add_ucsc_name_column,
     from_any,
     from_dict,
     from_list,

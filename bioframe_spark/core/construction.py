@@ -87,6 +87,17 @@ def from_any(regions, cols=None, name_col: str = "name") -> DataFrame:
     raise ValueError(f"cannot construct intervals from {type(regions)}")
 
 
+def add_ucsc_name_column(df: DataFrame, name_col: str = "name", cols=None) -> DataFrame:
+    """Append a ``chrom:start-end`` string column (reference
+    ``construction.py:174-186``). Pure projection."""
+    ck, sk, ek = _resolve_cols(cols)
+    return df.withColumn(
+        name_col,
+        F.concat(F.col(ck), F.lit(":"), F.col(sk).cast("string"),
+                 F.lit("-"), F.col(ek).cast("string")),
+    )
+
+
 def make_viewframe(
     view, view_name_col: str = "name", cols=None, check: bool = False
 ) -> DataFrame:

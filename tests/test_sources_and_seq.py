@@ -93,3 +93,21 @@ def test_digest(spark):
     out = seq.digest({"chrT": 18}, prov, "GAATTC")
     got = sorted((r["start"], r["end"]) for r in out.collect())
     assert got == [(0, 2), (2, 10), (10, 18)]
+
+
+def test_add_ucsc_name_column(spark):
+    d = ivals(spark, [("chr1", 5, 10)])
+    r = bf.add_ucsc_name_column(d).collect()[0]
+    assert r["name"] == "chr1:5-10"
+
+
+def test_resources_no_network():
+    from bioframe_spark.sources import resources
+
+    assert resources.fetch_chromsizes("hg38")["chr1"] == 248956422
+    client = resources.UCSCClient("hg38")
+    assert client.fetch_chromsizes()["chrM"] == 16569
+    with pytest.raises(resources.NetworkDisabled):
+        client.fetch_mrna()
+    with pytest.raises(resources.NetworkDisabled):
+        resources.fetch_centromeres("hg38")
