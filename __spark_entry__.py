@@ -179,12 +179,6 @@ def q_overlap_binned(spark, sf_dir):
                       strategy="binned")
 
 
-def q_overlap_strand(spark, sf_dir):
-    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
-    return bf.overlap(a, b.drop("strand"), how="inner", suffixes=("", "_b"),
-                      on=None).filter(F.col("strand") == "+")
-
-
 def q_overlap_on(spark, sf_dir):
     a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
     return bf.overlap(a, b, how="inner", suffixes=("", "_b"), on=["strand"])
@@ -416,9 +410,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles (DuckDB SQL)
 # --------------------------------------------------------------------------
-
-_OV = 'x.start < y."end" AND y.start < x."end"'
-
 
 def oracle_sql() -> dict[str, str]:
     ov_ab = 'a.start < b."end" AND b.start < a."end"'

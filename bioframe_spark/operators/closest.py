@@ -12,9 +12,9 @@ chrom, then a vectorized numpy sort+searchsorted kernel runs per group
 (Arrow-batched, no per-row Python). This parallelizes across chromosomes;
 for single-chrom skew the group is one task — acceptable because the
 kernel is O(n log n) vectorized, and k-NN is not separable by genomic bin
-without a distance cap. A distance-capped pure-DataFrame variant
-(candidate join within ``max_dist`` + window rank) is available via
-``max_dist=`` for the scale path.
+without a distance cap. (Escape hatch when one chromosome exceeds
+executor memory: a distance-capped pure-DataFrame formulation — binned
+join within a cap + window rank, doubling the cap until k found.)
 
 Deviation from the reference (documented): tie-breaking among equidistant
 df2 rows uses canonical (start2, end2) order rather than the pandas
@@ -26,12 +26,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core.specs import _resolve_cols, _verify_columns
-from ..functions.intervals import genomic_distance, overlap_predicate
 
 
 def _neighbor_candidates(starts1, ends1, starts2_sorted, order2, key2, k, side):

@@ -34,7 +34,6 @@ from ..core.specs import _resolve_cols, _verify_columns
 from ..core.stringops import parse_region
 from ..functions.intervals import (
     effective_end,
-    genomic_distance,
     natsort_key,
     overlap_predicate,
     region_select_predicate,
