@@ -1,0 +1,72 @@
+"""Live Structured Streaming smoke: the streaming ops run as actual
+streams (rate source → transform → memory sink), not just batch plans."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from bioframe_spark.streaming import stream_ops
+
+
+def test_stream_binnify_counts_live(spark):
+    # rate source → synthesize intervals → binnify counts → memory sink
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .select(
+            F.concat(F.lit("chr"), (F.col("value") % 2).cast("string")).alias("chrom"),
+            ((F.col("value") * 7) % 1000).cast("long").alias("start"),
+            (((F.col("value") * 7) % 1000) + 5).cast("long").alias("end"),
+        )
+    )
+    out = stream_ops.stream_binnify_counts(stream, bin_size=100)
+    q = (
+        out.writeStream.format("memory").queryName("binnify_live")
+        .outputMode("complete").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from binnify_live").collect()[0]["c"]
+            if n > 0:
+                break
+            time.sleep(1)
+        assert n > 0, "stream produced no aggregated bins within 30s"
+        row = spark.sql(
+            "select * from binnify_live where chrom = 'chr0' limit 1"
+        ).collect()
+        assert row and row[0]["n"] >= 1
+    finally:
+        q.stop()
+
+
+def test_stream_event_windows_live(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 10).cast("double").alias("value"),
+            F.concat(F.lit("t"), (F.col("value") % 3).cast("string")).alias("event_type"),
+        )
+    )
+    out = stream_ops.stream_event_windows(
+        stream, ts_col="ts", window="5 seconds", watermark="10 seconds",
+        keys=["event_type"],
+    )
+    q = (
+        out.writeStream.format("memory").queryName("events_live")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 45
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from events_live").collect()[0]["c"]
+            if n > 0:
+                break
+            time.sleep(1)
+        # append mode only emits after the watermark passes; just assert the
+        # stream ran without error and (usually) emitted finalized windows
+        assert q.isActive
+    finally:
+        q.stop()
