@@ -298,6 +298,16 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("md5_fp"),
+        text.rolling_fingerprint_poly(F.col("text")).alias("rolling_fp"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                      n=3, threshold=0.5)
@@ -395,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gene_coverage": q_gene_coverage,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "text_fingerprints": q_text_fingerprints,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -670,6 +681,16 @@ SELECT doc_id,
             THEN 'en' ELSE 'unk' END AS lang_pred
 FROM documents
 """
+    text_fingerprints = """
+SELECT doc_id,
+       md5(text) AS md5_fp,
+       list_reduce(
+         list_transform(string_split(text, ' '),
+                        t -> ('0x' || substring(md5(t), 1, 8))::BIGINT),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+"""
     jaccard_pairs = """
 WITH sh AS (
   SELECT doc_id,
@@ -772,6 +793,7 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         "gene_coverage": gene_coverage,
         "dedup_exact": dedup_exact,
         "text_stats": text_stats,
+        "text_fingerprints": text_fingerprints,
         "jaccard_pairs": jaccard_pairs,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,

@@ -49,6 +49,35 @@ def rolling_fingerprint(text: Column, width: int = 16) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-style token count: runs of letters, runs of digits, and
+    each punctuation mark count separately (a BPE-pretokenizer-shaped
+    regex, JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_fingerprint_poly(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+    ``fp = fold(tokens, acc*31 + h(tok) mod 1e9+7)`` with
+    ``h(tok) = int(md5(tok)[:8], 16)`` — every step integer and
+    sequential, so the value is engine-exact (unlike content md5, this
+    localizes WHERE two near-dup docs diverge when computed over chunks).
+    """
+    h = lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    return F.aggregate(
+        F.transform(tokens(text), h),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach integer quality features: token/char/distinct/stopword counts
     and a crude language flag (stopword-ratio heuristic). Integer-only

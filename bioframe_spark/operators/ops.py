@@ -464,6 +464,93 @@ def _distinct_islands(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     )
 
 
+def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
+                             min_dist: int | None, range_width: int) -> DataFrame:
+    """Gaps-and-islands WITHOUT the per-chromosome window ceiling.
+
+    The classic formulation (``_distinct_islands``) sorts each (chrom,*on)
+    group in one window partition — parallelism = number of groups (~25
+    for a human genome), a real ceiling at 100 TB. This variant
+    range-partitions each chromosome by ``floor(start/range_width)`` and
+    repairs the island structure across range boundaries:
+
+    1. per-(keys, range) window: local running max + local border flags —
+       parallelism = groups × ranges;
+    2. tiny per-range aggregate (max end) → running "carry" M(r) =
+       max end over all preceding ranges of the group (a window over the
+       small range table, broadcast back);
+    3. effective border = local border AND start beyond the carry
+       (prev_max' = max(local_prev_max, M), so a border survives iff the
+       row clears both) — a carry that bridges a local gap correctly
+       fuses islands across the boundary;
+    4. global island id = (Σ effective borders in preceding ranges) +
+       within-range border cumsum − 1: rows before a range's first
+       effective border fall into the previous chain's last island.
+
+    Produces EXACTLY the same (island, mult) assignment as the classic
+    window (equivalence-tested on random data incl. duplicates).
+    """
+    keys = [ck] + on
+    if min_dist is not None and min_dist < 0:
+        raise ValueError("min_dist>=0 or None required")
+    dd = df.groupBy(*keys, sk, ek).agg(F.count(F.lit(1)).alias("__mult"))
+    dd = dd.withColumn("__rng", F.floor(F.col(sk) / F.lit(range_width)))
+    w = Window.partitionBy(*keys, "__rng").orderBy(sk, ek)
+    local_prev = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    if min_dist is None:
+        local_border = F.col(sk) >= local_prev
+        carry_clear = F.col(sk) >= F.col("__M")
+    else:
+        local_border = F.col(sk) > local_prev + F.lit(min_dist)
+        carry_clear = F.col(sk) > F.col("__M") + F.lit(min_dist)
+    local_border = F.when(local_prev.isNull(), F.lit(True)).otherwise(local_border)
+
+    ragg = dd.groupBy(*keys, "__rng").agg(F.max(ek).alias("__rmax"))
+    wr = Window.partitionBy(*keys).orderBy("__rng").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = ragg.select(
+        *[F.col(k).alias("__c_" + k) for k in keys],
+        F.col("__rng").alias("__c_rng"),
+        F.max("__rmax").over(
+            Window.partitionBy(*[F.col(k) for k in keys]).orderBy("__rng")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("__M"),
+    )
+    cond = F.col("__rng") == F.col("__c_rng")
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col("__c_" + k))
+    dd = dd.join(F.broadcast(carry), cond, "left").drop(
+        *["__c_" + k for k in keys], "__c_rng"
+    )
+    border_eff = local_border & (F.col("__M").isNull() | carry_clear)
+    dd = dd.withColumn(
+        "__b", border_eff.cast("long")
+    ).withColumn(
+        "__local_isl", F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    kcounts = dd.groupBy(*keys, "__rng").agg(F.sum("__b").alias("__k"))
+    offsets = kcounts.select(
+        *[F.col(k).alias("__o_" + k) for k in keys],
+        F.col("__rng").alias("__o_rng"),
+        F.coalesce(
+            F.sum("__k").over(
+                Window.partitionBy(*[F.col(k) for k in keys]).orderBy("__rng")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__ofs"),
+    )
+    cond = F.col("__rng") == F.col("__o_rng")
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col("__o_" + k))
+    dd = dd.join(F.broadcast(offsets), cond, "left").drop(
+        *["__o_" + k for k in keys], "__o_rng"
+    )
+    dd = dd.withColumn("__island", F.col("__ofs") + F.col("__local_isl") - 1)
+    return dd.drop("__rng", "__M", "__b", "__local_isl", "__ofs")
+
+
 def _null_key_rows(df, ck, sk, ek, on):
     keys = [ck, sk, ek] + on
     pred = F.lit(False)
@@ -473,19 +560,27 @@ def _null_key_rows(df, ck, sk, ek, on):
 
 
 def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
-          on: list | None = None) -> DataFrame:
+          on: list | None = None, range_width: int | None = None) -> DataFrame:
     """Collapse overlapping/nearby intervals into union spans + count
     (reference ``ops.py:711-839``). One shuffle by (chrom,*on); the final
     groupBy reuses the window partitioning, aggregation is partial+final.
 
     Rows with null chrom/start/end/on pass through untouched with null
     ``n_intervals`` (reference ``ops.py:812-831``).
+
+    ``range_width``: opt into the range-partitioned islands construction
+    (``_distinct_islands_ranged``) — identical results, parallelism
+    groups×ranges instead of per-chromosome, for massive few-chromosome
+    inputs.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "merge")
     on = list(on) if on else []
     nulls, valid = _null_key_rows(df, ck, sk, ek, on)
-    isl = _distinct_islands(valid, ck, sk, ek, on, min_dist)
+    if range_width is not None:
+        isl = _distinct_islands_ranged(valid, ck, sk, ek, on, min_dist, range_width)
+    else:
+        isl = _distinct_islands(valid, ck, sk, ek, on, min_dist)
     out = isl.groupBy(ck, *on, "__island").agg(
         F.min(sk).alias(sk),
         F.max(ek).alias(ek),

@@ -112,3 +112,24 @@ def test_closest_distance_lower_bound(rand1, rand2):
         "distance != greatest(0, greatest(start, start_) - least(end, end_))"
     ).count()
     assert bad == 0
+
+@pytest.mark.parametrize("min_dist", [None, 0, 5])
+@pytest.mark.parametrize("width", [16, 100, 10_000])
+def test_ranged_merge_matches_classic(spark, rand1, min_dist, width):
+    classic = bf.merge(rand1, min_dist=min_dist)
+    ranged = bf.merge(rand1, min_dist=min_dist, range_width=width)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(classic) == key(ranged)
+
+
+def test_ranged_merge_duplicates_and_long_spans(spark):
+    # a long interval covering several ranges must bridge islands across
+    # range boundaries; duplicates must count correctly
+    rows_ = [("chr1", 0, 5), ("chr1", 0, 5), ("chr1", 40, 45),
+             ("chr1", 2, 95), ("chr1", 60, 70), ("chr1", 200, 210)]
+    d = spark.createDataFrame(rows_, "chrom string, start long, end long")
+    classic = bf.merge(d, min_dist=0)
+    ranged = bf.merge(d, min_dist=0, range_width=10)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(classic) == key(ranged)
+    assert key(ranged) == sorted([("chr1", 0, 95, 5), ("chr1", 200, 210, 1)])
