@@ -547,7 +547,10 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     dd = dd.join(F.broadcast(offsets), cond, "left").drop(
         *["__o_" + k for k in keys], "__o_rng"
     )
-    dd = dd.withColumn("__island", F.col("__ofs") + F.col("__local_isl") - 1)
+    # 1-based within the group, matching _distinct_islands: rows before a
+    # range's first effective border get __ofs = the previous chain's last
+    # island number
+    dd = dd.withColumn("__island", F.col("__ofs") + F.col("__local_isl"))
     return dd.drop("__rng", "__M", "__b", "__local_isl", "__ofs")
 
 
@@ -593,16 +596,21 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
     return out.unionByName(nulls_out)
 
 
-def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist):
+def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
+                     range_width: int | None = None):
     """Per-row island + span + globally dense cluster ids.
 
     Reference cluster ids (``ops.py:631-685``) are dense ints numbered in
     (group-key asc, island-start asc) order. Scalable construction:
-    islands over distinct intervals (tie-safe window) joined back to rows;
-    per-group offsets from a tiny aggregated (chrom,*on → n_islands) table
-    (broadcast back) — no single-partition pass over data rows."""
+    islands over distinct intervals (tie-safe window; range-partitioned
+    when ``range_width`` is set) joined back to rows; per-group offsets
+    from a tiny aggregated (chrom,*on → n_islands) table (broadcast back)
+    — no single-partition pass over data rows."""
     keys = [ck] + on
-    isl_d = _distinct_islands(df, ck, sk, ek, on, min_dist)
+    if range_width is not None:
+        isl_d = _distinct_islands_ranged(df, ck, sk, ek, on, min_dist, range_width)
+    else:
+        isl_d = _distinct_islands(df, ck, sk, ek, on, min_dist)
     counts = isl_d.groupBy(*keys).agg(F.max("__island").alias("__n"))
     wofs = Window.orderBy(*[F.col(k).asc() for k in keys]).rowsBetween(
         Window.unboundedPreceding, -1
@@ -627,18 +635,22 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist):
 def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
             on: list | None = None, return_input: bool = True,
             return_cluster_ids: bool = True,
-            return_cluster_intervals: bool = True) -> DataFrame:
+            return_cluster_intervals: bool = True,
+            range_width: int | None = None) -> DataFrame:
     """Tag each interval with a dense cluster id + cluster span
     (reference ``ops.py:559-708``).
 
     Null-key rows become singleton clusters numbered after all real
-    clusters (``ops.py:676-685``).
+    clusters (``ops.py:676-685``). ``range_width`` opts into the
+    range-partitioned islands construction (identical ids, parallelism
+    groups×ranges — see ``_distinct_islands_ranged``).
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "cluster")
     on = list(on) if on else []
     nulls, valid = _null_key_rows(df, ck, sk, ek, on)
-    clustered = _cluster_islands(valid, ck, sk, ek, on, min_dist).drop("__island")
+    clustered = _cluster_islands(valid, ck, sk, ek, on, min_dist,
+                                 range_width=range_width).drop("__island")
     # null rows: singleton clusters numbered after the real ones
     n_real = F.broadcast(clustered.agg((F.coalesce(F.max("cluster"), F.lit(-1)) + 1).alias("__base")))
     wn = Window.orderBy(*[F.col(c).asc_nulls_last() for c in df.columns])

@@ -1,0 +1,57 @@
+"""Physical-plan assertions: the optimizations SCALING.md claims must be
+visible in `.explain()` output — pushdown, pruning, broadcast, binning."""
+
+import bioframe_spark as bf
+from bioframe_spark.sources.fileops import to_parquet_partitioned
+from helpers import ivals
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_select_pushdown_partitioned(spark, tmp_path):
+    d = ivals(spark, [(f"chr{i % 3}", j * 10, j * 10 + 5)
+                      for i in range(3) for j in range(50)])
+    path = str(tmp_path / "part_ivals")
+    to_parquet_partitioned(d, path)
+    df = spark.read.parquet(path)
+    q = bf.select(df, "chr1:100-200").select("start", "end")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "LessThan(start,200)" in plan
+    assert "PartitionFilters" in plan and "chr1" in plan
+    # column pruning: only the projected+filter columns are read
+    assert "ReadSchema: struct<start:bigint,end:bigint>" in plan
+
+
+def test_overlap_small_side_broadcasts(spark, tmp_path):
+    # plain path with a tiny side → broadcast-hash, not SMJ (in-memory
+    # frames have unknown stats, so the conversion happens at runtime via
+    # AQE — inspect the final adaptive plan after execution)
+    big = ivals(spark, [("chr1", i, i + 5) for i in range(0, 2000, 10)])
+    small = ivals(spark, [("chr1", 100, 200)])
+    q = bf.overlap(big, small, how="inner", strategy="plain")
+    q.count()
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_binned_join_is_equi_on_chrom_bin(spark):
+    a = ivals(spark, [("chr1", i, i + 5) for i in range(0, 500, 10)])
+    b = ivals(spark, [("chr1", i, i + 7) for i in range(0, 500, 20)])
+    q = bf.overlap(a, b, how="inner", strategy="binned", bin_size=50)
+    plan = _plan(q)
+    # join keys include the bin column → not a chrom-only join
+    assert "__bin" in plan
+
+
+def test_merge_partial_aggregation(spark):
+    d = ivals(spark, [("chr1", i, i + 5) for i in range(0, 300, 7)])
+    plan = _plan(bf.merge(d, min_dist=0))
+    # two-stage hash aggregation (partial + final)
+    assert plan.count("HashAggregate") >= 2

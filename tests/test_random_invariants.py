@@ -133,3 +133,11 @@ def test_ranged_merge_duplicates_and_long_spans(spark):
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(classic) == key(ranged)
     assert key(ranged) == sorted([("chr1", 0, 95, 5), ("chr1", 200, 210, 1)])
+
+
+@pytest.mark.parametrize("width", [16, 100])
+def test_ranged_cluster_matches_classic(spark, rand1, width):
+    classic = bf.cluster(rand1, min_dist=0)
+    ranged = bf.cluster(rand1, min_dist=0, range_width=width)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(classic) == key(ranged)
