@@ -31,14 +31,17 @@ def test_select_pushdown_partitioned(spark, tmp_path):
 
 
 def test_overlap_small_side_broadcasts(spark, tmp_path):
-    # plain path with a tiny side → broadcast-hash, not SMJ (in-memory
-    # frames have unknown stats, so the conversion happens at runtime via
-    # AQE — inspect the final adaptive plan after execution)
+    # plain path with a tiny parquet side (known stats) → Catalyst plans
+    # a broadcast-hash join statically, not SMJ
     big = ivals(spark, [("chr1", i, i + 5) for i in range(0, 2000, 10)])
     small = ivals(spark, [("chr1", 100, 200)])
-    q = bf.overlap(big, small, how="inner", strategy="plain")
-    q.count()
+    bp, sp = str(tmp_path / "big"), str(tmp_path / "small")
+    big.write.parquet(bp)
+    small.write.parquet(sp)
+    q = bf.overlap(spark.read.parquet(bp), spark.read.parquet(sp),
+                   how="inner", strategy="plain")
     assert "BroadcastHashJoin" in _plan(q)
+    assert "SortMergeJoin" not in _plan(q)
 
 
 def test_binned_join_is_equi_on_chrom_bin(spark):
