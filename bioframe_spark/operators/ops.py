@@ -254,7 +254,9 @@ def expand(df: DataFrame, pad: int | None = None, scale: float | None = None,
 # --------------------------------------------------------------------------
 
 def _overlap_condition(ck1, sk1, ek1, ck2, sk2, ek2, on1on2: list) -> Column:
-    cond = F.col(ck1).eqNullSafe(F.col(ck2)) & F.col(ck1).isNotNull()
+    # plain equality (nulls never match) — eqNullSafe would wrap the join
+    # keys in coalesce/isnull and complicate the hash partitioning
+    cond = F.col(ck1) == F.col(ck2)
     for a, b in on1on2:
         cond = cond & (F.col(a) == F.col(b))
     cond = cond & overlap_predicate(F.col(sk1), F.col(ek1), F.col(sk2), F.col(ek2))
