@@ -9,17 +9,21 @@ Streaming analogs of the batch operators that are order-insensitive:
 - ``stream_overlap_static``: stream-static interval join against a
   broadcastable annotation table (stream-side rows join a static
   interval set — the common "annotate events as they arrive" pattern).
+- ``stream_sessionize``: custom stateful operator
+  (``applyInPandasWithState``) — per-key gap-based session windows, the
+  time-axis analog of ``cluster(min_dist=gap)``.
 
-Order-sensitive operators (merge/cluster/complement) are NOT offered as
-streams: their gaps-and-islands semantics need total per-chrom order,
-which an unbounded stream can only approximate per-watermark-window; use
-foreachBatch + the batch operators instead.
+Fully order-sensitive genomic operators (merge/cluster/complement on the
+coordinate axis) are NOT offered as unbounded streams: their
+gaps-and-islands semantics need total per-chrom order, which a stream
+only has per watermark window; use foreachBatch + the batch operators.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..core.specs import _resolve_cols
 from ..functions.intervals import overlap_predicate
@@ -55,6 +59,85 @@ def stream_event_windows(events: DataFrame, ts_col: str = "ts",
         .groupBy(F.window(F.col(ts_col), window), *keys)
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
     )
+
+
+def stream_sessionize(events: DataFrame, gap: str = "30 seconds",
+                      ts_col: str = "ts", key_col: str = "user_id",
+                      watermark: str = "1 minute") -> DataFrame:
+    """Custom stateful operator: per-key session windows with an
+    inactivity gap, via ``applyInPandasWithState`` — the streaming analog
+    of ``cluster(min_dist=gap)`` on the time axis.
+
+    State per key = (session_start, last_seen, n_events); a batch of
+    events extends the open session or closes it and opens a new one;
+    sessions are emitted when closed by a gap or by state timeout
+    (event-time timeout driven by the watermark).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        closed = []
+        if state.hasTimedOut:
+            (start_ms, last_ms, n) = state.get
+            closed.append((key[0], start_ms, last_ms, n))
+            state.remove()
+        else:
+            start_ms = last_ms = None
+            n = 0
+            if state.exists:
+                (start_ms, last_ms, n) = state.get
+            ts_all = []
+            for pdf in pdfs:
+                ts_all.extend(int(t.value // 10**6) for t in pd.to_datetime(pdf[ts_col]))
+            for t in sorted(ts_all):
+                if last_ms is None:
+                    start_ms, last_ms, n = t, t, 1
+                elif t - last_ms > gap_ms:
+                    closed.append((key[0], start_ms, last_ms, n))
+                    start_ms, last_ms, n = t, t, 1
+                else:
+                    last_ms, n = t, n + 1
+            if last_ms is not None:
+                state.update((start_ms, last_ms, n))
+                state.setTimeoutTimestamp(last_ms + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="ms") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000}
+    return int(n) * mult[unit.rstrip("s")]
 
 
 def stream_overlap_static(stream: DataFrame, annotations: DataFrame,
