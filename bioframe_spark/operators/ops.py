@@ -870,21 +870,35 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
         .groupBy("__vc", "__vn", "__vs", "__ve", "__isl")
         .agg(F.min("__ps").alias("__ms"), F.max("__pe").alias("__me"))
     )
-    # gaps between consecutive merged intervals + leading edge
+    # gaps in ONE window pass: each merged interval emits the gap before it
+    # ([prev_end|region_start, start)) and — when it is the last interval —
+    # the trailing gap ([end, region_end)). Avoids recomputing `merged`
+    # across separate leading/middle/trailing branches.
     wg = Window.partitionBy("__vn").orderBy("__ms")
-    gaps = merged.select(
-        F.col("__vc").alias(ck),
-        F.coalesce(F.lag("__me").over(wg), F.col("__vs")).alias(sk),
-        F.col("__ms").alias(ek),
-        F.col("__vn").alias("view_region"),
+    staged = merged.select(
+        "__vc", "__vn", "__vs", "__ve", "__ms", "__me",
+        F.lag("__me").over(wg).alias("__prev_me"),
+        F.lead("__ms").over(wg).alias("__next_ms"),
     )
-    # trailing gap per region
-    tails = (
-        merged.groupBy("__vc", "__vn", "__ve")
-        .agg(F.max("__me").alias("__last"))
+    lead_gap = F.struct(
+        F.coalesce(F.col("__prev_me"), F.col("__vs")).alias("s"),
+        F.col("__ms").alias("e"),
+    )
+    tail_gap = F.when(
+        F.col("__next_ms").isNull(),
+        F.struct(F.col("__me").alias("s"), F.col("__ve").alias("e")),
+    )
+    gaps = (
+        staged.select(
+            F.col("__vc"), F.col("__vn"),
+            F.explode(F.filter(F.array(lead_gap, tail_gap), lambda g: g.isNotNull()))
+            .alias("__g"),
+        )
         .select(
-            F.col("__vc").alias(ck), F.col("__last").alias(sk),
-            F.col("__ve").alias(ek), F.col("__vn").alias("view_region"),
+            F.col("__vc").alias(ck),
+            F.col("__g.s").alias(sk),
+            F.col("__g.e").alias(ek),
+            F.col("__vn").alias("view_region"),
         )
     )
     # regions with no intervals at all
@@ -895,7 +909,7 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
             F.col("__ve").alias(ek), F.col("__vn").alias("view_region"),
         )
     )
-    out = gaps.unionByName(tails).unionByName(empty)
+    out = gaps.unionByName(empty)
     return out.filter(F.col(sk) < F.col(ek))
 
 
