@@ -110,3 +110,41 @@ def test_closest_multi_chrom(spark):
     assert got["chr1"] == (30, 10)
     assert got["chr2"] == (0, 8)
     assert got["chr3"] == (None, None)
+
+
+def test_closest_k2_with_ignore_overlaps(spark):
+    d1 = ivals(spark, [("chr1", 10, 20)])
+    d2 = ivals(spark, [("chr1", 12, 18), ("chr1", 25, 30), ("chr1", 0, 5), ("chr1", 40, 45)])
+    out = bf.closest(d1, d2, k=2, ignore_overlaps=True)
+    got = sorted((r["start_"], r["distance"]) for r in out.collect())
+    assert got == [(0, 5), (25, 5)]
+
+
+def test_closest_self_k2(spark):
+    d = ivals(spark, [("chr1", 0, 5), ("chr1", 10, 15), ("chr1", 30, 35)])
+    out = bf.closest(d, k=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["start"], []).append((r["start_"], r["distance"]))
+    assert sorted(got[0]) == [(10, 5), (30, 25)]
+    assert sorted(got[10]) == [(0, 5), (30, 15)]
+    assert sorted(got[30]) == [(0, 25), (10, 15)]
+
+
+def test_closest_strand_k2_directional(spark):
+    d1 = ivals(spark, [("chr1", 50, 60, "-")], extra=[("strand", "string")])
+    d2 = ivals(spark, [("chr1", 0, 10), ("chr1", 20, 30), ("chr1", 70, 80), ("chr1", 90, 100)])
+    # '-' strand: upstream = right side
+    up = bf.closest(d1, d2, k=2, ignore_downstream=True, direction_col="strand")
+    got = sorted((r["start_"], r["distance"]) for r in up.collect())
+    assert got == [(70, 10), (90, 30)]
+    dn = bf.closest(d1, d2, k=2, ignore_upstream=True, direction_col="strand")
+    got2 = sorted((r["start_"], r["distance"]) for r in dn.collect())
+    assert got2 == [(0, 40), (20, 20)]
+
+
+def test_closest_fewer_than_k(spark):
+    d1 = ivals(spark, [("chr1", 10, 20)])
+    d2 = ivals(spark, [("chr1", 30, 40)])
+    out = bf.closest(d1, d2, k=5)
+    assert out.count() == 1  # only one candidate exists, no padding rows
