@@ -369,6 +369,15 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_sessions(spark, sf_dir):
+    from bioframe_spark.datapipe import events as ev_ops
+
+    # integer division: ns values (~1.7e18) exceed double's 53-bit mantissa,
+    # so float division would round the millisecond
+    ev = _events(spark, sf_dir).withColumn("ts_ms", F.expr("ts div 1000000"))
+    return ev_ops.sessionize_batch(ev, gap_ms=86_400_000)
+
+
 def q_events_json(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return ev.select(
@@ -414,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
         "events_json": q_events_json,
     }
 
@@ -762,6 +772,25 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
 FROM events GROUP BY 1, 2
 """
+    sessions = """
+WITH ev AS (
+  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, COUNT(*) AS mult
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT user_id, ts_ms, mult,
+         LAG(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev
+  FROM ev
+), marked AS (
+  SELECT user_id, ts_ms, mult,
+         SUM(CASE WHEN prev IS NULL OR ts_ms - prev > 86400000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM lagged
+)
+SELECT user_id, MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
+       SUM(mult) AS n_events
+FROM marked GROUP BY user_id, sess
+"""
     events_json = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
@@ -798,6 +827,7 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "events_hourly": events_hourly,
+        "sessions": sessions,
         "events_json": events_json,
         # minhash_lsh / simhash_pairs / ann_lsh: intentionally no oracle
         # (hash-based randomized algorithms) → rows-only check

@@ -140,17 +140,27 @@ def _bin_stats(df1, sk1, ek1, df2, sk2, ek2) -> tuple:
     whole-chromosome outlier can't force a single giant bin; long outliers
     just duplicate into more bins, which stays cheap.
     """
-    def stats(df, sk, ek):
-        r = df.select(
-            F.min(sk).alias("lo"), F.max(ek).alias("hi"),
-            F.avg(F.least(F.col(ek), F.lit(INT64_MAX)) - F.col(sk)).alias("len"),
-        ).first()
-        return r["lo"], r["hi"], r["len"]
+    def side(df, sk, ek):
+        return df.select(
+            F.col(sk).alias("__s"),
+            F.least(F.col(ek), F.lit(INT64_MAX)).alias("__e"),
+        )
 
-    lo1, hi1, len1 = stats(df1, sk1, ek1)
-    lo2, hi2, len2 = stats(df2, sk2, ek2)
-    if lo1 is None or lo2 is None:
+    # one job for both sides (union + grouping key), not two
+    u = side(df1, sk1, ek1).withColumn("__side", F.lit(1)).unionByName(
+        side(df2, sk2, ek2).withColumn("__side", F.lit(2))
+    )
+    rows = {
+        r["__side"]: r
+        for r in u.groupBy("__side").agg(
+            F.min("__s").alias("lo"), F.max("__e").alias("hi"),
+            F.avg(F.col("__e") - F.col("__s")).alias("len"),
+        ).collect()
+    }
+    if 1 not in rows or 2 not in rows or rows[1]["lo"] is None or rows[2]["lo"] is None:
         return (0, 1, 10_000_000)
+    lo1, hi1, len1 = rows[1]["lo"], rows[1]["hi"], rows[1]["len"]
+    lo2, hi2, len2 = rows[2]["lo"], rows[2]["hi"], rows[2]["len"]
     lo = min(lo1, lo2)
     hi = min(max(hi1, hi2), INT64_MAX)
     span = max(hi - lo, 1)
