@@ -357,11 +357,9 @@ def _events(spark, sf_dir):
 
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
-    hour = F.date_format(
-        F.timestamp_seconds(F.floor(F.col("ts") / F.lit(1_000_000_000)) -
-                            (F.floor(F.col("ts") / F.lit(1_000_000_000)) % 3600)),
-        "yyyy-MM-dd HH:mm:ss",
-    )
+    # integer division throughout — ns epochs exceed double's mantissa
+    sec = F.expr("ts div 1000000000")
+    hour = F.date_format(F.timestamp_seconds(sec - sec % 3600), "yyyy-MM-dd HH:mm:ss")
     return ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
         F.count(F.lit(1)).alias("n"),
         F.min("value").alias("min_v"),
