@@ -164,3 +164,14 @@ def test_select_mask_and_indices(spark):
     assert got == {("chr1", 0): True, ("chr1", 10): False, ("chr2", 0): False}
     idx = bf.select_indices(d, "chr1:0-6")
     assert [r["index"] for r in idx.collect()] == [0]
+
+
+def test_sessionize_batch(spark):
+    from bioframe_spark.datapipe import events as ev_ops
+
+    rows_ = [(1, 0), (1, 50), (1, 500), (2, 10), (1, 50)]  # dup ts for user 1
+    ev = spark.createDataFrame(rows_, "user_id long, ts_ms long")
+    out = ev_ops.sessionize_batch(ev, gap_ms=100)
+    got = sorted((r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                 for r in out.collect())
+    assert got == [(1, 0, 50, 3), (1, 500, 500, 1), (2, 10, 10, 1)]
