@@ -48,7 +48,7 @@ from .operators.ops import (
     assign_view,
     pileup,
 )
-from .operators.closest import closest
+from .operators.closest import closest, closest_within
 from .operators.extras import (
     binnify,
     make_chromarms,

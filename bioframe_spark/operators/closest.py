@@ -26,11 +26,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core.specs import _resolve_cols, _verify_columns
+from ..functions.intervals import overlap_predicate
 
 
 def _neighbor_candidates(starts1, ends1, starts2_sorted, order2, key2, k, side):
@@ -187,6 +188,71 @@ def _closest_kernel(
     outd = np.concatenate([np.maximum(seld - np.where(seld > 0, 1, 0), 0),
                            np.zeros(miss.shape[0], dtype=np.int64)])
     return out1, out2, outd, pdf2
+
+
+def closest_within(
+    df1: DataFrame,
+    df2: DataFrame,
+    max_dist: int,
+    k: int = 1,
+    suffixes: tuple = ("", "_"),
+    cols1=None,
+    cols2=None,
+) -> DataFrame:
+    """Distance-capped kNN: the ≤k closest df2 intervals within
+    ``max_dist`` of each df1 interval (overlaps = distance 0).
+
+    The pure-DataFrame escape hatch for the cogrouped ``closest`` when a
+    single chromosome exceeds one task's memory: expanding df1 by the cap
+    turns the kNN into a bounded interval join (binned strategy →
+    partitioned within chromosomes) + a per-row-id top-k window. df1 rows
+    with no neighbor within the cap are dropped (inner semantics) —
+    callers needing left semantics double the cap and retry the misses.
+
+    Ties broken by (distance, start2, end2) — consistent with ``closest``.
+    """
+    from .ops import _with_rid, overlap
+    from ..functions.intervals import genomic_distance
+
+    if max_dist < 0 or k < 1:
+        raise ValueError("max_dist>=0 and k>=1 required")
+    ck1, sk1, ek1 = _resolve_cols(cols1)
+    ck2, sk2, ek2 = _resolve_cols(cols2)
+    sfx1, sfx2 = suffixes
+    d1 = _with_rid(df1, ck1, sk1, ek1, "__cw_rid")
+    # expand by max_dist+1: half-open probe overlap would miss a gap of
+    # exactly max_dist; the exact distance filter below trims the excess
+    pad = max_dist + 1
+    probe = d1.withColumns(
+        {
+            "__cw_s": F.col(sk1),
+            "__cw_e": F.col(ek1),
+            sk1: F.col(sk1) - F.lit(pad),
+            ek1: F.col(ek1) + F.lit(pad),
+        }
+    )
+    pairs = overlap(probe, df2, how="inner", suffixes=suffixes,
+                    cols1=cols1, cols2=cols2)
+    ridc = "__cw_rid" + sfx1
+    s1o, e1o = F.col("__cw_s" + sfx1), F.col("__cw_e" + sfx1)
+    s2c, e2c = F.col(sk2 + sfx2), F.col(ek2 + sfx2)
+    dist = genomic_distance(s1o, e1o, s2c, e2c)
+    # internal rank distance: overlaps (0) sort before abutting neighbors
+    # (gap 0 → 1) — matching `closest` and the reference kernel
+    idist = F.when(overlap_predicate(s1o, e1o, s2c, e2c), F.lit(0)).otherwise(dist + 1)
+    w = Window.partitionBy(ridc).orderBy(
+        F.asc("__idist"), F.asc(sk2 + sfx2), F.asc(ek2 + sfx2)
+    )
+    out = (
+        pairs.withColumn("distance", dist)
+        .withColumn("__idist", idist)
+        .filter(F.col("distance") <= max_dist)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .withColumns({sk1 + sfx1: s1o, ek1 + sfx1: e1o})
+        .drop("__rk", "__idist", ridc, "__cw_s" + sfx1, "__cw_e" + sfx1)
+    )
+    return out
 
 
 def closest(

@@ -148,3 +148,29 @@ def test_closest_fewer_than_k(spark):
     d2 = ivals(spark, [("chr1", 30, 40)])
     out = bf.closest(d1, d2, k=5)
     assert out.count() == 1  # only one candidate exists, no padding rows
+
+
+def test_closest_within_matches_closest(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    mk = lambda n, seed: [(f"chr{i%2}", int(s), int(s) + int(l))
+                          for i, (s, l) in enumerate(zip(
+                              np.random.default_rng(seed).integers(0, 500, n),
+                              np.random.default_rng(seed + 1).integers(1, 20, n)))]
+    d1 = ivals(spark, mk(40, 1))
+    d2 = ivals(spark, mk(30, 5))
+    capped = bf.closest_within(d1, d2, max_dist=100, k=1)
+    full = bf.closest(d1, d2, k=1).filter("distance <= 100")
+    key = lambda df: sorted(
+        (r["chrom"], r["start"], r["end"], r["start_"], r["end_"], r["distance"])
+        for r in df.collect()
+    )
+    assert key(capped) == key(full)
+
+
+def test_closest_within_cap_excludes(spark):
+    d1 = ivals(spark, [("chr1", 0, 5)])
+    d2 = ivals(spark, [("chr1", 50, 60)])
+    assert bf.closest_within(d1, d2, max_dist=10).count() == 0
+    assert bf.closest_within(d1, d2, max_dist=45).count() == 1
