@@ -461,8 +461,8 @@ GROUP BY ALL
   FROM ({_islands_sql('b')}) GROUP BY chrom, island
 )
 SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
-       COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
-                         ELSE LEAST(a."end", m."end") - GREATEST(a.start, m.start) END), 0) AS coverage
+       CAST(COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
+                         ELSE LEAST(a."end", m."end") - GREATEST(a.start, m.start) END), 0) AS BIGINT) AS coverage
 FROM a LEFT JOIN bmerged m ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
 GROUP BY ALL
 """
@@ -473,11 +473,11 @@ WHERE NOT EXISTS (
 )
 """
     merge = _CTE + f""", a3 AS (SELECT chrom, start, "end" FROM a)
-SELECT chrom, MIN(start) AS start, MAX("end") AS "end", SUM(cnt) AS n_intervals
+SELECT chrom, MIN(start) AS start, MAX("end") AS "end", CAST(SUM(cnt) AS BIGINT) AS n_intervals
 FROM ({_islands_sql('a3')}) GROUP BY chrom, island
 """
     merge_strict = _CTE + f""", a3 AS (SELECT chrom, start, "end" FROM a)
-SELECT chrom, MIN(start) AS start, MAX("end") AS "end", SUM(cnt) AS n_intervals
+SELECT chrom, MIN(start) AS start, MAX("end") AS "end", CAST(SUM(cnt) AS BIGINT) AS n_intervals
 FROM ({_islands_sql('a3', 'start >= prev_max')}) GROUP BY chrom, island
 """
     cluster = _CTE + f""", sx AS (SELECT chrom, start, "end", sid FROM s),
@@ -612,8 +612,8 @@ FROM sm x JOIN sm y
   SELECT chrom, pos, SUM(d) AS d FROM ev GROUP BY 1, 2
 ), seg AS (
   SELECT chrom, pos,
-         SUM(d) OVER (PARTITION BY chrom ORDER BY pos
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth,
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth,
          LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos
   FROM evagg
 )
@@ -632,10 +632,10 @@ binval AS (
   )
 ), marked AS (
   SELECT chrom, start, "end", val,
-         SUM(CASE WHEN prev_end IS NULL OR val != prev_val OR start > prev_end
+         CAST(SUM(CASE WHEN prev_end IS NULL OR val != prev_val OR start > prev_end
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY chrom ORDER BY start
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runnum
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runnum
   FROM (
     SELECT chrom, start, "end", val,
            LAG("end") OVER (PARTITION BY chrom ORDER BY start) AS prev_end,
@@ -657,8 +657,8 @@ FROM marked GROUP BY chrom, runnum
   FROM ({_islands_sql('b')}) GROUP BY chrom, island
 ), cov AS (
   SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
-         COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
-                           ELSE LEAST(a."end", m."end") - GREATEST(a.start, m.start) END), 0) AS coverage
+         CAST(COALESCE(SUM(CASE WHEN m.start IS NULL THEN NULL
+                           ELSE LEAST(a."end", m."end") - GREATEST(a.start, m.start) END), 0) AS BIGINT) AS coverage
   FROM a LEFT JOIN bmerged m
     ON a.chrom = m.chrom AND a.start < m."end" AND m.start < a."end"
   GROUP BY ALL
@@ -786,7 +786,7 @@ WITH ev AS (
   FROM lagged
 )
 SELECT user_id, MIN(ts_ms) AS session_start, MAX(ts_ms) AS session_end,
-       SUM(mult) AS n_events
+       CAST(SUM(mult) AS BIGINT) AS n_events
 FROM marked GROUP BY user_id, sess
 """
     events_json = """

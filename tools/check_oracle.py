@@ -76,12 +76,20 @@ def main():
             print(f"[{name}] rows-only: {len(sdf)} rows  ({t1-t0:.1f}s)")
             continue
         try:
-            odf = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+            odf = rel.df()
         except Exception as e:
             results[name] = f"ORACLE ERROR: {e}"
             print(f"[{name}] ORACLE ERROR: {e}")
             continue
         status = []
+        # The driver hashes TYPED values: DuckDB HUGEINT (un-cast SUM) never
+        # hash-matches Spark BIGINT even when values are equal. Catch locally.
+        bad_types = [f"{c}:{t}" for c, t in duck_types.items()
+                     if "HUGEINT" in t or "INT128" in t]
+        if bad_types:
+            status.append(f"ORACLE-TYPE {bad_types} (cast SUM to BIGINT)")
         if len(sdf) != len(odf):
             status.append(f"ROWCOUNT {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
