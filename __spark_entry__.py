@@ -321,6 +321,7 @@ def q_minhash_lsh(spark, sf_dir):
 
 def q_simhash_pairs(spark, sf_dir):
     # oracle omitted (xxhash64 not available in DuckDB) → rows-only check
+    # max_hamming=12 → 13 bit-slices: full pigeonhole recall guarantee
     return dedup.simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
 
 

@@ -192,27 +192,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return votes.select(id_col, expr.alias("simhash"))
 
 
-def simhash_dup_pairs(df: DataFrame, max_hamming: int = 8,
+def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Scale path: block on 16-bit chunks (pigeonhole: distance ≤ 3 chunks
-    differ of 4 → at least one chunk equal) → join per chunk, dedup, then
-    exact bit_count filter.
+    Scale path: block on ``max_hamming + 1`` bit-slices of the 64-bit
+    signature (pigeonhole: with ≤ max_hamming differing bits, at least one
+    of max_hamming+1 slices is equal — full recall guarantee) → join per
+    slice, dedup, then exact bit_count filter. Wider max_hamming means
+    narrower slices and larger candidate buckets — the standard recall/cost
+    dial of block-based SimHash dedup.
     """
+    if not 0 <= max_hamming <= 31:
+        # >31 → slices of <2 bits: blocking degenerates to all-pairs
+        raise ValueError("max_hamming must be in [0, 31]")
+    n_chunks = max_hamming + 1
+    bounds = [64 * i // n_chunks for i in range(n_chunks + 1)]
+
+    def _slice(lo: int, hi: int):
+        if hi - lo >= 64:
+            return F.col("simhash")
+        mask = (1 << (hi - lo)) - 1
+        return F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
+
+    chunks_arr = F.array(*[
+        F.struct(F.lit(i).alias("chunk_id"),
+                 _slice(bounds[i], bounds[i + 1]).alias("chunk"))
+        for i in range(n_chunks)
+    ])
     sig = simhash(df, text_col=text_col, id_col=id_col)
     chunks = sig.select(
-        id_col, "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("chunk_id"),
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                )
-                for i in range(4)
-            ])
-        ).alias("c"),
+        id_col, "simhash", F.explode(chunks_arr).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
     a = chunks.select(F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"),
                       "chunk_id", "chunk")

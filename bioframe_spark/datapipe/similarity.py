@@ -74,18 +74,24 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
 
-    All-pairs over a broadcast corpus: the quantized corpus matrix
-    (int64, ~16 B/dim/vec) broadcasts to executors; each partition block-
-    matmuls its rows against the whole matrix in numpy (Arrow-batched
-    ``mapInPandas``) — integer dot products are exact regardless of order,
-    and the final ``dot/(sqrt·sqrt)`` double chain is correctly rounded, so
-    results are bit-identical to the SQL formulation (oracle-checked).
-    ~100× faster than per-element Catalyst ``aggregate`` folds.
+    Exact all-pairs as a BLOCK-PAIR self-join — fully distributed, nothing
+    collects to the driver: each vector lands in a deterministic block
+    (``xxhash64(id) mod num_blocks``) and is shuffled to every block-pair
+    group (lo ≤ hi) it participates in; each group is one task that
+    numpy-matmuls two bounded blocks (Arrow-batched ``applyInPandas``).
+    Every unordered pair is examined in exactly one group. Cost model:
+    shuffle volume = ``num_blocks`` × corpus, task memory = 2 blocks
+    (2·N/B·dim·8 bytes) — pick B so a block fits an executor. Integer dot
+    products are exact regardless of order and the final ``dot/(sqrt·sqrt)``
+    double chain is correctly rounded, so results are bit-identical to the
+    SQL formulation (oracle-checked). ~100× faster than per-element
+    Catalyst ``aggregate`` folds.
 
-    Scale path beyond broadcastable corpora: LSH/IVF bucketing
+    Scale path beyond all-pairs (O(N²/B) compute): LSH/IVF bucketing
     (``lsh_bucketed_topk`` / ``ivf_topk`` machinery) to localize candidate
     generation; the in-bucket math is this same kernel.
     """
@@ -94,15 +100,24 @@ def embedding_dup_pairs(
 
     from pyspark.sql import types as T
 
-    v = df.select(F.col(id_col).alias("id"), _quantized(F.col(vec_col), "v"))
-    pdf_all = v.toPandas()
-    ids_all = pdf_all["id"].to_numpy(np.int64)
-    mat_all = np.stack(pdf_all["v"].to_numpy()).astype(np.int64)
-    norms_all = np.sqrt((mat_all * mat_all).sum(axis=1).astype(np.float64))
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids_all)
-    b_mat = spark.sparkContext.broadcast(mat_all)
-    b_norms = spark.sparkContext.broadcast(norms_all)
+    if num_blocks < 1:
+        raise ValueError("num_blocks >= 1 required")
+    v = df.select(
+        F.col(id_col).alias("id"), _quantized(F.col(vec_col), "v")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(num_blocks)).cast("int"))
+    others = F.array(*[F.lit(j) for j in range(num_blocks)])
+    # role 0: this vector's block is the LOW side of the pair (ob >= blk,
+    # including the diagonal); role 1: HIGH side (ob < blk, strict — the
+    # diagonal group holds each vector once, as role 0)
+    lo_side = v.withColumn("ob", F.explode(others)).filter(
+        F.col("ob") >= F.col("blk")
+    ).select(F.col("blk").alias("lo"), F.col("ob").alias("hi"), "id", "v",
+             F.lit(0).alias("role"))
+    hi_side = v.withColumn("ob", F.explode(others)).filter(
+        F.col("ob") < F.col("blk")
+    ).select(F.col("ob").alias("lo"), F.col("blk").alias("hi"), "id", "v",
+             F.lit(1).alias("role"))
+    tagged = lo_side.unionByName(hi_side)
 
     schema = T.StructType([
         T.StructField("id1", T.LongType()),
@@ -110,23 +125,37 @@ def embedding_dup_pairs(
         T.StructField("cos", T.DoubleType()),
     ])
 
-    def run(batches):
-        ids2, mat2, norms2 = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids1 = pdf["id"].to_numpy(np.int64)
-            m1 = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-            n1 = np.sqrt((m1 * m1).sum(axis=1).astype(np.float64))
-            dots = (m1 @ mat2.T).astype(np.float64)
-            cos = dots / (n1[:, None] * norms2[None, :])
-            ii, jj = np.where((cos >= threshold) & (ids1[:, None] < ids2[None, :]))
-            yield pd.DataFrame({
-                "id1": ids1[ii], "id2": ids2[jj],
-                "cos": np.round(cos[ii, jj], 9),
-            })
+    def run(key, pdf):
+        empty = pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                              "id2": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        lo, hi = key
+        a = pdf[pdf["role"] == 0]
+        b = a if lo == hi else pdf[pdf["role"] == 1]
+        if not len(a) or not len(b):
+            return empty
+        ids1 = a["id"].to_numpy(np.int64)
+        ids2 = b["id"].to_numpy(np.int64)
+        m1 = np.stack(a["v"].to_numpy()).astype(np.int64)
+        m2 = m1 if lo == hi else np.stack(b["v"].to_numpy()).astype(np.int64)
+        n1 = np.sqrt((m1 * m1).sum(axis=1).astype(np.float64))
+        n2 = n1 if lo == hi else np.sqrt((m2 * m2).sum(axis=1).astype(np.float64))
+        dots = (m1 @ m2.T).astype(np.float64)
+        cos = dots / (n1[:, None] * n2[None, :])
+        ii, jj = np.where((cos >= threshold) & (ids1[:, None] != ids2[None, :]))
+        i1, i2 = ids1[ii], ids2[jj]
+        flip = i1 > i2
+        out = pd.DataFrame({
+            "id1": np.where(flip, i2, i1), "id2": np.where(flip, i1, i2),
+            "cos": np.round(cos[ii, jj], 9),
+        })
+        # cross-block groups see each unordered pair once; the diagonal
+        # group sees (i,j) and (j,i) — keep the i<j orientation only
+        if lo == hi:
+            out = out[~flip.astype(bool)] if len(out) else out
+        return out
 
-    return v.mapInPandas(run, schema)
+    return tagged.groupBy("lo", "hi").applyInPandas(run, schema)
 
 
 def ivf_topk(

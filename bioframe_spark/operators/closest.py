@@ -101,6 +101,20 @@ def _closest_kernel(
     """Per-chromosome kernel: returns (ids1, ids2(-1 for none), distances)."""
     # canonical df2 order for deterministic ties
     sort_cols = [c for c in (sk2, ek2) if c in pdf2.columns]
+    if self_mode:
+        # Self-exclusion below is POSITIONAL (ov1 != ov2, ids[c1] != c2), so
+        # both frames must share one ordering. Spark's two cogroup shuffles
+        # deliver the same rows in arbitrary, possibly different orders —
+        # sort BOTH by a full-column canonical key. Coordinate-duplicates
+        # with equal payloads are interchangeable under any stable order, so
+        # positional identity stays valid (exact dups remain each other's
+        # distance-0 closest, matching reference ops.py self-closest).
+        sort_cols = sort_cols + [c for c in pdf2.columns if c not in (sk2, ek2)]
+        try:
+            pdf1 = pdf1.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        except TypeError:  # unsortable payload dtype: fall back to coords only
+            sort_cols = [c for c in (sk2, ek2) if c in pdf2.columns]
+            pdf1 = pdf1.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     pdf2 = pdf2.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     s1 = pdf1[sk1].to_numpy(np.int64, na_value=0)
     e1 = pdf1[ek1].to_numpy(np.int64, na_value=0)
@@ -169,9 +183,13 @@ def _closest_kernel(
     else:
         order = np.lexsort([ids2, tie[ids2], dd, ids1])
         ids1, ids2, dd = ids1[order], ids2[order], dd[order]
-        # dedupe (a candidate can appear via both sides) then top-k per id1
+        # dedupe (a candidate can appear via both the overlap and a neighbor
+        # path, e.g. a zero-length df2 interval exactly at start1, with
+        # non-adjacent dd=0 and dd=1 entries) — global first-occurrence per
+        # pair; the array is sorted by (ids1, dd, ...) so first = min dd
         pair_key = ids1 * (n2 + 1) + ids2
-        keep = np.r_[True, pair_key[1:] != pair_key[:-1]]
+        _, first = np.unique(pair_key, return_index=True)
+        keep = np.sort(first)
         ids1, ids2, dd = ids1[keep], ids2[keep], dd[keep]
         borders = np.r_[True, ids1[1:] != ids1[:-1]]
         rank = np.arange(ids1.shape[0]) - np.maximum.accumulate(
@@ -187,7 +205,7 @@ def _closest_kernel(
     out2 = np.concatenate([sel2, np.full(miss.shape[0], -1, dtype=np.int64)])
     outd = np.concatenate([np.maximum(seld - np.where(seld > 0, 1, 0), 0),
                            np.zeros(miss.shape[0], dtype=np.int64)])
-    return out1, out2, outd, pdf2
+    return out1, out2, outd, pdf1, pdf2
 
 
 def closest_within(
@@ -301,6 +319,8 @@ def closest(
     names2 = [f.name for f in df2.schema.fields]
 
     def fn(key, pdf1: pd.DataFrame, pdf2: pd.DataFrame) -> pd.DataFrame:
+        # undo the cogroup-side rename (see below)
+        pdf2 = pdf2.set_axis(names2, axis=1)
         if len(pdf1) == 0:
             return pd.DataFrame(columns=[f.name for f in out_fields])
         if key[0] is None or len(pdf2) == 0:
@@ -315,13 +335,13 @@ def closest(
             if return_distance:
                 left["distance"] = None
             return left
-        i1, i2, dist, pdf2s = _closest_kernel(
+        i1, i2, dist, pdf1s, pdf2s = _closest_kernel(
             pdf1, pdf2, sk1=sk1, ek1=ek1, sk2=sk2, ek2=ek2, k=k,
             ignore_overlaps=ignore_overlaps, ignore_upstream=ignore_upstream,
             ignore_downstream=ignore_downstream, direction_col=direction_col,
             tie_breaking_col=tie_breaking_col, self_mode=self_mode,
         )
-        left = pdf1.iloc[i1].reset_index(drop=True)
+        left = pdf1s.iloc[i1].reset_index(drop=True)
         left.columns = [c + sfx1 for c in names1]
         na = i2 < 0
         right = pdf2s.iloc[np.where(na, 0, i2)].reset_index(drop=True)
@@ -341,7 +361,15 @@ def closest(
             out["distance"] = np.where(na, None, dist)
         return out
 
-    grouped = df1.groupBy(F.col(ck1)).cogroup(df2.groupBy(F.col(ck2)))
+    # Rename df2's columns before the cogroup. When df2 shares attribute
+    # lineage with df1 (self-mode, or df2 derived from df1) AND the output
+    # schema reuses the input column names, Spark's self-cogroup attribute
+    # dedup can truncate the right-side frame to just the grouping column
+    # (observed on Spark 4.1: right frame arrives as ['chrom'] only).
+    # Unique right-side names make the plan collision-free; ``fn`` renames
+    # them back before the kernel runs.
+    df2r = df2.toDF(*["__r__" + c for c in df2.columns])
+    grouped = df1.groupBy(F.col(ck1)).cogroup(df2r.groupBy(F.col("__r__" + ck2)))
     out = grouped.applyInPandas(fn, out_schema)
     if not return_input:
         keep = []

@@ -729,7 +729,11 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
                    on: list | None = None, strategy: str = "auto") -> DataFrame:
     """Per df1 row, the count of overlapping df2 rows, 0 kept
     (reference ``ops.py:1371-1438``). Left interval join (auto strategy) →
-    count per row id; partial+final aggregation (map-side combine)."""
+    count per row id; partial+final aggregation (map-side combine).
+
+    ``suffixes`` is accepted for reference signature parity but has no
+    output effect (matching the reference: output is unsuffixed df1 columns
+    + ``count``). ``return_input=False`` returns only the count column."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     on = list(on) if on else []
@@ -743,11 +747,12 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
         cols1=cols1, cols2=cols2, on=on, strategy=strategy,
     )
     counts = pairs.groupBy("__rid").agg(F.count(F.lit(1)).alias("count"))
-    return (
+    out = (
         d1.join(counts, "__rid", "left")
         .withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
         .drop("__rid")
     )
+    return out if return_input else out.select("count")
 
 
 def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
@@ -757,7 +762,11 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     (reference ``ops.py:842-916``). df2 is merged first to bound join
     fan-out (``ops.py:888``) — at scale this is the difference between a
     bounded join and a quadratic one (and usually shrinks df2 below the
-    broadcast threshold)."""
+    broadcast threshold).
+
+    ``suffixes`` is accepted for reference signature parity but has no
+    output effect (matching the reference: output is unsuffixed df1 columns
+    + ``coverage``). ``return_input=False`` returns only the coverage column."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
@@ -770,11 +779,12 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     s2, e2 = sk2 + "__r2", ek2 + "__r2"
     ov = F.least(F.col(ek1), F.col(e2)) - F.greatest(F.col(sk1), F.col(s2))
     sums = pairs.groupBy("__rid").agg(F.sum(ov).cast("long").alias("coverage"))
-    return (
+    out = (
         d1.join(sums, "__rid", "left")
         .withColumn("coverage", F.coalesce(F.col("coverage"), F.lit(0)))
         .drop("__rid")
     )
+    return out if return_input else out.select("coverage")
 
 
 def subtract(df1: DataFrame, df2: DataFrame, return_index: bool = False,

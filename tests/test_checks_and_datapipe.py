@@ -175,3 +175,78 @@ def test_sessionize_batch(spark):
     got = sorted((r["user_id"], r["session_start"], r["session_end"], r["n_events"])
                  for r in out.collect())
     assert got == [(1, 0, 50, 3), (1, 500, 500, 1), (2, 10, 10, 1)]
+
+
+def test_simhash_blocking_recall_vs_bruteforce(spark):
+    """Pigeonhole guarantee: blocked pairs == brute-force pairs at the
+    requested max_hamming (recall must be exact, not approximate)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for mh in (2, 6):
+        got = {(r["id1"], r["id2"])
+               for r in dedup.simhash_dup_pairs(docs, max_hamming=mh).collect()}
+        sig = dedup.simhash(docs)
+        a = sig.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
+        b = sig.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+        brute = (
+            a.crossJoin(b).filter("id1 < id2")
+            .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+            .filter(F.col("hamming") <= mh)
+        )
+        want = {(r["id1"], r["id2"]) for r in brute.collect()}
+        assert got == want, f"max_hamming={mh}: {len(got)} vs {len(want)}"
+
+
+def test_simhash_max_hamming_bounds():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_dup_pairs(None, max_hamming=32)
+    with _pytest.raises(ValueError):
+        dedup.simhash_dup_pairs(None, max_hamming=-1)
+
+
+def test_embedding_dup_pairs_matches_bruteforce(spark):
+    """Block-pair self-join == local brute force (exact, each pair once)."""
+    import numpy as np
+
+    from bioframe_spark.datapipe import similarity
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 16
+    base = rng.normal(size=(n, dim))
+    # plant near-dups: vectors 0..19 get a tiny-noise twin at id 1000+i
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    rows += [(1000 + i, [float(x) for x in base[i] + rng.normal(scale=0.01, size=dim)])
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for nb in (1, 3, 8):
+        got = {(r["id1"], r["id2"]) for r in
+               similarity.embedding_dup_pairs(df, threshold=0.95,
+                                              num_blocks=nb).collect()}
+        # brute force with the same quantized math
+        q = np.round(np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+                     * 1000).astype(np.int64)
+        ids = np.array([i for i, _ in rows], dtype=np.int64)
+        norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+        cos = (q @ q.T).astype(np.float64) / (norms[:, None] * norms[None, :])
+        ii, jj = np.where((cos >= 0.95) & (ids[:, None] < ids[None, :]))
+        want = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+        assert got == want, f"num_blocks={nb}: {len(got)} vs {len(want)}"
+        assert len(got) >= 20   # the planted twins must all be found
+
+
+def test_embedding_dup_pairs_is_lazy(spark):
+    """No driver-side collect at plan-build time: building the plan against
+    a corpus must not trigger a Spark job (the old implementation ran
+    toPandas() on the full corpus inside the function call)."""
+    from bioframe_spark.datapipe import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    plan = similarity.embedding_dup_pairs(emb, threshold=0.5)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after          # plan construction launched no job
+    assert plan.count() >= 0        # and it still executes

@@ -174,3 +174,67 @@ def test_closest_within_cap_excludes(spark):
     d2 = ivals(spark, [("chr1", 50, 60)])
     assert bf.closest_within(d1, d2, max_dist=10).count() == 0
     assert bf.closest_within(d1, d2, max_dist=45).count() == 1
+
+
+# --- self-mode positional-identity regressions -------------------------------
+# Self-exclusion in the kernel is positional; Spark's two cogroup shuffles may
+# deliver the same rows in DIFFERENT orders, so the kernel must canonicalize
+# both frames before excluding (reference passes one shared array instead).
+
+def _kern(pdf1, pdf2, **kw):
+    from bioframe_spark.operators.closest import _closest_kernel
+
+    args = dict(sk1="start", ek1="end", sk2="start", ek2="end", k=1,
+                ignore_overlaps=False, ignore_upstream=False,
+                ignore_downstream=False, direction_col=None,
+                tie_breaking_col=None, self_mode=False)
+    args.update(kw)
+    return _closest_kernel(pdf1, pdf2, **args)
+
+
+def test_kernel_self_mode_misaligned_arrival_order():
+    import pandas as pd
+
+    rows = [("chr1", 0, 10, "a"), ("chr1", 5, 15, "b"), ("chr1", 100, 110, "c")]
+    cols = ["chrom", "start", "end", "name"]
+    # adversarial: the two cogroup sides arrive in different orders
+    pdf1 = pd.DataFrame([rows[1], rows[2], rows[0]], columns=cols)
+    pdf2 = pd.DataFrame([rows[2], rows[0], rows[1]], columns=cols)
+    i1, i2, dist, p1, p2 = _kern(pdf1, pdf2, self_mode=True, k=1)
+    got = {(p1.iloc[a]["name"], p2.iloc[b]["name"], d)
+           for a, b, d in zip(i1, i2, dist)}
+    assert got == {("a", "b", 0), ("b", "a", 0), ("c", "b", 85)}
+
+
+def test_kernel_self_mode_exact_duplicates():
+    import pandas as pd
+
+    # fully identical rows are interchangeable: each is the other's
+    # distance-0 closest (reference self-closest keeps exact dups)
+    pdf = pd.DataFrame([("chr1", 0, 5), ("chr1", 0, 5)],
+                       columns=["chrom", "start", "end"])
+    i1, i2, dist, p1, p2 = _kern(pdf.copy(), pdf.copy(), self_mode=True, k=1)
+    assert len(i1) == 2
+    assert all(d == 0 for d in dist)
+    assert all(b >= 0 for b in i2)
+
+
+def test_closest_self_shuffled_partitions(spark):
+    d = ivals(spark, [("chr1", 5, 15), ("chr1", 100, 110), ("chr1", 0, 10),
+                      ("chr2", 3, 4), ("chr2", 50, 60)]).repartition(7)
+    out = bf.closest(d, k=1)
+    got = sorted((r["chrom"], r["start"], r["start_"], r["distance"])
+                 for r in out.collect())
+    assert got == [("chr1", 0, 5, 0), ("chr1", 5, 0, 0), ("chr1", 100, 5, 85),
+                   ("chr2", 3, 50, 46), ("chr2", 50, 3, 46)]
+
+
+def test_closest_zero_length_at_start_no_duplicate(spark):
+    # a zero-length df2 interval exactly at start1 reaches the candidate set
+    # via BOTH the overlap path and the left-neighbor path; the global pair
+    # dedup must collapse it even with another candidate sorted in between
+    d1 = ivals(spark, [("chr1", 10, 20)])
+    d2 = ivals(spark, [("chr1", 10, 10), ("chr1", 12, 18)])
+    out = bf.closest(d1, d2, k=3).collect()
+    got = sorted((r["start_"], r["end_"], r["distance"]) for r in out)
+    assert got == [(10, 10, 0), (12, 18, 0)]

@@ -148,3 +148,16 @@ def test_subtract(d1, d2):
         ]
     )
     assert got == [tuple(e) for e in expected]
+
+
+def test_count_overlaps_coverage_return_input_false(spark):
+    from helpers import ivals
+
+    d1 = ivals(spark, [("chr1", 0, 10), ("chr1", 50, 60)])
+    d2 = ivals(spark, [("chr1", 5, 8), ("chr1", 6, 20)])
+    cnt = bf.count_overlaps(d1, d2, return_input=False)
+    assert cnt.columns == ["count"]
+    assert sorted(r["count"] for r in cnt.collect()) == [0, 2]
+    cov = bf.coverage(d1, d2, return_input=False)
+    assert cov.columns == ["coverage"]
+    assert sorted(r["coverage"] for r in cov.collect()) == [0, 5]
