@@ -51,6 +51,13 @@ def main():
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Size the session to the benchmark scale: at sub-GB inputs AQE's
+    # stage-materialization barriers cost more wall clock than runtime
+    # re-planning saves (measured ~0.2-1.5 s/query here). On a real
+    # cluster at TB scale leave AQE ON (get_spark's default) — skew-join
+    # splitting and runtime coalescing dominate there.
+    if sf <= 1:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # warm the JVM / parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()

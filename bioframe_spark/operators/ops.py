@@ -112,6 +112,10 @@ def _join_type(how: str) -> str:
     return m[how]
 
 
+_SMALL_INPUT_BYTES = 32 << 20  # scan-size bound under which derived frames
+# (merged intervals, complements) are safely broadcastable and per-row-id
+# machinery costs more than it saves
+
 _BROADCAST_BYTES = 1 << 20  # only truly tiny sides take the plain path:
 # a broadcast-hash join on a ~25-key chrom column still scans the full
 # per-chromosome product row-by-row — the shuffle is not the cost, the
@@ -409,13 +413,13 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
         .withColumnRenamed("__first_bin", "__fb2")
         .withColumnRenamed("__bin", "__bin2")
     )
-    # Spread the probe side across the cluster: single-row-group files scan
-    # as ONE task, and a broadcast join would keep the whole per-pair
-    # workload there. Explicit numPartitions so AQE can't coalesce it away
-    # (the CPU cost here is join products, which AQE's byte-size advisory
-    # cannot see).
-    n_part = L.sparkSession.sparkContext.defaultParallelism * 2
-    lb = lb.repartition(n_part, F.col(c1), F.col("__bin"))
+    # Force a shuffle join on (chrom, bin): both sides exchange on the join
+    # keys — full cluster spread for free (defeats the single-task pin of
+    # single-row-group scans) with ONE purposeful shuffle instead of an
+    # extra repartition pass, and AQE's skew-join splitting applies. A
+    # broadcast here would keep the whole per-pair workload on the probe
+    # side's (possibly single) scan tasks.
+    lb = lb.hint("shuffle_merge")
     cond = (F.col(c1) == F.col(c2)) & (F.col("__bin") == F.col("__bin2"))
     for a, b in on_pairs:
         cond = cond & (F.col(a) == F.col(b))
@@ -566,6 +570,37 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     return dd.drop("__rng", "__M", "__b", "__local_isl", "__ofs")
 
 
+def _islands_direct(df: DataFrame, ck: str, sk: str, ek: str, on: list,
+                    min_dist: int | None) -> DataFrame:
+    """Islands over RAW rows in one chained window pass — no distinct
+    pre-aggregation, so merge costs ONE shuffle (the window exchange; the
+    final span aggregation reuses its partitioning).
+
+    Tie-safety: the two window expressions share (partition, order), so the
+    second Window reuses the first's sort (no exchange, no re-sort) — both
+    see one tie order. Island MEMBERSHIP is then order-invariant even with
+    duplicate (start,end) rows: tied rows share coordinates, so the running
+    max over any prefix permutation is identical, and border flags depend
+    only on coordinates. (Per-row island *ids* could renumber under ties —
+    callers here only aggregate island spans/counts, which are invariant.
+    ``cluster`` needs stable per-row ids and keeps ``_distinct_islands``.)
+    """
+    keys = [ck] + on
+    if min_dist is not None and min_dist < 0:
+        raise ValueError("min_dist>=0 or None required")
+    w = Window.partitionBy(*keys).orderBy(sk, ek)
+    prev_max_end = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    if min_dist is None:
+        border = F.col(sk) >= prev_max_end
+    else:
+        border = F.col(sk) > prev_max_end + F.lit(min_dist)
+    border = F.when(prev_max_end.isNull(), F.lit(True)).otherwise(border)
+    return df.withColumn(
+        "__island",
+        F.sum(border.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def _null_key_rows(df, ck, sk, ek, on):
     keys = [ck, sk, ek] + on
     pred = F.lit(False)
@@ -591,21 +626,53 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "merge")
     on = list(on) if on else []
-    nulls, valid = _null_key_rows(df, ck, sk, ek, on)
     if range_width is not None:
+        nulls, valid = _null_key_rows(df, ck, sk, ek, on)
         isl = _distinct_islands_ranged(valid, ck, sk, ek, on, min_dist, range_width)
+        out = isl.groupBy(ck, *on, "__island").agg(
+            F.min(sk).alias(sk),
+            F.max(ek).alias(ek),
+            F.sum("__mult").alias("n_intervals"),
+        ).drop("__island")
+        out = out.select(ck, sk, ek, *on, "n_intervals")
+        nulls_out = nulls.select(
+            ck, sk, ek, *on, F.lit(None).cast("long").alias("n_intervals")
+        )
+        return out.unionByName(nulls_out)
+    # Single-scan, single-shuffle path: null-key rows ride the SAME window
+    # pass in their own partition group (flagged), each as its own island,
+    # so the input is read once and no union branch exists. Island
+    # membership is tie-invariant on raw rows (see _islands_direct).
+    if min_dist is not None and min_dist < 0:
+        raise ValueError("min_dist>=0 or None required")
+    valid_pred = F.lit(True)
+    for c in [ck, sk, ek] + on:
+        valid_pred = valid_pred & F.col(c).isNotNull()
+    d = df.select(ck, sk, ek, *on).withColumn("__v", valid_pred)
+    w = Window.partitionBy("__v", ck, *on).orderBy(sk, ek)
+    prev_max = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    if min_dist is None:
+        border = F.col(sk) >= prev_max
     else:
-        isl = _distinct_islands(valid, ck, sk, ek, on, min_dist)
-    out = isl.groupBy(ck, *on, "__island").agg(
+        border = F.col(sk) > prev_max + F.lit(min_dist)
+    border = (
+        F.when(~F.col("__v"), F.lit(True))          # null rows: singleton islands
+        .when(prev_max.isNull(), F.lit(True))
+        .otherwise(border)
+    )
+    isl = d.withColumn(
+        "__island",
+        F.sum(border.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    out = isl.groupBy("__v", ck, *on, "__island").agg(
         F.min(sk).alias(sk),
         F.max(ek).alias(ek),
-        F.sum("__mult").alias("n_intervals"),
-    ).drop("__island")
-    out = out.select(ck, sk, ek, *on, "n_intervals")
-    nulls_out = nulls.select(
-        ck, sk, ek, *on, F.lit(None).cast("long").alias("n_intervals")
+        F.count(F.lit(1)).alias("__cnt"),
     )
-    return out.unionByName(nulls_out)
+    return out.select(
+        ck, sk, ek, *on,
+        F.when(F.col("__v"), F.col("__cnt")).cast("long").alias("n_intervals"),
+    )
 
 
 def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
@@ -770,6 +837,39 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
+    if (strategy == "auto"
+            and _plan_size_bytes(df1) <= _SMALL_INPUT_BYTES
+            and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES):
+        # Small-input fast path. Coverage depends only on coordinates, so:
+        # distinct coords ⋈ broadcast(merged2) → per-coord sums → broadcast
+        # back onto df1. No row ids, no window passes, df1 itself never
+        # shuffles. The per-chrom product vs merged2 is BOUNDED (merged
+        # intervals are disjoint), so a broadcast-hash join can't go
+        # quadratic the way raw interval joins do.
+        coords = (
+            df1.select(F.col(ck1).alias("__cc"), F.col(sk1).alias("__cs"),
+                       F.col(ek1).alias("__ce"))
+            .filter(F.col("__cc").isNotNull()).distinct()
+        )
+        m2 = merged2.select(F.col(ck2).alias("__mc"), F.col(sk2).alias("__ms"),
+                            F.col(ek2).alias("__me"))
+        cond = (F.col("__cc") == F.col("__mc")) & overlap_predicate(
+            F.col("__cs"), F.col("__ce"), F.col("__ms"), F.col("__me")
+        )
+        ov = F.least(F.col("__ce"), F.col("__me")) - F.greatest(F.col("__cs"), F.col("__ms"))
+        covmap = (
+            coords.join(F.broadcast(m2), cond, "inner")
+            .groupBy("__cc", "__cs", "__ce")
+            .agg(F.sum(ov).cast("long").alias("__cov"))
+        )
+        back = (F.col(ck1) == F.col("__cc")) & (F.col(sk1) == F.col("__cs")) \
+            & (F.col(ek1) == F.col("__ce"))
+        out = (
+            df1.join(F.broadcast(covmap), back, "left")
+            .withColumn("coverage", F.coalesce(F.col("__cov"), F.lit(0)))
+            .drop("__cc", "__cs", "__ce", "__cov")
+        )
+        return out if return_input else out.select("coverage")
     d1 = _with_rid(df1, ck1, sk1, ek1)
     slim = d1.select("__rid", ck1, sk1, ek1)
     pairs = overlap(
@@ -845,8 +945,9 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
     ``ops.py:1560-1687``; kernel ``arrops.py:482-503``).
 
     Plan: split df intervals across view regions (inner interval join to
-    the — broadcast — view), merge per region (window), then build gaps
-    with lag() plus region-edge rows and whole-empty-region rows.
+    the — broadcast — view), add two zero-length sentinel pieces per region
+    (at region start and end), merge per region (one window chain), and
+    read every gap off a single lag() — one shuffle total, no branches.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "complement")
@@ -872,14 +973,28 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
         df.filter(F.col(ck).isNotNull())
         .join(F.broadcast(view), cond, "inner")
         .select(
-            F.col("__vc"), F.col("__vn"), F.col("__vs"), F.col("__ve"),
+            F.col("__vn"),
             F.greatest(F.col(sk), F.col("__vs")).alias("__ps"),
             F.least(F.col(ek), F.col("__ve")).alias("__pe"),
         )
     )
-    # merge pieces per region (min_dist=0: abutting pieces fuse);
-    # distinct first so the window sort is a total order (tie safety)
-    pieces = pieces.distinct()
+    # Two zero-length SENTINEL pieces per region — [vs,vs) and [ve,ve) —
+    # make the whole computation one window chain: every gap (leading,
+    # middle, trailing, whole-empty-region) is exactly the space between
+    # consecutive merged islands, with no separate branches, no distinct
+    # shuffle, and no recompute of `pieces` for empty regions. A sentinel
+    # fuses into an adjacent island (it adds no coverage) or stands alone
+    # as a zero-width island whose preceding gap IS the leading/trailing/
+    # empty-region gap. Only (region, start, end) shuffle — region
+    # bounds/chrom rejoin from the broadcast view after aggregation.
+    sentinels = view.select(
+        "__vn",
+        F.explode(F.array(F.col("__vs"), F.col("__ve"))).alias("__ps"),
+    ).withColumn("__pe", F.col("__ps"))
+    pieces = pieces.unionByName(sentinels)
+    # merge pieces per region (min_dist=0: abutting pieces fuse). Island
+    # membership is tie-invariant without a distinct pre-agg — both window
+    # expressions share one sort (see _islands_direct).
     w = Window.partitionBy("__vn").orderBy("__ps", "__pe")
     prev_max = F.max("__pe").over(w.rowsBetween(Window.unboundedPreceding, -1))
     border = F.when(prev_max.isNull(), F.lit(True)).otherwise(F.col("__ps") > prev_max)
@@ -887,49 +1002,26 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
         pieces.withColumn(
             "__isl", F.sum(border.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
-        .groupBy("__vc", "__vn", "__vs", "__ve", "__isl")
+        .groupBy("__vn", "__isl")
         .agg(F.min("__ps").alias("__ms"), F.max("__pe").alias("__me"))
     )
-    # gaps in ONE window pass: each merged interval emits the gap before it
-    # ([prev_end|region_start, start)) and — when it is the last interval —
-    # the trailing gap ([end, region_end)). Avoids recomputing `merged`
-    # across separate leading/middle/trailing branches.
+    # the gap before each island: [prev_island_end, island_start). The
+    # leading sentinel guarantees the first island starts at __vs, so the
+    # coalesce never manufactures a gap that isn't real.
     wg = Window.partitionBy("__vn").orderBy("__ms")
-    staged = merged.select(
-        "__vc", "__vn", "__vs", "__ve", "__ms", "__me",
-        F.lag("__me").over(wg).alias("__prev_me"),
-        F.lead("__ms").over(wg).alias("__next_ms"),
-    )
-    lead_gap = F.struct(
-        F.coalesce(F.col("__prev_me"), F.col("__vs")).alias("s"),
-        F.col("__ms").alias("e"),
-    )
-    tail_gap = F.when(
-        F.col("__next_ms").isNull(),
-        F.struct(F.col("__me").alias("s"), F.col("__ve").alias("e")),
-    )
-    gaps = (
-        staged.select(
-            F.col("__vc"), F.col("__vn"),
-            F.explode(F.filter(F.array(lead_gap, tail_gap), lambda g: g.isNotNull()))
-            .alias("__g"),
+    out = (
+        merged.select(
+            "__vn", "__ms",
+            F.lag("__me").over(wg).alias("__prev_me"),
         )
+        .join(F.broadcast(view), "__vn")
         .select(
             F.col("__vc").alias(ck),
-            F.col("__g.s").alias(sk),
-            F.col("__g.e").alias(ek),
+            F.coalesce(F.col("__prev_me"), F.col("__vs")).alias(sk),
+            F.col("__ms").alias(ek),
             F.col("__vn").alias("view_region"),
         )
     )
-    # regions with no intervals at all
-    empty = (
-        view.join(pieces.select("__vn").distinct(), "__vn", "left_anti")
-        .select(
-            F.col("__vc").alias(ck), F.col("__vs").alias(sk),
-            F.col("__ve").alias(ek), F.col("__vn").alias("view_region"),
-        )
-    )
-    out = gaps.unionByName(empty)
     return out.filter(F.col(sk) < F.col(ek))
 
 
