@@ -34,6 +34,7 @@ from .operators.ops import (
     select,
     select_mask,
     select_indices,
+    select_labels,
     expand,
     overlap,
     cluster,

@@ -150,17 +150,72 @@ def is_tiling(df: DataFrame, view_df: DataFrame, raise_errors: bool = False,
 
 
 def is_sorted(df: DataFrame, cols=None, ordered_cols: list | None = None) -> bool:
-    """True if rows are sorted by (chrom, start, end) — checked distributively
-    as "no out-of-order adjacent pair" per partition plus sorted partition
-    bounds; here: compare with a canonical sort via zipped row numbers.
+    """True if rows are sorted by (chrom, start, end) in the frame's physical
+    order (partition index, then within-partition order).
+
+    Fully distributed: each partition streams its Arrow batches once through
+    a ``mapInPandas`` summarizer that checks local monotonicity and emits ONE
+    row (partition id, locally-sorted flag, first/last key) — the driver
+    collects only #partitions rows and verifies the partition boundaries are
+    themselves ordered. No data-row collect at any scale.
 
     Note: Spark DataFrames carry no intrinsic row order unless sorted; this
     check is mainly useful on freshly-read ordered sources.
     Reference ``checks.py:474-540`` (sort-idempotence).
     """
     ck, sk, ek = _resolve_cols(cols)
-    import pandas as pd  # driver-side small compare
+    keys = list(ordered_cols) if ordered_cols else [ck, sk, ek]
+    _verify_columns(df, keys, "is_sorted")
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
 
-    pdf = df.select(ck, sk, ek).toPandas()
-    srt = pdf.sort_values([ck, sk, ek], kind="mergesort").reset_index(drop=True)
-    return pdf.reset_index(drop=True).equals(srt)
+    kdf = df.select(*keys)
+    in_fields = kdf.schema.fields
+    out_schema = T.StructType(
+        [T.StructField("pid", T.IntegerType()), T.StructField("ok", T.BooleanType())]
+        + [T.StructField(f"first_{f.name}", f.dataType) for f in in_fields]
+        + [T.StructField(f"last_{f.name}", f.dataType) for f in in_fields]
+    )
+
+    def _is_monotonic(pdf: "pd.DataFrame") -> bool:
+        srt = pdf.sort_values(keys, kind="mergesort", na_position="last")
+        return pdf.reset_index(drop=True).equals(srt.reset_index(drop=True))
+
+    def summarize(batches):
+        pid = TaskContext.get().partitionId()
+        ok, first, last = True, None, None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if ok and not _is_monotonic(pdf):
+                ok = False
+            if first is None:
+                first = pdf.iloc[[0]]
+            elif ok and not _is_monotonic(
+                pd.concat([last, pdf.iloc[[0]]], ignore_index=True)
+            ):
+                ok = False  # out-of-order across a batch boundary
+            last = pdf.iloc[[-1]]
+        if first is None:
+            return  # empty partition contributes nothing
+        row = {"pid": pid, "ok": ok}
+        for c in keys:
+            row[f"first_{c}"] = first.iloc[0][c]
+            row[f"last_{c}"] = last.iloc[0][c]
+        yield pd.DataFrame([row])
+
+    summ = kdf.mapInPandas(summarize, schema=out_schema).collect()
+    if not summ:
+        return True
+    if not all(r["ok"] for r in summ):
+        return False
+    # boundary check: first/last keys interleaved in partition order must
+    # themselves be sorted (same comparator as the per-partition pass)
+    summ.sort(key=lambda r: r["pid"])
+    rows = []
+    for r in summ:
+        rows.append([r[f"first_{c}"] for c in keys])
+        rows.append([r[f"last_{c}"] for c in keys])
+    bdf = pd.DataFrame(rows, columns=keys)
+    return _is_monotonic(bdf)

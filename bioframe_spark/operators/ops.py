@@ -230,6 +230,24 @@ def select_indices(df: DataFrame, region, cols=None) -> DataFrame:
     return select(d, region, cols=cols).select("index")
 
 
+def select_labels(df: DataFrame, region, cols=None,
+                  label_col: str | None = None) -> DataFrame:
+    """Labels of rows overlapping the region (reference ``ops.py:91-113``).
+
+    The reference returns ``df.index[mask]`` — pandas row labels. Spark
+    rows carry no index, so the label is an explicit column: pass
+    ``label_col`` to project it from matching rows; with ``label_col=None``
+    the canonical dense id doubles as the label (identical to
+    ``select_indices``, mirroring a default RangeIndex).
+    """
+    if label_col is None:
+        return select_indices(df, region, cols=cols).withColumnRenamed(
+            "index", "label"
+        )
+    _verify_columns(df, [label_col], "select_labels")
+    return select(df, region, cols=cols).select(F.col(label_col).alias("label"))
+
+
 def expand(df: DataFrame, pad: int | None = None, scale: float | None = None,
            side: str = "both", cols=None) -> DataFrame:
     """Pad/rescale intervals (reference ``ops.py:150-225``). Projection only.
@@ -308,8 +326,13 @@ def overlap(
     bin), so no dedup shuffle is needed. Use for large×large inputs with
     few chromosomes (the 100 TB path). 'auto' = plain (AQE handles skew).
 
-    ``keep_order`` is accepted for API parity but is a no-op: Spark results
-    are unordered; apply ``sort_bedframe`` or ``orderBy`` explicitly.
+    ``keep_order=True`` (only with ``how='left'``, as in the reference
+    ``ops.py:451-454``) sorts the output by df1's canonical
+    (chrom,start,end) order — the Spark stand-in for "df1's index order",
+    since Spark frames carry no input ordering. Default None = unordered
+    output (no sort cost); the reference's default-True-for-left is NOT
+    mirrored because an implicit global sort is the wrong default on a
+    cluster.
 
     ``return_index`` adds dense LONG ids ``index``+suffixes ordered by
     (chrom,start,end) — the Spark stand-in for the pandas index.
@@ -318,6 +341,8 @@ def overlap(
     ck2, sk2, ek2 = _resolve_cols(cols2)
     _verify_columns(df1, [ck1, sk1, ek1], "overlap df1")
     _verify_columns(df2, [ck2, sk2, ek2], "overlap df2")
+    if keep_order and how != "left":
+        raise ValueError("keep_order=True only allowed for how='left'")
     on = list(on) if on else []
     for c in on:
         _verify_columns(df1, [c], "overlap on")
@@ -329,6 +354,8 @@ def overlap(
     if return_index:
         d1 = _with_global_rid(d1, ck1, sk1, ek1, "index")
         d2 = _with_global_rid(d2, ck2, sk2, ek2, "index")
+    if keep_order:
+        d1 = _with_global_rid(d1, ck1, sk1, ek1, "__keep_order")
     L = _suffixed(d1, sfx1)
     R = _suffixed(d2, sfx2)
     if set(L.columns) & set(R.columns):
@@ -367,6 +394,8 @@ def overlap(
         joined = joined.withColumns(
             {"overlap_" + sk1: ov_s, "overlap_" + ek1: ov_e}
         )
+    if keep_order:
+        joined = joined.orderBy("__keep_order" + sfx1).drop("__keep_order" + sfx1)
     if not return_input:
         keep = []
         if return_index:

@@ -250,3 +250,34 @@ def test_embedding_dup_pairs_is_lazy(spark):
     after = tracker.getJobIdsForGroup(None)
     assert before == after          # plan construction launched no job
     assert plan.count() >= 0        # and it still executes
+
+
+def test_is_sorted_distributed(spark):
+    # sorted frame across 10 partitions: repartitionByRange preserves a
+    # global sort (range partitioner + within-partition sort)
+    rows = [("chr%d" % (i // 40 + 1), i % 40 * 10, i % 40 * 10 + 5)
+            for i in range(120)]
+    df = ivals(spark, sorted(rows)).repartitionByRange(
+        10, "chrom", "start", "end"
+    ).sortWithinPartitions("chrom", "start", "end")
+    assert checks.is_sorted(df)
+    # same data hash-shuffled: partition boundaries interleave -> not sorted
+    shuffled = df.repartition(10, "start")
+    assert not checks.is_sorted(shuffled)
+    # in-partition violation
+    one = ivals(spark, [("chr1", 5, 6), ("chr1", 0, 1)]).coalesce(1)
+    assert not checks.is_sorted(one)
+    # empty frame is sorted
+    assert checks.is_sorted(ivals(spark, []).limit(0))
+
+
+def test_select_labels(spark):
+    from helpers import ivals
+
+    d = ivals(spark, [("chr1", 0, 5, "a"), ("chr1", 10, 20, "b"),
+                      ("chr2", 0, 5, "c")], extra=[("name", "string")])
+    lab = bf.select_labels(d, "chr1:0-6", label_col="name")
+    assert [r["label"] for r in lab.collect()] == ["a"]
+    # default: dense canonical index doubles as the label
+    lab2 = bf.select_labels(d, "chr1:0-25")
+    assert sorted(r["label"] for r in lab2.collect()) == [0, 1]

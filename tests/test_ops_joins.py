@@ -161,3 +161,18 @@ def test_count_overlaps_coverage_return_input_false(spark):
     cov = bf.coverage(d1, d2, return_input=False)
     assert cov.columns == ["coverage"]
     assert sorted(r["coverage"] for r in cov.collect()) == [0, 5]
+
+
+def test_overlap_keep_order(spark):
+    from helpers import ivals
+    import pytest
+
+    a = ivals(spark, [("chr2", 0, 9), ("chr1", 50, 60), ("chr1", 0, 5)])
+    b = ivals(spark, [("chr1", 3, 8), ("chr2", 4, 6), ("chr1", 55, 70)])
+    out = bf.overlap(a, b, how="left", keep_order=True).collect()
+    # output follows df1's canonical (chrom,start,end) order
+    assert [(r["chrom"], r["start"]) for r in out] == [
+        ("chr1", 0), ("chr1", 50), ("chr2", 0)]
+    assert "__keep_order" not in bf.overlap(a, b, how="left", keep_order=True).columns
+    with pytest.raises(ValueError, match="keep_order"):
+        bf.overlap(a, b, how="inner", keep_order=True)
