@@ -385,12 +385,51 @@ def q_events_json(spark, sf_dir):
     ).filter(F.col("k") > 50)
 
 
+def q_overlap_outer(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.overlap(a, b, how="outer", suffixes=("", "_b"))
+
+
+def q_make_chromarms(spark, sf_dir):
+    return bf.make_chromarms(
+        chromsizes(), {f"chr{i}": ARM_MID for i in range(N_CHROMS)}
+    )
+
+
+def q_cluster_on(spark, sf_dir):
+    return bf.cluster(ivals_b(spark, sf_dir), min_dist=0, on=["strand"])
+
+
+def q_natsort_key(spark, sf_dir):
+    """Natural-chromosome-order sort key parity (the load-bearing part of
+    ``sort_bedframe(natsort=True)``, hash-checkable order-independently)."""
+    from bioframe_spark.functions.intervals import natsort_key
+
+    p = _t(spark, sf_dir, "part")
+    n = F.col("p_partkey") % 23
+    chrom = F.when(n == 21, F.lit("chrX")).when(n == 22, F.lit("chrY")).otherwise(
+        F.concat(
+            F.lit("chr"), (n + 1).cast("string"),
+            F.when(F.col("p_partkey") % 5 == 0, F.lit("_alt")).otherwise(F.lit("")),
+        )
+    )
+    return p.select(
+        F.col("p_partkey").alias("pid"),
+        chrom.alias("chrom"),
+        natsort_key(chrom).alias("natkey"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "overlap_inner": q_overlap_inner,
         "overlap_left": q_overlap_left,
         "overlap_binned": q_overlap_binned,
         "overlap_on": q_overlap_on,
+        "overlap_outer": q_overlap_outer,
+        "make_chromarms": q_make_chromarms,
+        "cluster_on": q_cluster_on,
+        "natsort_key": q_natsort_key,
         "count_overlaps": q_count_overlaps,
         "coverage": q_coverage,
         "setdiff": q_setdiff,
@@ -794,11 +833,73 @@ FROM marked GROUP BY user_id, sess
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
 """
+    overlap_outer = _CTE + f"""
+SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+       b.bid AS bid_b, b.chrom AS chrom_b, b.start AS start_b,
+       b."end" AS end_b, b.strand AS strand_b
+FROM a FULL JOIN b ON a.chrom = b.chrom AND {ov_ab}
+"""
+    make_chromarms = _CTE + """
+SELECT chrom, CAST(vs AS BIGINT) AS start, CAST(ve AS BIGINT) AS "end",
+       vname AS name
+FROM arms
+"""
+    cluster_on = _CTE + """, bx AS (
+  SELECT chrom, strand, start, "end", bid FROM b
+), isl AS (
+  SELECT chrom, strand, start, "end", cnt,
+         SUM(CASE WHEN prev_max IS NULL OR start > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY chrom, strand ORDER BY start, "end"
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (
+    SELECT chrom, strand, start, "end", cnt,
+           MAX("end") OVER (PARTITION BY chrom, strand ORDER BY start, "end"
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM (SELECT chrom, strand, start, "end", COUNT(*) AS cnt
+          FROM bx GROUP BY 1, 2, 3, 4)
+  )
+), rows_isl AS (
+  SELECT bx.bid, bx.chrom, bx.strand, bx.start, bx."end", i.island
+  FROM bx JOIN isl i ON bx.chrom = i.chrom AND bx.strand = i.strand
+                    AND bx.start = i.start AND bx."end" = i."end"
+), spans AS (
+  SELECT chrom, strand, island, MIN(start) AS cs, MAX("end") AS ce,
+         DENSE_RANK() OVER (ORDER BY chrom, strand, island) - 1 AS cluster
+  FROM rows_isl GROUP BY chrom, strand, island
+)
+SELECT r.bid, r.chrom, r.start, r."end", r.strand,
+       sp.cluster, sp.cs AS cluster_start, sp.ce AS cluster_end
+FROM rows_isl r
+JOIN spans sp ON r.chrom = sp.chrom AND r.strand = sp.strand AND r.island = sp.island
+"""
+    natsort_key = r"""
+WITH src AS (
+  SELECT p_partkey AS pid,
+         CASE WHEN p_partkey % 23 = 21 THEN 'chrX'
+              WHEN p_partkey % 23 = 22 THEN 'chrY'
+              ELSE 'chr' || (p_partkey % 23 + 1)
+                   || (CASE WHEN p_partkey % 5 = 0 THEN '_alt' ELSE '' END)
+         END AS chrom
+  FROM part
+)
+SELECT pid, chrom,
+       concat(
+         regexp_extract(chrom, '^(\D*)', 1),
+         CASE WHEN regexp_extract(chrom, '^\D*(\d+)', 1) = '' THEN ''
+              ELSE lpad(regexp_extract(chrom, '^\D*(\d+)', 1), 12, '0') END,
+         regexp_extract(chrom, '^\D*\d+(.*)$', 1)
+       ) AS natkey
+FROM src
+"""
     return {
         "overlap_inner": overlap_inner,
         "overlap_left": overlap_left,
         "overlap_binned": overlap_inner,  # same semantics, different physical plan
         "overlap_on": overlap_on,
+        "overlap_outer": overlap_outer,
+        "make_chromarms": make_chromarms,
+        "cluster_on": cluster_on,
+        "natsort_key": natsort_key,
         "count_overlaps": count_overlaps,
         "coverage": coverage,
         "setdiff": setdiff,

@@ -1187,10 +1187,14 @@ def sort_bedframe(df: DataFrame, view_df=None, view_name_col: str = "name",
     view = construction.make_viewframe(
         view_df, view_name_col=view_name_col, cols=(ckv, skv, ekv)
     )
-    wo = Window.orderBy(F.monotonically_increasing_id())
-    view = view.withColumn("__ord", F.row_number().over(wo)).select(
-        F.col(ckv).alias("__vc"), F.col(skv).alias("__vs"), F.col(ekv).alias("__ve"),
-        "__ord",
+    # Attach the view-row ordinal driver-side: views are tiny by contract
+    # (one row per region), and collect() preserves construction order for
+    # driver-built views — no monotonically_increasing_id / window ordering
+    # assumption, which is not shuffle-stable.
+    vrows = view.collect()
+    view = df.sparkSession.createDataFrame(
+        [(r[ckv], r[skv], r[ekv], i + 1) for i, r in enumerate(vrows)],
+        "__vc string, __vs long, __ve long, __ord int",
     )
     cond = (F.col(ck) == F.col("__vc")) & overlap_predicate(
         F.col(sk), F.col(ek), F.col("__vs"), F.col("__ve")
