@@ -127,39 +127,22 @@ def validate_bed(df: DataFrame, raise_errors: bool = True) -> dict[str, int]:
     return bad
 
 
-def to_bed(df: DataFrame, path: str, schema: str | None = None,
+def to_bed(df: DataFrame, path: str | None = None, schema: str = "infer",
            validate: bool = True, sort: bool = True,
-           single_file: bool = True) -> None:
-    """Write a BED file (reference ``io/bed.py:685-738``): order/fill the
-    standard columns, validate, sort by (chrom,start,end), write TSV.
+           single_file: bool = True, **kwargs) -> DataFrame:
+    """Write a BED file — delegates to the full-parity validator suite in
+    :mod:`bioframe_spark.sources.bed` (reference ``io/bed.py:685-738``).
 
-    ``single_file=True`` coalesces to one part (a BED file is a single
-    ordered text file by convention — inherently a one-writer sink, like
-    the reference's CLI sinks ``io/fileops.py:573-577``); at scale pass
-    False to keep one part-file per partition.
+    Extra ``kwargs`` (chromsizes, strict_score, replace_na,
+    require_sorted) pass through to :func:`bed.to_bed`.
     """
-    n_std = int((schema or infer_bed_schema(len(df.columns)))[3:].split("+")[0])
-    field_order = [f.name for f in SCHEMAS["bed12"].fields][:n_std]
-    out = df
-    for i, colname in enumerate(field_order):
-        if colname not in out.columns:
-            fill = BED_FIELD_FILLVALUES.get(colname)
-            if colname == "thickStart":
-                out = out.withColumn(colname, F.col("start"))
-            elif colname == "thickEnd":
-                out = out.withColumn(colname, F.col("end"))
-            elif fill is not None:
-                out = out.withColumn(colname, F.lit(fill))
-            else:
-                raise ValueError(f"missing required BED column {colname}")
-    out = out.select(field_order)
-    if validate:
-        validate_bed(out)
-    if sort:
-        out = out.orderBy("chrom", "start", "end")
-    if single_file:
-        out = out.coalesce(1)
-    out.write.mode("overwrite").option("sep", "\t").csv(path)
+    from . import bed as _bed
+
+    # legacy 'bedN' strings map onto the parity parser's schema names
+    return _bed.to_bed(
+        df, path, schema=schema or "infer", validate_fields=validate,
+        sort=sort, single_file=single_file, **kwargs
+    )
 
 
 # --------------------------------------------------------------------------
