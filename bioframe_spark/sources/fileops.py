@@ -218,29 +218,148 @@ def read_alignments(path: str, chunks: list[tuple]) -> DataFrame:
     raise NotImplementedError("BAM partition reader: pysam absent in this container")
 
 
+def prepare_bedgraph(df: DataFrame, chromsizes: dict,
+                     value_col: str | None = None) -> DataFrame:
+    """Spark-side prep for the bigWig sink (reference
+    ``io/fileops.py:515-593``): validate bedGraph shape, clamp to known
+    chromosomes, verify bounds and non-overlap (``bedGraphToBigWig``
+    rejects overlapping input), and return the 4-column frame sorted by
+    (chrom, start, end).
+
+    All heavy work (validation scans, the sort) is distributed; only the
+    final text write is single-writer by format convention.
+    """
+    for col in ("chrom", "start", "end"):
+        if col not in df.columns:
+            raise ValueError(f"A bedGraph-like DataFrame is required, got {df.columns}")
+    if len(df.columns) < 4:
+        raise ValueError("bedGraph needs chrom, start, end + a value column")
+    if value_col is None:
+        value_col = df.columns[3]
+    bg = df.select("chrom", "start", "end", F.col(value_col).alias(value_col))
+
+    cs = _spark().createDataFrame(
+        [(str(c), int(s)) for c, s in chromsizes.items()],
+        "__c string, __size long",
+    )
+    j = bg.join(F.broadcast(cs), bg["chrom"] == F.col("__c"), "left")
+    n_bad = j.filter(
+        F.col("__size").isNull() | (F.col("start") < 0)
+        | (F.col("end") > F.col("__size")) | (F.col("start") >= F.col("end"))
+    ).limit(1).count()
+    if n_bad:
+        raise ValueError("bedGraph rows out of chromsizes bounds or malformed")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("chrom").orderBy("start", "end")
+    prev_end = F.lag("end").over(w)
+    n_over = (
+        bg.withColumn("__pe", prev_end)
+        .filter(F.col("__pe").isNotNull() & (F.col("start") < F.col("__pe")))
+        .limit(1).count()
+    )
+    if n_over:
+        raise ValueError("bedGraph intervals overlap; merge/pileup them first")
+    return bg.orderBy("chrom", "start", "end")
+
+
+def write_bedgraph(df: DataFrame, path: str, chromsizes: dict,
+                   value_col: str | None = None) -> str:
+    """Write the prepped bedGraph as one sorted TSV part plus a
+    ``chrom.sizes`` sibling — the exact inputs ``bedGraphToBigWig``
+    consumes. Returns the bedGraph directory path."""
+    bg = prepare_bedgraph(df, chromsizes, value_col)
+    bg.coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
+    import os
+
+    with open(os.path.join(path, "chrom.sizes"), "w") as fh:
+        for c, s in chromsizes.items():
+            fh.write(f"{c}\t{int(s)}\n")
+    return path
+
+
+def _bedgraph_part(path: str) -> str:
+    import glob
+    import os
+
+    parts = sorted(glob.glob(os.path.join(path, "part-*.csv"))) or sorted(
+        glob.glob(os.path.join(path, "part-*"))
+    )
+    return parts[0]
+
+
 def to_bigwig(df: DataFrame, chromsizes: dict, out_path: str,
-              value_col: str = "value") -> None:
-    """bedGraph → bigWig sink (reference ``io/fileops.py:515-593``: write a
-    sorted temp text file, then the UCSC ``bedGraphToBigWig`` CLI or
-    pybigtools on the driver — inherently a single-writer sink)."""
+              value_col: str | None = None, engine: str = "auto",
+              path_to_binary: str | None = None) -> None:
+    """bedGraph → bigWig sink (reference ``io/fileops.py:515-593``).
+
+    Spark prepares and writes the sorted bedGraph + chrom.sizes
+    (:func:`write_bedgraph`, fully distributed up to the final text
+    write); the binary encode is the UCSC ``bedGraphToBigWig`` CLI or
+    pybigtools on the driver — a single-writer step by format design.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bg_prep_")
+    bg_dir = write_bedgraph(df, tmp, chromsizes, value_col)
+    part, sizes = _bedgraph_part(bg_dir), f"{bg_dir}/chrom.sizes"
+
+    cli = path_to_binary or shutil.which("bedGraphToBigWig")
+    if engine in ("auto", "ucsc") and cli:
+        subprocess.run([cli, part, sizes, out_path], check=True)
+        return
     try:
-        import pybigtools  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "to_bigwig needs pybigtools or the UCSC CLI (neither installed here); "
-            "the Spark-side prep is to_bed-style: sort + coalesce(1) + text write"
-        ) from e
-    raise NotImplementedError
+        import pybigtools
+    except ImportError:
+        raise NotImplementedError(
+            "no bigWig encoder available (need the UCSC bedGraphToBigWig CLI "
+            f"or pybigtools); prepped bedGraph left at {part}"
+        ) from None
+    f = pybigtools.open(out_path, "w")
+    with open(part) as fh:
+        f.write(
+            chroms={c: int(s) for c, s in chromsizes.items()},
+            vals=(
+                (p[0], int(p[1]), int(p[2]), float(p[3]))
+                for p in (line.rstrip("\n").split("\t") for line in fh)
+            ),
+        )
+    f.close()
 
 
-def to_bigbed(df: DataFrame, chromsizes: dict, out_path: str) -> None:
-    """BED → bigBed sink (reference ``io/fileops.py:596-669``); same
-    single-writer CLI/pybigtools pattern as ``to_bigwig``."""
-    try:
-        import pybigtools  # noqa: F401
-    except ImportError as e:
-        raise ImportError("to_bigbed needs pybigtools or the UCSC CLI") from e
-    raise NotImplementedError
+def to_bigbed(df: DataFrame, chromsizes: dict, out_path: str,
+              schema: str = "infer", engine: str = "auto",
+              path_to_binary: str | None = None) -> None:
+    """BED → bigBed sink (reference ``io/fileops.py:596-669``): full BED
+    validation (:mod:`.bed`), chromsizes bounds, sorted single-part text,
+    then the UCSC ``bedToBigBed`` CLI on the driver."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    from . import bed as _bed
+
+    coerced = _bed.to_bed_dataframe(df, schema=schema, chromsizes=chromsizes)
+    tmp = tempfile.mkdtemp(prefix="bb_prep_")
+    (coerced.orderBy("chrom", "start", "end").coalesce(1)
+     .write.mode("overwrite").option("sep", "\t").csv(tmp))
+    sizes = os.path.join(tmp, "chrom.sizes")
+    with open(sizes, "w") as fh:
+        for c, s in chromsizes.items():
+            fh.write(f"{c}\t{int(s)}\n")
+    part = _bedgraph_part(tmp)
+
+    cli = path_to_binary or shutil.which("bedToBigBed")
+    if engine in ("auto", "ucsc") and cli:
+        subprocess.run([cli, part, sizes, out_path], check=True)
+        return
+    raise NotImplementedError(
+        "no bigBed encoder available (need the UCSC bedToBigBed CLI); "
+        f"prepped sorted BED left at {part}"
+    )
 
 
 def to_parquet_partitioned(df: DataFrame, path: str, by: str = "chrom",

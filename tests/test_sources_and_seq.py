@@ -111,3 +111,51 @@ def test_resources_no_network():
         client.fetch_mrna()
     with pytest.raises(resources.NetworkDisabled):
         resources.fetch_centromeres("hg38")
+
+
+def test_write_bedgraph_golden(spark, tmp_path):
+    """Byte-compare the prepped bedGraph against the expected text."""
+    df = spark.createDataFrame(
+        [("chr2", 10, 20, 1.5), ("chr1", 5, 9, 2.0), ("chr1", 0, 5, 0.5)],
+        "chrom string, start long, end long, value double",
+    )
+    out = str(tmp_path / "bg")
+    fileops.write_bedgraph(df, out, {"chr1": 100, "chr2": 100})
+    import glob
+
+    part = sorted(glob.glob(out + "/part-*.csv"))[0]
+    got = open(part).read()
+    assert got == "chr1\t0\t5\t0.5\nchr1\t5\t9\t2.0\nchr2\t10\t20\t1.5\n"
+    sizes = open(out + "/chrom.sizes").read()
+    assert sizes == "chr1\t100\nchr2\t100\n"
+
+
+def test_prepare_bedgraph_rejects(spark):
+    import pytest
+
+    overlapping = spark.createDataFrame(
+        [("chr1", 0, 10, 1.0), ("chr1", 5, 15, 2.0)],
+        "chrom string, start long, end long, value double",
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        fileops.prepare_bedgraph(overlapping, {"chr1": 100})
+    out_of_bounds = spark.createDataFrame(
+        [("chr1", 0, 500, 1.0)], "chrom string, start long, end long, value double",
+    )
+    with pytest.raises(ValueError, match="bounds"):
+        fileops.prepare_bedgraph(out_of_bounds, {"chr1": 100})
+    unknown_chrom = spark.createDataFrame(
+        [("chrZ", 0, 5, 1.0)], "chrom string, start long, end long, value double",
+    )
+    with pytest.raises(ValueError, match="bounds"):
+        fileops.prepare_bedgraph(unknown_chrom, {"chr1": 100})
+
+
+def test_to_bigwig_raises_cleanly_without_encoder(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("chr1", 0, 5, 1.0)], "chrom string, start long, end long, value double",
+    )
+    with pytest.raises(NotImplementedError, match="prepped bedGraph left at"):
+        fileops.to_bigwig(df, {"chr1": 100}, str(tmp_path / "o.bw"))
