@@ -273,6 +273,162 @@ def closest_within(
     return out
 
 
+_CLOSEST_COGROUP_BYTES = 512 << 20  # above this combined scan size the
+# cogrouped kernel risks a single-chrom group exceeding one task's memory;
+# strategy='auto' switches to the binned cap-escalation plan
+
+
+def _big_inputs(df1: DataFrame, df2: DataFrame) -> bool:
+    from .ops import _plan_size_bytes
+
+    return (_plan_size_bytes(df1) + _plan_size_bytes(df2)) > _CLOSEST_COGROUP_BYTES
+
+
+def _closest_binned(
+    df1: DataFrame, df2: DataFrame, *, k, ignore_overlaps, ignore_upstream,
+    ignore_downstream, direction_col, tie_breaking_col, return_input,
+    return_distance, return_overlap, suffixes, cols1, cols2,
+) -> DataFrame:
+    """Pure-DataFrame kNN via distance-cap escalation — the 100 TB path.
+
+    Each round runs a cap-bounded binned interval join (parallel WITHIN
+    chromosomes, unlike the per-chrom cogroup task): probe = df1 expanded
+    by the cap. Rows that found ≥k candidates are complete (every candidate
+    at distance ≤ cap is present, so their top-k is the global top-k);
+    the rest retry with an 8× cap. The ladder ends at the coordinate span
+    bound, where completeness is unconditional; rows with no candidates at
+    all (or a null chrom) left-complete with null df2 columns — exact
+    ``closest`` left semantics.
+    """
+    from .ops import overlap
+    from ..functions.intervals import effective_end, genomic_distance
+
+    ck1, sk1, ek1 = _resolve_cols(cols1)
+    ck2, sk2, ek2 = _resolve_cols(cols2)
+    sfx1, sfx2 = suffixes
+    names1 = df1.columns
+    names2 = df2.columns
+
+    # deterministic full-column row id: row_number ties occur only among
+    # exact duplicate rows, which are interchangeable across rounds
+    worder = [F.col(c).asc_nulls_last() for c in names1]
+    wrid = Window.partitionBy(ck1).orderBy(*worder)
+    d1 = df1.withColumn(
+        "__cb_rid", F.struct(F.col(ck1).alias("c"), F.row_number().over(wrid).alias("r"))
+    )
+
+    # cap ladder bound: global coordinate span (one tiny agg job)
+    b1 = df1.agg(F.min(sk1).alias("lo"), F.max(ek1).alias("hi")).collect()[0]
+    b2 = df2.agg(F.min(sk2).alias("lo"), F.max(ek2).alias("hi")).collect()[0]
+    los = [v for v in (b1["lo"], b2["lo"]) if v is not None]
+    his = [v for v in (b1["hi"], b2["hi"]) if v is not None]
+    bound = (max(his) - min(los) + 2) if los and his else 2
+    cap = max(bound // 1024, 1024)
+    caps = []
+    while cap < bound:
+        caps.append(cap)
+        cap *= 8
+    caps.append(bound)
+
+    rid1 = "__cb_rid" + sfx1
+    s1o, e1o = F.col("__cb_s" + sfx1), F.col("__cb_e" + sfx1)
+    s2c, e2c = F.col(sk2 + sfx2), F.col(ek2 + sfx2)
+
+    done_parts = []
+    remaining = d1
+    for i, cap in enumerate(caps):
+        last = i == len(caps) - 1
+        pad = cap + 1
+        probe = remaining.withColumns({
+            "__cb_s": F.col(sk1), "__cb_e": F.col(ek1),
+            sk1: F.col(sk1) - F.lit(pad), ek1: F.col(ek1) + F.lit(pad),
+        })
+        pairs = overlap(probe, df2, how="inner", suffixes=suffixes,
+                        cols1=cols1, cols2=cols2)
+        is_ov = overlap_predicate(s1o, e1o, s2c, e2c)
+        ee1 = effective_end(s1o, e1o)
+        ee2 = effective_end(s2c, e2c)
+        left_side = ~is_ov & (ee2 <= s1o)
+        right_side = ~is_ov & (s2c >= ee1)
+        along = (F.lit(True) if direction_col is None
+                 else F.col(direction_col + sfx1) != F.lit("-"))
+        dist = genomic_distance(s1o, e1o, s2c, e2c)
+        keep = dist <= F.lit(cap)
+        if ignore_overlaps:
+            keep &= ~is_ov
+        if ignore_upstream:
+            keep &= ~((along & left_side) | (~along & right_side))
+        if ignore_downstream:
+            keep &= ~((along & right_side) | (~along & left_side))
+        idist = F.when(is_ov, F.lit(0)).otherwise(dist + 1)
+        order = [F.asc("__idist")]
+        if tie_breaking_col is not None:
+            order.append(F.asc(tie_breaking_col + sfx2))
+        order += [F.asc(sk2 + sfx2), F.asc(ek2 + sfx2)]
+        wk = Window.partitionBy(rid1).orderBy(*order)
+        wc = Window.partitionBy(rid1)
+        ranked = (
+            pairs.withColumn("__idist", idist)
+            .withColumn("distance", dist)
+            .filter(keep)
+            .withColumn("__rk", F.row_number().over(wk))
+            .filter(F.col("__rk") <= k)
+            .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        )
+        if not last:
+            ranked = ranked.filter(F.col("__cnt") >= k)
+        found = (
+            ranked
+            .withColumns({sk1 + sfx1: s1o, ek1 + sfx1: e1o})
+            .drop("__rk", "__cnt", "__idist", "__cb_s" + sfx1, "__cb_e" + sfx1)
+        )
+        done_parts.append(found)
+        if last:
+            # left-completion: rows that matched nothing at the full bound
+            matched_rids = found.select(F.col(rid1).alias("__cb_rid")).distinct()
+            misses = remaining.join(matched_rids, "__cb_rid", "left_anti")
+            null_cols = {c.name + sfx2: F.lit(None).cast(c.dataType)
+                         for c in df2.schema.fields}
+            left_null = misses.select(
+                *[F.col(c).alias(c + sfx1) for c in names1],
+                F.col("__cb_rid").alias(rid1),
+                *[null_cols[c + sfx2].alias(c + sfx2) for c in names2],
+                F.lit(None).cast("long").alias("distance"),
+            )
+            done_parts.append(left_null)
+        else:
+            remaining = remaining.join(
+                found.select(F.col(rid1).alias("__cb_rid")).distinct(),
+                "__cb_rid", "left_anti",
+            )
+
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part, allowMissingColumns=True)
+    if return_overlap:
+        s1f, e1f = F.col(sk1 + sfx1), F.col(ek1 + sfx1)
+        both = F.col(sk2 + sfx2).isNotNull()
+        osv = F.greatest(s1f, F.col(sk2 + sfx2))
+        oev = F.least(e1f, F.col(ek2 + sfx2))
+        hov = F.when(both, osv < oev)
+        out = out.withColumns({
+            "have_overlap": hov,
+            "overlap_start": F.when(both & (osv < oev), osv),
+            "overlap_end": F.when(both & (osv < oev), oev),
+        })
+    out = out.drop(rid1)
+    if not return_distance:
+        out = out.drop("distance")
+    if not return_input:
+        keep_cols = []
+        if return_overlap:
+            keep_cols += ["have_overlap", "overlap_start", "overlap_end"]
+        if return_distance:
+            keep_cols.append("distance")
+        out = out.select(*keep_cols)
+    return out
+
+
 def closest(
     df1: DataFrame,
     df2: DataFrame | None = None,
@@ -288,8 +444,17 @@ def closest(
     suffixes: tuple = ("", "_"),
     cols1=None,
     cols2=None,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """For every df1 interval, the k closest df2 intervals (see module doc)."""
+    """For every df1 interval, the k closest df2 intervals (see module doc).
+
+    ``strategy``: 'cogroup' = per-chrom vectorized kernel (fast, one task
+    per chromosome); 'binned' = pure-DataFrame cap-escalation plan
+    (parallel within chromosomes — the huge-single-chrom path); 'auto'
+    picks binned when the combined input scan size exceeds
+    ``_CLOSEST_COGROUP_BYTES`` and the feature set allows it (self-mode
+    and callable tie-breakers need the cogroup kernel).
+    """
     if k < 1:
         raise ValueError("k>=1 required")
     self_mode = df2 is None
@@ -303,6 +468,24 @@ def closest(
     _verify_columns(df1, [ck1, sk1, ek1], "closest df1")
     _verify_columns(df2, [ck2, sk2, ek2], "closest df2")
     sfx1, sfx2 = suffixes
+
+    if strategy not in ("auto", "cogroup", "binned"):
+        raise ValueError("strategy must be 'auto', 'cogroup' or 'binned'")
+    binned_ok = not self_mode and not callable(tie_breaking_col)
+    if strategy == "binned" and not binned_ok:
+        raise ValueError(
+            "strategy='binned' does not support self-mode or callable "
+            "tie_breaking_col; use strategy='cogroup'"
+        )
+    if strategy == "binned" or (strategy == "auto" and binned_ok and _big_inputs(df1, df2)):
+        return _closest_binned(
+            df1, df2, k=k, ignore_overlaps=ignore_overlaps,
+            ignore_upstream=ignore_upstream, ignore_downstream=ignore_downstream,
+            direction_col=direction_col, tie_breaking_col=tie_breaking_col,
+            return_input=return_input, return_distance=return_distance,
+            return_overlap=return_overlap, suffixes=suffixes,
+            cols1=cols1, cols2=cols2,
+        )
 
     out_fields = [T.StructField(f.name + sfx1, f.dataType, True) for f in df1.schema.fields]
     out_fields += [T.StructField(f.name + sfx2, f.dataType, True) for f in df2.schema.fields]

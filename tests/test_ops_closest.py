@@ -238,3 +238,91 @@ def test_closest_zero_length_at_start_no_duplicate(spark):
     out = bf.closest(d1, d2, k=3).collect()
     got = sorted((r["start_"], r["end_"], r["distance"]) for r in out)
     assert got == [(10, 10, 0), (12, 18, 0)]
+
+
+# --- binned (cap-escalation) strategy equivalence ----------------------------
+
+def _canon(df):
+    cols = [c for c in ("chrom", "start", "end", "strand",
+                        "chrom_", "start_", "end_", "strand_", "distance")
+            if c in df.columns]
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+def _rand_ivals(spark, n, seed, span=2000, strand=False):
+    import numpy as np
+
+    rs = np.random.default_rng(seed).integers(0, span, n)
+    rl = np.random.default_rng(seed + 1).integers(1, 30, n)
+    rows = [
+        (f"chr{i % 3}", int(s), int(s) + int(l))
+        + (("+" if i % 2 else "-",) if strand else ())
+        for i, (s, l) in enumerate(zip(rs, rl))
+    ]
+    extra = [("strand", "string")] if strand else None
+    return ivals(spark, rows, extra=extra)
+
+
+def test_closest_binned_matches_cogroup(spark):
+    d1 = _rand_ivals(spark, 60, 11)
+    d2 = _rand_ivals(spark, 45, 23)
+    for k in (1, 3):
+        a = bf.closest(d1, d2, k=k, strategy="cogroup")
+        b = bf.closest(d1, d2, k=k, strategy="binned")
+        assert _canon(a) == _canon(b), f"k={k}"
+
+
+def test_closest_binned_left_semantics(spark):
+    # chr9 exists only in df1: binned must left-complete with a null row
+    d1 = ivals(spark, [("chr1", 0, 5), ("chr9", 100, 110)])
+    d2 = ivals(spark, [("chr1", 50, 60)])
+    a = bf.closest(d1, d2, strategy="cogroup")
+    b = bf.closest(d1, d2, strategy="binned")
+    assert _canon(a) == _canon(b)
+    assert b.filter("chrom = 'chr9' AND chrom_ IS NULL").count() == 1
+
+
+def test_closest_binned_flags_match(spark):
+    d1 = _rand_ivals(spark, 40, 31, strand=True)
+    d2 = _rand_ivals(spark, 30, 47)
+    for kw in (
+        dict(ignore_overlaps=True),
+        dict(ignore_upstream=True),
+        dict(ignore_downstream=True),
+        dict(ignore_upstream=True, direction_col="strand"),
+    ):
+        a = bf.closest(d1, d2, k=2, strategy="cogroup", **kw)
+        b = bf.closest(d1, d2, k=2, strategy="binned", **kw)
+        assert _canon(a) == _canon(b), kw
+
+
+def test_closest_binned_tie_breaking_and_overlap_cols(spark):
+    d1 = ivals(spark, [("chr1", 10, 20)])
+    d2 = ivals(spark, [("chr1", 30, 40, 5.0), ("chr1", 30, 41, 1.0)],
+               extra=[("w", "double")])
+    a = bf.closest(d1, d2, tie_breaking_col="w", strategy="binned").first()
+    assert a["w_"] == 1.0
+    b = bf.closest(d1, d2, return_overlap=True, strategy="binned").first()
+    assert b["have_overlap"] is False
+    ov = bf.closest(ivals(spark, [("chr1", 25, 35)]), d2,
+                    return_overlap=True, strategy="binned").first()
+    assert ov["have_overlap"] is True and ov["overlap_start"] == 30
+
+
+def test_closest_binned_rejects_self_mode(spark):
+    import pytest
+
+    d1 = ivals(spark, [("chr1", 0, 5)])
+    with pytest.raises(ValueError, match="binned"):
+        bf.closest(d1, strategy="binned")
+
+
+def test_closest_binned_escalation_covers_far_neighbors(spark):
+    # neighbor farther than the initial cap (bound//1024 ≥ 1024): forces at
+    # least one ladder escalation before completion
+    d1 = ivals(spark, [("chr1", 0, 10)])
+    d2 = ivals(spark, [("chr1", 3_000_000, 3_000_010)])
+    got = bf.closest(d1, d2, strategy="binned").first()
+    assert got["distance"] == 3_000_000 - 10
