@@ -969,7 +969,8 @@ def _default_view(df, ck, sk, ek):
 
 
 def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
-               cols=None, cols_view=None) -> DataFrame:
+               cols=None, cols_view=None,
+               range_width: int | None = None) -> DataFrame:
     """Gaps: view regions not covered by any interval (reference
     ``ops.py:1560-1687``; kernel ``arrops.py:482-503``).
 
@@ -977,6 +978,12 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
     the — broadcast — view), add two zero-length sentinel pieces per region
     (at region start and end), merge per region (one window chain), and
     read every gap off a single lag() — one shuffle total, no branches.
+
+    ``range_width`` lifts the per-region window ceiling (the 100 TB path):
+    piece islands come from the range-partitioned construction
+    (``_distinct_islands_ranged``) and the island-gap ``lag`` runs per
+    (region, range) with a broadcast max-end carry across ranges —
+    identical output (equivalence-tested), parallelism regions × ranges.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "complement")
@@ -1021,28 +1028,65 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
         F.explode(F.array(F.col("__vs"), F.col("__ve"))).alias("__ps"),
     ).withColumn("__pe", F.col("__ps"))
     pieces = pieces.unionByName(sentinels)
-    # merge pieces per region (min_dist=0: abutting pieces fuse). Island
-    # membership is tie-invariant without a distinct pre-agg — both window
-    # expressions share one sort (see _islands_direct).
-    w = Window.partitionBy("__vn").orderBy("__ps", "__pe")
-    prev_max = F.max("__pe").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    border = F.when(prev_max.isNull(), F.lit(True)).otherwise(F.col("__ps") > prev_max)
-    merged = (
-        pieces.withColumn(
-            "__isl", F.sum(border.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    if range_width is None:
+        # merge pieces per region (min_dist=0: abutting pieces fuse). Island
+        # membership is tie-invariant without a distinct pre-agg — both
+        # window expressions share one sort (see _islands_direct).
+        w = Window.partitionBy("__vn").orderBy("__ps", "__pe")
+        prev_max = F.max("__pe").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        border = F.when(prev_max.isNull(), F.lit(True)).otherwise(F.col("__ps") > prev_max)
+        merged = (
+            pieces.withColumn(
+                "__isl", F.sum(border.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            )
+            .groupBy("__vn", "__isl")
+            .agg(F.min("__ps").alias("__ms"), F.max("__pe").alias("__me"))
         )
-        .groupBy("__vn", "__isl")
-        .agg(F.min("__ps").alias("__ms"), F.max("__pe").alias("__me"))
-    )
+    else:
+        isl = _distinct_islands_ranged(
+            pieces, "__vn", "__ps", "__pe", [], 0, range_width
+        )
+        merged = isl.groupBy("__vn", "__island").agg(
+            F.min("__ps").alias("__ms"), F.max("__pe").alias("__me")
+        )
     # the gap before each island: [prev_island_end, island_start). The
     # leading sentinel guarantees the first island starts at __vs, so the
     # coalesce never manufactures a gap that isn't real.
-    wg = Window.partitionBy("__vn").orderBy("__ms")
-    out = (
-        merged.select(
-            "__vn", "__ms",
-            F.lag("__me").over(wg).alias("__prev_me"),
+    if range_width is None:
+        wg = Window.partitionBy("__vn").orderBy("__ms")
+        gaps = merged.select(
+            "__vn", "__ms", F.lag("__me").over(wg).alias("__prev_me")
         )
+    else:
+        # ranged lag: islands are disjoint, so the previous island's end for
+        # a range's first island is the max end over all preceding ranges
+        merged = merged.withColumn("__g", F.floor(F.col("__ms") / F.lit(range_width)))
+        wg = Window.partitionBy("__vn", "__g").orderBy("__ms")
+        wc = Window.partitionBy("__c_vn").orderBy("__c_g")
+        carry = (
+            merged.groupBy(F.col("__vn").alias("__c_vn"), F.col("__g").alias("__c_g"))
+            .agg(F.max("__me").alias("__gmax"))
+            .select(
+                "__c_vn", "__c_g",
+                F.max("__gmax").over(
+                    wc.rowsBetween(Window.unboundedPreceding, -1)
+                ).alias("__carry_me"),
+            )
+        )
+        gaps = (
+            merged.withColumn("__llag", F.lag("__me").over(wg))
+            .join(
+                F.broadcast(carry),
+                (F.col("__vn") == F.col("__c_vn")) & (F.col("__g") == F.col("__c_g")),
+                "left",
+            )
+            .select(
+                "__vn", "__ms",
+                F.coalesce(F.col("__llag"), F.col("__carry_me")).alias("__prev_me"),
+            )
+        )
+    out = (
+        gaps
         .join(F.broadcast(view), "__vn")
         .select(
             F.col("__vc").alias(ck),
@@ -1131,7 +1175,7 @@ def trim(df: DataFrame, view_df=None, df_view_col: str | None = None,
 
 
 def pileup(df: DataFrame, weight_col: str | None = None, cols=None,
-           keep_zero: bool = False) -> DataFrame:
+           keep_zero: bool = False, range_width: int | None = None) -> DataFrame:
     """Coverage depth track: step function of how many intervals (or how
     much total weight) covers each genomic segment.
 
@@ -1144,6 +1188,14 @@ def pileup(df: DataFrame, weight_col: str | None = None, cols=None,
 
     Output: (chrom, start, end, depth) segments; zero-depth gaps between
     covered segments are dropped unless ``keep_zero``.
+
+    ``range_width`` lifts the per-chromosome window ceiling (the 100 TB
+    path): events range-partition by ``floor(pos/range_width)``, the
+    running sum splits into a per-range local cumsum plus a carry (prefix
+    sum of per-range totals over a tiny broadcast range table — the classic
+    two-phase distributed scan), and the cross-range ``lead`` stitches from
+    the next non-empty range's min position. Identical output to the
+    classic window (equivalence-tested).
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "pileup")
@@ -1152,13 +1204,51 @@ def pileup(df: DataFrame, weight_col: str | None = None, cols=None,
     starts = valid.select(F.col(ck), F.col(sk).alias("__pos"), wcol.alias("__d"))
     ends = valid.select(F.col(ck), F.col(ek).alias("__pos"), (-wcol).alias("__d"))
     ev = starts.unionByName(ends).groupBy(ck, "__pos").agg(F.sum("__d").alias("__d"))
-    w = Window.partitionBy(ck).orderBy("__pos")
-    seg = ev.withColumns(
-        {
-            "__depth": F.sum("__d").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-            "__next": F.lead("__pos").over(w),
-        }
-    )
+    if range_width is None:
+        w = Window.partitionBy(ck).orderBy("__pos")
+        seg = ev.withColumns(
+            {
+                "__depth": F.sum("__d").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                "__next": F.lead("__pos").over(w),
+            }
+        )
+    else:
+        if range_width < 1:
+            raise ValueError("range_width must be >= 1")
+        ev = ev.withColumn("__rng", F.floor(F.col("__pos") / F.lit(range_width)))
+        w = Window.partitionBy(ck, "__rng").orderBy("__pos")
+        local = ev.withColumns(
+            {
+                "__lsum": F.sum("__d").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                "__lnext": F.lead("__pos").over(w),
+            }
+        )
+        wr = Window.partitionBy("__r_ck").orderBy("__r_rng")
+        rtab = (
+            ev.groupBy(F.col(ck).alias("__r_ck"), F.col("__rng").alias("__r_rng"))
+            .agg(F.sum("__d").alias("__tot"), F.min("__pos").alias("__rmin"))
+            .select(
+                "__r_ck", "__r_rng",
+                F.coalesce(
+                    F.sum("__tot").over(wr.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ).alias("__carry"),
+                F.lead("__rmin").over(wr).alias("__next_rmin"),
+            )
+        )
+        seg = (
+            local.join(
+                F.broadcast(rtab),
+                (F.col(ck) == F.col("__r_ck")) & (F.col("__rng") == F.col("__r_rng")),
+                "left",
+            )
+            .withColumns(
+                {
+                    "__depth": F.col("__lsum") + F.col("__carry"),
+                    "__next": F.coalesce(F.col("__lnext"), F.col("__next_rmin")),
+                }
+            )
+        )
     out = seg.filter(F.col("__next").isNotNull()).select(
         F.col(ck),
         F.col("__pos").alias(sk),

@@ -141,3 +141,36 @@ def test_ranged_cluster_matches_classic(spark, rand1, width):
     ranged = bf.cluster(rand1, min_dist=0, range_width=width)
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(classic) == key(ranged)
+
+
+@pytest.mark.parametrize("width", [16, 100, 10_000])
+def test_ranged_pileup_matches_classic(spark, rand1, width):
+    classic = bf.pileup(rand1)
+    ranged = bf.pileup(rand1, range_width=width)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(classic) == key(ranged)
+    # keep_zero variant too (exercises the cross-range lead stitch on
+    # zero-depth runs)
+    kc = bf.pileup(rand1, keep_zero=True)
+    kr = bf.pileup(rand1, keep_zero=True, range_width=width)
+    assert key(kc) == key(kr)
+
+
+@pytest.mark.parametrize("width", [16, 100, 10_000])
+def test_ranged_complement_matches_classic(spark, rand1, width):
+    view = {f"chr{i}": 600 for i in range(3)}
+    classic = bf.complement(rand1, view_df=view)
+    ranged = bf.complement(rand1, view_df=view, range_width=width)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(classic) == key(ranged)
+
+
+def test_ranged_complement_long_spans_and_empty_regions(spark):
+    rows_ = [("chr1", 2, 95), ("chr1", 40, 45), ("chr1", 200, 210)]
+    d = spark.createDataFrame(rows_, "chrom string, start long, end long")
+    view = {"chr1": 300, "chrEmpty": 50}
+    classic = bf.complement(d, view_df=view)
+    ranged = bf.complement(d, view_df=view, range_width=10)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(classic) == key(ranged)
+    assert ("chrEmpty", 0, 50, "chrEmpty") in key(ranged)
