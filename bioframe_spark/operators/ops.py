@@ -974,16 +974,20 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
     """Gaps: view regions not covered by any interval (reference
     ``ops.py:1560-1687``; kernel ``arrops.py:482-503``).
 
-    Plan: split df intervals across view regions (inner interval join to
-    the — broadcast — view), add two zero-length sentinel pieces per region
-    (at region start and end), merge per region (one window chain), and
-    read every gap off a single lag() — one shuffle total, no branches.
+    Plan — ONE window expression total: split df intervals across view
+    regions (inner interval join to the — broadcast — view), add two
+    zero-length sentinel pieces per region (at region start and end), then
+    every piece emits the candidate gap ``[running_max_end_before_it,
+    its_start)``. That gap is non-empty exactly at island borders (for any
+    other row the running max already reaches its start), so a single
+    ``s < e`` filter yields precisely the complement — no island ids, no
+    aggregation, no second window, no rejoin. The sentinels make leading /
+    trailing / empty-region gaps fall out of the same expression.
 
     ``range_width`` lifts the per-region window ceiling (the 100 TB path):
-    piece islands come from the range-partitioned construction
-    (``_distinct_islands_ranged``) and the island-gap ``lag`` runs per
-    (region, range) with a broadcast max-end carry across ranges —
-    identical output (equivalence-tested), parallelism regions × ranges.
+    the running max splits into a per-(region, range) local window plus a
+    broadcast max-end carry over preceding ranges — identical output
+    (equivalence-tested), parallelism regions × ranges.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "complement")
@@ -1009,91 +1013,54 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
         df.filter(F.col(ck).isNotNull())
         .join(F.broadcast(view), cond, "inner")
         .select(
-            F.col("__vn"),
+            F.col("__vc"), F.col("__vn"), F.col("__vs"),
             F.greatest(F.col(sk), F.col("__vs")).alias("__ps"),
             F.least(F.col(ek), F.col("__ve")).alias("__pe"),
         )
     )
-    # Two zero-length SENTINEL pieces per region — [vs,vs) and [ve,ve) —
-    # make the whole computation one window chain: every gap (leading,
-    # middle, trailing, whole-empty-region) is exactly the space between
-    # consecutive merged islands, with no separate branches, no distinct
-    # shuffle, and no recompute of `pieces` for empty regions. A sentinel
-    # fuses into an adjacent island (it adds no coverage) or stands alone
-    # as a zero-width island whose preceding gap IS the leading/trailing/
-    # empty-region gap. Only (region, start, end) shuffle — region
-    # bounds/chrom rejoin from the broadcast view after aggregation.
+    # Two zero-length SENTINEL pieces per region — [vs,vs) and [ve,ve).
+    # The leading one seeds the running max at the region start (so the
+    # first real piece's candidate gap starts at __vs); the trailing one
+    # emits the trailing gap (and the whole-region gap for empty regions).
     sentinels = view.select(
-        "__vn",
+        "__vc", "__vn", "__vs",
         F.explode(F.array(F.col("__vs"), F.col("__ve"))).alias("__ps"),
     ).withColumn("__pe", F.col("__ps"))
     pieces = pieces.unionByName(sentinels)
     if range_width is None:
-        # merge pieces per region (min_dist=0: abutting pieces fuse). Island
-        # membership is tie-invariant without a distinct pre-agg — both
-        # window expressions share one sort (see _islands_direct).
         w = Window.partitionBy("__vn").orderBy("__ps", "__pe")
         prev_max = F.max("__pe").over(w.rowsBetween(Window.unboundedPreceding, -1))
-        border = F.when(prev_max.isNull(), F.lit(True)).otherwise(F.col("__ps") > prev_max)
-        merged = (
-            pieces.withColumn(
-                "__isl", F.sum(border.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0))
-            )
-            .groupBy("__vn", "__isl")
-            .agg(F.min("__ps").alias("__ms"), F.max("__pe").alias("__me"))
-        )
     else:
-        isl = _distinct_islands_ranged(
-            pieces, "__vn", "__ps", "__pe", [], 0, range_width
-        )
-        merged = isl.groupBy("__vn", "__island").agg(
-            F.min("__ps").alias("__ms"), F.max("__pe").alias("__me")
-        )
-    # the gap before each island: [prev_island_end, island_start). The
-    # leading sentinel guarantees the first island starts at __vs, so the
-    # coalesce never manufactures a gap that isn't real.
-    if range_width is None:
-        wg = Window.partitionBy("__vn").orderBy("__ms")
-        gaps = merged.select(
-            "__vn", "__ms", F.lag("__me").over(wg).alias("__prev_me")
-        )
-    else:
-        # ranged lag: islands are disjoint, so the previous island's end for
-        # a range's first island is the max end over all preceding ranges
-        merged = merged.withColumn("__g", F.floor(F.col("__ms") / F.lit(range_width)))
-        wg = Window.partitionBy("__vn", "__g").orderBy("__ms")
-        wc = Window.partitionBy("__c_vn").orderBy("__c_g")
+        # distributed running max: local per-(region, range) window + a
+        # broadcast carry (max end over all preceding ranges of the region)
+        if range_width < 1:
+            raise ValueError("range_width must be >= 1")
+        pieces = pieces.withColumn("__rng", F.floor(F.col("__ps") / F.lit(range_width)))
+        w = Window.partitionBy("__vn", "__rng").orderBy("__ps", "__pe")
+        local_prev = F.max("__pe").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        wc = Window.partitionBy("__c_vn").orderBy("__c_rng")
         carry = (
-            merged.groupBy(F.col("__vn").alias("__c_vn"), F.col("__g").alias("__c_g"))
-            .agg(F.max("__me").alias("__gmax"))
+            pieces.groupBy(F.col("__vn").alias("__c_vn"), F.col("__rng").alias("__c_rng"))
+            .agg(F.max("__pe").alias("__rmax"))
             .select(
-                "__c_vn", "__c_g",
-                F.max("__gmax").over(
+                "__c_vn", "__c_rng",
+                F.max("__rmax").over(
                     wc.rowsBetween(Window.unboundedPreceding, -1)
-                ).alias("__carry_me"),
+                ).alias("__M"),
             )
         )
-        gaps = (
-            merged.withColumn("__llag", F.lag("__me").over(wg))
-            .join(
-                F.broadcast(carry),
-                (F.col("__vn") == F.col("__c_vn")) & (F.col("__g") == F.col("__c_g")),
-                "left",
-            )
-            .select(
-                "__vn", "__ms",
-                F.coalesce(F.col("__llag"), F.col("__carry_me")).alias("__prev_me"),
-            )
+        pieces = pieces.join(
+            F.broadcast(carry),
+            (F.col("__vn") == F.col("__c_vn")) & (F.col("__rng") == F.col("__c_rng")),
+            "left",
         )
-    out = (
-        gaps
-        .join(F.broadcast(view), "__vn")
-        .select(
-            F.col("__vc").alias(ck),
-            F.coalesce(F.col("__prev_me"), F.col("__vs")).alias(sk),
-            F.col("__ms").alias(ek),
-            F.col("__vn").alias("view_region"),
-        )
+        # Spark greatest skips nulls (null only when all inputs are null)
+        prev_max = F.greatest(local_prev, F.col("__M"))
+    out = pieces.select(
+        F.col("__vc").alias(ck),
+        F.coalesce(prev_max, F.col("__vs")).alias(sk),
+        F.col("__ps").alias(ek),
+        F.col("__vn").alias("view_region"),
     )
     return out.filter(F.col(sk) < F.col(ek))
 
