@@ -74,23 +74,40 @@ def main():
         cached.count()
         setattr(em, fn_name, lambda spark, sf_dir, _df=cached: _df)
 
+    # Single-shot timings on a cold 32-core local JVM swing up to 5x
+    # (JIT, codegen compilation, shuffle-file page cache). Run each query
+    # REPS times and report the MEDIAN as the headline number; the first
+    # (cold) run is recorded separately under "cold" so JIT/codegen cost
+    # stays visible but stops polluting the steady-state comparison.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     qs = em.queries()
     times = {}
+    cold = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        samples = []
+        n = 0
+        for rep in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        cold[name] = round(samples[0], 3)
+        med = sorted(samples)[len(samples) // 2]
+        times[name] = round(med, 3)
+        total += med
+        print(
+            f"# {name}: median {med:.2f}s cold {samples[0]:.2f}s ({n} rows)",
+            file=sys.stderr,
+        )
 
     print(json.dumps({
         "metric": "bench_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "cold": cold,
+        "reps": reps,
         "sf": sf,
     }))
 
