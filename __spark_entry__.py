@@ -420,6 +420,116 @@ def q_natsort_key(spark, sf_dir):
     )
 
 
+def q_closest_binned(spark, sf_dir):
+    """The 100 TB closest path: pure-DataFrame cap-escalation kNN."""
+    return bf.closest(ivals_p(spark, sf_dir), ivals_s(spark, sf_dir),
+                      k=1, suffixes=("", "_s"), strategy="binned")
+
+
+def q_merge_ranged(spark, sf_dir):
+    """The 100 TB merge path: range-partitioned islands (identical output)."""
+    return bf.merge(ivals_a(spark, sf_dir).select("chrom", "start", "end"),
+                    min_dist=0, range_width=50_000)
+
+
+def q_complement_ranged(spark, sf_dir):
+    """The 100 TB complement path: local window + broadcast carry."""
+    return bf.complement(ivals_a(spark, sf_dir).select("chrom", "start", "end"),
+                         view_df=chromsizes(), range_width=50_000)
+
+
+def q_pileup_ranged(spark, sf_dir):
+    """The 100 TB pileup path: two-phase distributed scan-sum."""
+    return bf.pileup(ivals_a(spark, sf_dir), range_width=50_000)
+
+
+def q_pileup_weighted(spark, sf_dir):
+    return bf.pileup(ivals_a(spark, sf_dir), weight_col="qty",
+                     range_width=None)
+
+
+def q_overlap_right(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.overlap(a, b, how="right", suffixes=("", "_b"))
+
+
+def q_setdiff_on(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.setdiff(a, b, on=["strand"])
+
+
+def q_setdiff_binned(spark, sf_dir):
+    """setdiff forced onto the binned (large×large) anti-join rewrite."""
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.setdiff(a, b, strategy="binned")
+
+
+def q_coverage_binned(spark, sf_dir):
+    """coverage forced onto the binned interval-join path."""
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.coverage(a, b.select("chrom", "start", "end"), strategy="binned")
+
+
+def q_count_overlaps_on(spark, sf_dir):
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    return bf.count_overlaps(a, b.select("chrom", "start", "end", "strand"),
+                             on=["strand"])
+
+
+def q_select_indices(spark, sf_dir):
+    return bf.select_indices(ivals_a(spark, sf_dir), "chr1:1000-25000")
+
+
+def q_select_labels(spark, sf_dir):
+    return bf.select_labels(ivals_a(spark, sf_dir), "chr1:1000-25000",
+                            label_col="aid")
+
+
+def q_sort_view_rank(spark, sf_dir):
+    """View-ordered sort, hash-checkable: materialize the view-ordinal
+    position (the load-bearing part of sort_bedframe's view branch —
+    assign-largest-overlap + view-row ordinal) as an explicit column."""
+    from pyspark.sql import Window as W
+
+    a = ivals_a(spark, sf_dir)
+    tagged = bf.assign_view(a, arms_view())
+    ordmap = spark.createDataFrame(
+        [(n, i + 1) for i, (_c, _s, _e, n) in enumerate(arms_view())],
+        "__vn string, __ord int",
+    )
+    t = tagged.join(F.broadcast(ordmap),
+                    F.col("view_region") == F.col("__vn"), "left")
+    # full-row tie-break: aid is not unique in the derived table, so the
+    # order must be total over every column for a deterministic pos
+    w = W.orderBy(F.asc_nulls_last("__ord"), "chrom", "start", "end",
+                  "aid", "strand", "qty")
+    return (t.withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__vn", "__ord"))
+
+
+def q_checks(spark, sf_dir):
+    """The is_* validation predicates as one 1-row boolean frame."""
+    from bioframe_spark.core import checks
+
+    a = ivals_a(spark, sf_dir)
+    view = spark.createDataFrame(
+        arms_view(), "chrom string, start long, end long, name string"
+    )
+    vals = (
+        checks.is_bedframe(a),
+        checks.is_overlapping(a),
+        checks.is_viewframe(view),
+        checks.is_contained(a, view),
+        checks.is_covering(a, view),
+        checks.is_tiling(a, view),
+    )
+    return spark.createDataFrame(
+        [vals],
+        "is_bedframe boolean, is_overlapping boolean, is_viewframe boolean, "
+        "is_contained boolean, is_covering boolean, is_tiling boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "overlap_inner": q_overlap_inner,
@@ -463,6 +573,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "events_json": q_events_json,
+        "closest_binned": q_closest_binned,
+        "merge_ranged": q_merge_ranged,
+        "complement_ranged": q_complement_ranged,
+        "pileup_ranged": q_pileup_ranged,
+        "pileup_weighted": q_pileup_weighted,
+        "overlap_right": q_overlap_right,
+        "setdiff_on": q_setdiff_on,
+        "setdiff_binned": q_setdiff_binned,
+        "coverage_binned": q_coverage_binned,
+        "count_overlaps_on": q_count_overlaps_on,
+        "select_indices": q_select_indices,
+        "select_labels": q_select_labels,
+        "sort_view_rank": q_sort_view_rank,
+        "checks": q_checks,
     }
 
 
@@ -891,6 +1015,127 @@ SELECT pid, chrom,
        ) AS natkey
 FROM src
 """
+    pileup_weighted = _CTE + """, ev AS (
+  SELECT chrom, start AS pos, qty AS d FROM a
+  UNION ALL
+  SELECT chrom, "end" AS pos, -qty AS d FROM a
+), evagg AS (
+  SELECT chrom, pos, SUM(d) AS d FROM ev GROUP BY 1, 2
+), seg AS (
+  SELECT chrom, pos,
+         CAST(SUM(d) OVER (PARTITION BY chrom ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS depth,
+         LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS next_pos
+  FROM evagg
+)
+SELECT chrom, pos AS start, next_pos AS "end", depth
+FROM seg WHERE next_pos IS NOT NULL AND depth != 0 AND pos < next_pos
+"""
+    overlap_right = _CTE + f"""
+SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+       b.bid AS bid_b, b.chrom AS chrom_b, b.start AS start_b,
+       b."end" AS end_b, b.strand AS strand_b
+FROM a RIGHT JOIN b ON a.chrom = b.chrom AND {ov_ab}
+"""
+    setdiff_on = _CTE + f"""
+SELECT a.* FROM a
+WHERE NOT EXISTS (
+  SELECT 1 FROM b WHERE a.chrom = b.chrom AND a.strand = b.strand AND {ov_ab}
+)
+"""
+    count_overlaps_on = _CTE + f"""
+SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+       COUNT(b.chrom) AS count
+FROM a LEFT JOIN b ON a.chrom = b.chrom AND a.strand = b.strand AND {ov_ab}
+GROUP BY ALL
+"""
+    select_indices = _CTE + """, idx AS (
+  SELECT chrom, start, "end",
+         ROW_NUMBER() OVER (ORDER BY chrom, start, "end") - 1 AS "index"
+  FROM a
+)
+SELECT "index" FROM idx
+WHERE chrom = 'chr1' AND start < 25000 AND "end" > 1000
+"""
+    select_labels = _CTE + """
+SELECT aid AS label FROM a
+WHERE chrom = 'chr1' AND start < 25000 AND "end" > 1000
+"""
+    # assign largest-overlap arm per DISTINCT coordinate key (assignment
+    # depends only on coords; aid is NOT unique in the derived table), then
+    # the view-row ordinal position: arms_view order is chr0_p(1),
+    # chr0_q(2), chr1_p(3)… Position ties broken by the FULL row so exact
+    # duplicates are interchangeable and the pos multiset is deterministic.
+    sort_view_rank = _CTE + """, best AS (
+  SELECT chrom, start, "end", vname FROM (
+    SELECT c.chrom, c.start, c."end", v.vname, v.vs,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.chrom, c.start, c."end"
+             ORDER BY LEAST(c."end", v.ve) - GREATEST(c.start, v.vs) DESC, v.vs ASC
+           ) AS rk
+    FROM (SELECT DISTINCT chrom, start, "end" FROM a) c
+    JOIN arms v ON c.chrom = v.chrom AND c.start < v.ve AND v.vs < c."end"
+  ) WHERE rk = 1
+), av AS (
+  SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+         b.vname AS view_region
+  FROM a JOIN best b USING (chrom, start, "end")
+)
+SELECT aid, chrom, start, "end", strand, qty, view_region,
+       ROW_NUMBER() OVER (ORDER BY
+         2 * CAST(substr(chrom, 4) AS INT)
+           + CASE WHEN right(view_region, 2) = '_p' THEN 1 ELSE 2 END,
+         chrom, start, "end", aid, strand, qty) AS pos
+FROM av
+"""
+    checks_sql = _CTE + f""", gaps AS (
+  SELECT m.chrom,
+         COALESCE(LAG(e) OVER (PARTITION BY m.chrom ORDER BY s), 0) AS gs,
+         s AS ge
+  FROM (
+    SELECT chrom, MIN(start) AS s, MAX("end") AS e
+    FROM ({_islands_sql('a')}) GROUP BY chrom, island
+  ) m
+), flags AS (
+  SELECT
+    ((SELECT COUNT(*) FROM a WHERE chrom IS NULL OR start IS NULL
+        OR "end" IS NULL OR start > "end") = 0) AS is_bedframe,
+    EXISTS (SELECT 1 FROM a x JOIN a y
+            ON x.chrom = y.chrom AND x.start < y."end" AND y.start < x."end"
+            AND x.aid <> y.aid) AS is_overlapping,
+    (((SELECT COUNT(*) FROM arms WHERE chrom IS NULL OR vs IS NULL
+        OR ve IS NULL OR vname IS NULL OR vs > ve) = 0)
+     AND ((SELECT COUNT(*) FROM (SELECT vname FROM arms GROUP BY vname
+           HAVING COUNT(*) > 1)) = 0)
+     AND NOT EXISTS (SELECT 1 FROM arms x JOIN arms y
+         ON x.chrom = y.chrom AND x.vs < y.ve AND y.vs < x.ve
+         AND x.vname <> y.vname)) AS is_viewframe,
+    NOT EXISTS (
+      SELECT 1 FROM (
+        SELECT c.start, c."end", v.vs, v.ve,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.chrom, c.start, c."end"
+                 ORDER BY LEAST(c."end", v.ve) - GREATEST(c.start, v.vs) DESC,
+                          v.vs ASC) AS rk
+        FROM (SELECT DISTINCT chrom, start, "end" FROM a) c
+        JOIN arms v ON c.chrom = v.chrom
+          AND c.start < v.ve AND v.vs < c."end"
+      ) WHERE rk = 1 AND (start < vs OR "end" > ve)
+    ) AS is_contained,
+    NOT EXISTS (SELECT 1 FROM gaps WHERE gs < ge) AS is_covering_gapless,
+    NOT EXISTS (
+      SELECT 1 FROM (SELECT chrom, MAX(e) AS me FROM
+        (SELECT chrom, MIN(start) AS s, MAX("end") AS e
+         FROM ({_islands_sql('a')}) GROUP BY chrom, island) GROUP BY chrom) t
+      JOIN chroms c ON t.chrom = c.chrom WHERE t.me < c.clen
+    ) AS is_covering_tail
+)
+SELECT is_bedframe, is_overlapping, is_viewframe, is_contained,
+       (is_covering_gapless AND is_covering_tail) AS is_covering,
+       (is_covering_gapless AND is_covering_tail AND is_contained
+        AND NOT is_overlapping) AS is_tiling
+FROM flags
+"""
     return {
         "overlap_inner": overlap_inner,
         "overlap_left": overlap_left,
@@ -929,6 +1174,23 @@ FROM src
         "events_hourly": events_hourly,
         "sessions": sessions,
         "events_json": events_json,
+        # scale-path variants: same semantics as the classic plans, so the
+        # classic oracles apply verbatim — the POINT is that the driver
+        # proves the 100 TB physical plans value-identical
+        "closest_binned": closest_tmpl.replace("{K}", "1"),
+        "merge_ranged": merge,
+        "complement_ranged": complement,
+        "pileup_ranged": pileup,
+        "setdiff_binned": setdiff,
+        "coverage_binned": coverage,
+        "pileup_weighted": pileup_weighted,
+        "overlap_right": overlap_right,
+        "setdiff_on": setdiff_on,
+        "count_overlaps_on": count_overlaps_on,
+        "select_indices": select_indices,
+        "select_labels": select_labels,
+        "sort_view_rank": sort_view_rank,
+        "checks": checks_sql,
         # minhash_lsh / simhash_pairs / ann_lsh: intentionally no oracle
         # (hash-based randomized algorithms) → rows-only check
     }

@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "assign_view",
     "pileup",
     "gene_coverage",
+    # scale-path variants (the 100 TB plans, value-identical to classic)
+    "closest_binned",
+    "merge_ranged",
+    "complement_ranged",
     # datapipe ops
     "dedup_exact",
     "text_stats",

@@ -70,7 +70,12 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     the skew risk — AQE skew-join splits them.
     Output: id1, id2, n_common, n_union (integers — engine-exact).
     """
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).cache()
+    # no cache: the shingle explode is cheap JVM-side work, and pinning an
+    # exploded (≫input-size) frame in executor memory is exactly wrong at
+    # 100 TB — recomputing the explode for the three consumers costs less
+    # than the eviction pressure (and a returned lazy frame has no
+    # unpersist point anyway)
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id1"), "shingle")
     b = sh.select(F.col(id_col).alias("id2"), "shingle")

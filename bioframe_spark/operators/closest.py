@@ -101,6 +101,22 @@ def _closest_kernel(
     """Per-chromosome kernel: returns (ids1, ids2(-1 for none), distances)."""
     # canonical df2 order for deterministic ties
     sort_cols = [c for c in (sk2, ek2) if c in pdf2.columns]
+
+    def _csort(pdf):
+        try:
+            return pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        except TypeError:
+            # unsortable payload dtype: string-cast object columns so both
+            # frames still share ONE deterministic total order (a
+            # coords-only fallback would let rows with duplicate
+            # coordinates but differing payloads land at different
+            # positions in the two cogroup copies, breaking positional
+            # self-exclusion)
+            return pdf.sort_values(
+                sort_cols, kind="mergesort", ignore_index=True,
+                key=lambda s: s.astype(str) if s.dtype == object else s,
+            )
+
     if self_mode:
         # Self-exclusion below is POSITIONAL (ov1 != ov2, ids[c1] != c2), so
         # both frames must share one ordering. Spark's two cogroup shuffles
@@ -110,12 +126,8 @@ def _closest_kernel(
         # positional identity stays valid (exact dups remain each other's
         # distance-0 closest, matching reference ops.py self-closest).
         sort_cols = sort_cols + [c for c in pdf2.columns if c not in (sk2, ek2)]
-        try:
-            pdf1 = pdf1.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-        except TypeError:  # unsortable payload dtype: fall back to coords only
-            sort_cols = [c for c in (sk2, ek2) if c in pdf2.columns]
-            pdf1 = pdf1.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-    pdf2 = pdf2.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        pdf1 = _csort(pdf1)
+    pdf2 = _csort(pdf2)
     s1 = pdf1[sk1].to_numpy(np.int64, na_value=0)
     e1 = pdf1[ek1].to_numpy(np.int64, na_value=0)
     s2 = pdf2[sk2].to_numpy(np.int64, na_value=0)
@@ -309,12 +321,16 @@ def _closest_binned(
     names1 = df1.columns
     names2 = df2.columns
 
-    # deterministic full-column row id: row_number ties occur only among
-    # exact duplicate rows, which are interchangeable across rounds
-    worder = [F.col(c).asc_nulls_last() for c in names1]
-    wrid = Window.partitionBy(ck1).orderBy(*worder)
-    d1 = df1.withColumn(
-        "__cb_rid", F.struct(F.col(ck1).alias("c"), F.row_number().over(wrid).alias("r"))
+    # Deduplicate identical df1 rows — the distinct row IS its own id
+    # (struct of every column), so no id-minting window is needed. A
+    # row_number over Window.partitionBy(chrom) here would re-serialize
+    # each chromosome into one full-sort task — exactly the bottleneck
+    # this strategy exists to avoid. Duplicates are interchangeable (one
+    # shared candidate set); multiplicity is re-expanded at the end.
+    d1 = (
+        df1.groupBy(*[F.col(c) for c in names1])
+        .agg(F.count(F.lit(1)).alias("__cb_mult"))
+        .withColumn("__cb_rid", F.struct(*[F.col(c) for c in names1]))
     )
 
     # cap ladder bound: global coordinate span (one tiny agg job)
@@ -392,6 +408,7 @@ def _closest_binned(
             left_null = misses.select(
                 *[F.col(c).alias(c + sfx1) for c in names1],
                 F.col("__cb_rid").alias(rid1),
+                F.col("__cb_mult").alias("__cb_mult" + sfx1),
                 *[null_cols[c + sfx2].alias(c + sfx2) for c in names2],
                 F.lit(None).cast("long").alias("distance"),
             )
@@ -405,6 +422,10 @@ def _closest_binned(
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part, allowMissingColumns=True)
+    # re-expand duplicate df1 rows collapsed at the start
+    out = out.withColumn(
+        "__cb_dup", F.explode(F.sequence(F.lit(1), F.col("__cb_mult" + sfx1)))
+    ).drop("__cb_dup", "__cb_mult" + sfx1)
     if return_overlap:
         s1f, e1f = F.col(sk1 + sfx1), F.col(ek1 + sfx1)
         both = F.col(sk2 + sfx2).isNotNull()

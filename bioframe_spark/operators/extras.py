@@ -29,29 +29,15 @@ def frac_gene_coverage(df: DataFrame, genes: DataFrame, cols=None) -> DataFrame:
     (reference ``extras.py:357-386``, which fetches the UCSC mRNA table;
     here *genes* is any interval DataFrame).
 
-    Single row-id base: coverage sums (vs merged genes) and overlap counts
-    (vs raw genes) are aggregated separately on the narrow projection and
-    both joined back by id — one wide pass instead of a wide-key join of
-    two full operator outputs."""
-    from .ops import _with_rid, merge, overlap
+    Pure composition of ``coverage`` + ``count_overlaps`` — both aggregate
+    over distinct interval keys and equi-join back, so this inherits their
+    row-id-free, per-chromosome-ceiling-free plans."""
+    from .ops import count_overlaps, coverage
 
     ck, sk, ek = _resolve_cols(cols)
-    d1 = _with_rid(df, ck, sk, ek)
-    slim = d1.select("__rid", ck, sk, ek)
-    merged = merge(genes, min_dist=0, cols=cols).filter(F.col(ck).isNotNull())
-    covp = overlap(slim, merged.select(ck, sk, ek), how="inner",
-                   suffixes=("", "__r2"), cols1=cols, cols2=cols)
-    ov = F.least(F.col(ek), F.col(ek + "__r2")) - F.greatest(F.col(sk), F.col(sk + "__r2"))
-    sums = covp.groupBy("__rid").agg(F.sum(ov).cast("long").alias("coverage"))
-    cntp = overlap(slim, genes.select(ck, sk, ek), how="inner",
-                   suffixes=("", "__r2"), cols1=cols, cols2=cols)
-    cnts = cntp.groupBy("__rid").agg(F.count(F.lit(1)).alias("n_genes"))
-    out = (
-        d1.join(sums, "__rid", "left").join(cnts, "__rid", "left")
-        .withColumn("coverage", F.coalesce(F.col("coverage"), F.lit(0)))
-        .withColumn("n_genes", F.coalesce(F.col("n_genes"), F.lit(0)))
-        .drop("__rid")
-    )
+    out = coverage(df, genes.select(ck, sk, ek), cols1=cols, cols2=cols)
+    out = count_overlaps(out, genes.select(ck, sk, ek), cols1=cols, cols2=cols)
+    out = out.withColumnRenamed("count", "n_genes")
     return out.withColumn(
         "gene_coverage",
         F.col("coverage").cast("double") / (F.col(ek) - F.col(sk)),
@@ -129,6 +115,7 @@ def pair_by_distance(
     relative_to: str = "midpoints",
     cols=None,
     suffixes: tuple = ("_1", "_2"),
+    range_width="auto",
 ) -> DataFrame:
     """All ordered pairs of intervals separated by [min_sep, max_sep]
     (reference ``extras.py:389-543``) → BEDPE-style columns.
@@ -138,6 +125,13 @@ def pair_by_distance(
     interval ([mid+min_sep, mid+max_sep]) overlap-joined against the left
     probes of candidate partners. Intervening counts = difference of
     per-chrom positional ranks.
+
+    ``range_width`` lifts the per-chromosome ceiling of the rank window
+    (the 100 TB path): ranks split into a per-(chrom, range) local
+    row_number plus per-range offsets from a tiny broadcast counts table —
+    identical ranks (ranges partition the (start, end) sort order because
+    start determines the range). Default ``"auto"`` selects it by input
+    size; ``None`` forces the classic window.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "pair_by_distance")
@@ -160,9 +154,34 @@ def pair_by_distance(
     # between the two probes with integer halving; intervening counts are
     # positional-rank differences in (chrom,start,end) order (the
     # reference sorts before pairing, ``extras.py:456``).
+    from .ops import _auto_range_width
+
     mid = F.floor((F.col(sk) + F.col(ek)) / 2).cast("long")
-    w = Window.partitionBy(ck).orderBy(sk, ek)
-    base = df.withColumn("__rank", F.row_number().over(w))
+    range_width = _auto_range_width(df, sk, ek, range_width)
+    if range_width is None:
+        w = Window.partitionBy(ck).orderBy(sk, ek)
+        base = df.withColumn("__rank", F.row_number().over(w))
+    else:
+        d = df.withColumn("__rng", F.floor(F.col(sk) / F.lit(range_width)))
+        wl = Window.partitionBy(ck, "__rng").orderBy(sk, ek)
+        counts = d.groupBy(ck, "__rng").count()
+        wofs = Window.partitionBy(F.col(ck)).orderBy(F.col("__rng")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            F.col(ck).alias("__o_ck"), F.col("__rng").alias("__o_rng"),
+            F.coalesce(F.sum("count").over(wofs), F.lit(0)).alias("__ofs"),
+        )
+        base = (
+            d.withColumn("__lrn", F.row_number().over(wl))
+            .join(
+                F.broadcast(offsets),
+                (F.col(ck) == F.col("__o_ck")) & (F.col("__rng") == F.col("__o_rng")),
+                "left",
+            )
+            .withColumn("__rank", F.col("__ofs") + F.col("__lrn"))
+            .drop("__o_ck", "__o_rng", "__ofs", "__lrn", "__rng")
+        )
     if relative_to == "midpoints":
         ref_r, ref_l = mid, mid
     elif relative_to == "endpoints":

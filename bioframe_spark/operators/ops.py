@@ -379,11 +379,14 @@ def overlap(
                                       [(c + sfx1, c + sfx2) for c in on],
                                       jt, bin_size, lo, hi)
     else:
-        # plain path = broadcast-hash on the small side; round-robin the
-        # probe when it's big so a single-row-group file doesn't pin the
-        # whole join to one task (broadcast joins accept any partitioning)
+        # plain path = broadcast-hash on the small side; spread the probe
+        # ONLY when its scan arrives under-partitioned (e.g. a single
+        # row-group parquet would pin the whole join to one task) — a
+        # well-split input keeps its partitioning, no extra shuffle
         if _plan_size_bytes(d1) > _BROADCAST_BYTES:
-            L = L.repartition(L.sparkSession.sparkContext.defaultParallelism * 2)
+            par = L.sparkSession.sparkContext.defaultParallelism
+            if L.rdd.getNumPartitions() < par:
+                L = L.repartition(par * 2)
         joined = L.join(R, cond, jt)
 
     if return_overlap:
@@ -443,12 +446,17 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
         .withColumnRenamed("__bin", "__bin2")
     )
     # Force a shuffle join on (chrom, bin): both sides exchange on the join
-    # keys — full cluster spread for free (defeats the single-task pin of
-    # single-row-group scans) with ONE purposeful shuffle instead of an
-    # extra repartition pass, and AQE's skew-join splitting applies. A
+    # keys — full cluster spread (defeats the single-task pin of
+    # single-row-group scans), and AQE's skew-join splitting applies. A
     # broadcast here would keep the whole per-pair workload on the probe
-    # side's (possibly single) scan tasks.
-    lb = lb.hint("shuffle_merge")
+    # side's (possibly single) scan tasks. The explicit numPartitions
+    # matters: join-product CPU cost is invisible to AQE's byte-size
+    # advisory, so a bare hint would let AQE coalesce small-bytes/
+    # high-fanout inputs back onto few tasks — a REPARTITION_BY_NUM
+    # exchange is exempt from coalescing, and the SMJ's matched partition
+    # counts keep the other side at the same parallelism.
+    n_part = L.sparkSession.sparkContext.defaultParallelism * 2
+    lb = lb.repartition(n_part, F.col(c1), F.col("__bin")).hint("shuffle_merge")
     cond = (F.col(c1) == F.col(c2)) & (F.col("__bin") == F.col("__bin2"))
     for a, b in on_pairs:
         cond = cond & (F.col(a) == F.col(b))
@@ -599,35 +607,28 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     return dd.drop("__rng", "__M", "__b", "__local_isl", "__ofs")
 
 
-def _islands_direct(df: DataFrame, ck: str, sk: str, ek: str, on: list,
-                    min_dist: int | None) -> DataFrame:
-    """Islands over RAW rows in one chained window pass — no distinct
-    pre-aggregation, so merge costs ONE shuffle (the window exchange; the
-    final span aggregation reuses its partitioning).
+_RANGED_WINDOW_BYTES = 256 << 20  # above this scan size a per-chromosome
+# window partition risks stragglers and task-memory pressure; the
+# window-family ops (merge/cluster/complement/pileup) auto-switch to
+# their range-partitioned constructions (identical output, parallelism
+# groups × ranges) — mirroring closest(strategy='auto')
 
-    Tie-safety: the two window expressions share (partition, order), so the
-    second Window reuses the first's sort (no exchange, no re-sort) — both
-    see one tie order. Island MEMBERSHIP is then order-invariant even with
-    duplicate (start,end) rows: tied rows share coordinates, so the running
-    max over any prefix permutation is identical, and border flags depend
-    only on coordinates. (Per-row island *ids* could renumber under ties —
-    callers here only aggregate island spans/counts, which are invariant.
-    ``cluster`` needs stable per-row ids and keeps ``_distinct_islands``.)
-    """
-    keys = [ck] + on
-    if min_dist is not None and min_dist < 0:
-        raise ValueError("min_dist>=0 or None required")
-    w = Window.partitionBy(*keys).orderBy(sk, ek)
-    prev_max_end = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    if min_dist is None:
-        border = F.col(sk) >= prev_max_end
-    else:
-        border = F.col(sk) > prev_max_end + F.lit(min_dist)
-    border = F.when(prev_max_end.isNull(), F.lit(True)).otherwise(border)
-    return df.withColumn(
-        "__island",
-        F.sum(border.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+
+def _auto_range_width(df: DataFrame, sk: str, ek: str, range_width):
+    """Resolve a ``range_width`` parameter: the default ``"auto"`` selects
+    the ranged construction by input size with a width splitting the
+    coordinate span into ~8 ranges per core; ``None`` forces the classic
+    per-group window; an int is explicit."""
+    if range_width != "auto":
+        return range_width
+    if _plan_size_bytes(df) <= _RANGED_WINDOW_BYTES:
+        return None
+    row = df.agg(F.min(sk).alias("lo"), F.max(ek).alias("hi")).collect()[0]
+    if row["lo"] is None:
+        return None
+    span = max(int(min(row["hi"], INT64_MAX)) - int(row["lo"]), 1)
+    n = df.sparkSession.sparkContext.defaultParallelism * 8
+    return max(span // n, 1024)
 
 
 def _null_key_rows(df, ck, sk, ek, on):
@@ -639,7 +640,7 @@ def _null_key_rows(df, ck, sk, ek, on):
 
 
 def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
-          on: list | None = None, range_width: int | None = None) -> DataFrame:
+          on: list | None = None, range_width="auto") -> DataFrame:
     """Collapse overlapping/nearby intervals into union spans + count
     (reference ``ops.py:711-839``). One shuffle by (chrom,*on); the final
     groupBy reuses the window partitioning, aggregation is partial+final.
@@ -647,14 +648,16 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
     Rows with null chrom/start/end/on pass through untouched with null
     ``n_intervals`` (reference ``ops.py:812-831``).
 
-    ``range_width``: opt into the range-partitioned islands construction
+    ``range_width``: the range-partitioned islands construction
     (``_distinct_islands_ranged``) — identical results, parallelism
     groups×ranges instead of per-chromosome, for massive few-chromosome
-    inputs.
+    inputs. Default ``"auto"`` selects it by input size; ``None`` forces
+    the classic window; an int is explicit.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "merge")
     on = list(on) if on else []
+    range_width = _auto_range_width(df, sk, ek, range_width)
     if range_width is not None:
         nulls, valid = _null_key_rows(df, ck, sk, ek, on)
         isl = _distinct_islands_ranged(valid, ck, sk, ek, on, min_dist, range_width)
@@ -670,8 +673,16 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
         return out.unionByName(nulls_out)
     # Single-scan, single-shuffle path: null-key rows ride the SAME window
     # pass in their own partition group (flagged), each as its own island,
-    # so the input is read once and no union branch exists. Island
-    # membership is tie-invariant on raw rows (see _islands_direct).
+    # so the input is read once and no union branch exists. Tie-safety of
+    # islands over RAW rows (no distinct pre-agg): the two window
+    # expressions share (partition, order), so the second Window reuses
+    # the first's sort — both see one tie order — and island MEMBERSHIP is
+    # order-invariant even with duplicate (start,end) rows (tied rows
+    # share coordinates, so the running max over any prefix permutation is
+    # identical and border flags depend only on coordinates). Per-row
+    # island *ids* could renumber under ties — merge only aggregates
+    # island spans/counts, which are invariant; ``cluster`` needs stable
+    # per-row ids and uses ``_distinct_islands``.
     if min_dist is not None and min_dist < 0:
         raise ValueError("min_dist>=0 or None required")
     valid_pred = F.lit(True)
@@ -744,18 +755,20 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
             on: list | None = None, return_input: bool = True,
             return_cluster_ids: bool = True,
             return_cluster_intervals: bool = True,
-            range_width: int | None = None) -> DataFrame:
+            range_width="auto") -> DataFrame:
     """Tag each interval with a dense cluster id + cluster span
     (reference ``ops.py:559-708``).
 
     Null-key rows become singleton clusters numbered after all real
-    clusters (``ops.py:676-685``). ``range_width`` opts into the
+    clusters (``ops.py:676-685``). ``range_width`` selects the
     range-partitioned islands construction (identical ids, parallelism
-    groups×ranges — see ``_distinct_islands_ranged``).
+    groups×ranges — see ``_distinct_islands_ranged``); default ``"auto"``
+    picks it by input size, ``None`` forces the classic window.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "cluster")
     on = list(on) if on else []
+    range_width = _auto_range_width(df, sk, ek, range_width)
     nulls, valid = _null_key_rows(df, ck, sk, ek, on)
     clustered = _cluster_islands(valid, ck, sk, ek, on, min_dist,
                                  range_width=range_width).drop("__island")
@@ -793,7 +806,9 @@ def setdiff(df1: DataFrame, df2: DataFrame, cols1=None, cols2=None,
     (reference ``ops.py:1333-1368``).
 
     Plain path maps 1:1 onto Spark left_anti; when both sides are large the
-    anti join is rewritten as binned-inner pair ids + anti on row id (the
+    anti join is rewritten over DISTINCT interval keys (overlap depends
+    only on (chrom,start,end,*on)): binned-inner hit keys + anti join back
+    on the key columns — no row ids, no per-chromosome window (the
     chrom-equi anti join has the same per-chrom quadratic hazard as
     ``overlap``)."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
@@ -801,13 +816,18 @@ def setdiff(df1: DataFrame, df2: DataFrame, cols1=None, cols2=None,
     on = list(on) if on else []
     strategy = _choose_strategy(df1, df2, strategy)
     if strategy == "binned":
-        d1 = _with_rid(df1, ck1, sk1, ek1, "__ad_rid")
+        keys = [ck1, sk1, ek1, *on]
+        coords = df1.select(*keys).filter(F.col(ck1).isNotNull()).distinct()
         hits = overlap(
-            d1, df2.select(ck2, sk2, ek2, *on), how="inner",
+            coords, df2.select(ck2, sk2, ek2, *on), how="inner",
             suffixes=("", "__r2"), cols1=cols1, cols2=cols2, on=on,
             strategy="binned",
-        ).select("__ad_rid").distinct()
-        return d1.join(hits, "__ad_rid", "left_anti").drop("__ad_rid")
+        ).select(*keys).distinct()
+        hits = hits.select(*[F.col(k).alias("__h_" + k) for k in keys])
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(k) == F.col("__h_" + k))
+        return df1.join(hits, cond, "left_anti")
     r = df2.select(
         F.col(ck2).alias("__c2"), F.col(sk2).alias("__s2"), F.col(ek2).alias("__e2"),
         *[F.col(c).alias("__on_" + c) for c in on],
@@ -824,29 +844,38 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
                    return_input: bool = True, cols1=None, cols2=None,
                    on: list | None = None, strategy: str = "auto") -> DataFrame:
     """Per df1 row, the count of overlapping df2 rows, 0 kept
-    (reference ``ops.py:1371-1438``). Left interval join (auto strategy) →
-    count per row id; partial+final aggregation (map-side combine).
+    (reference ``ops.py:1371-1438``). Counts depend only on the interval
+    key (chrom,start,end,*on), so: inner interval join over DISTINCT keys
+    → count per key → equi-join back onto df1 with 0-fill. No row ids, no
+    per-chromosome window — every stage is parallel within chromosomes and
+    df1 itself shuffles at most once (the join-back).
 
     ``suffixes`` is accepted for reference signature parity but has no
     output effect (matching the reference: output is unsuffixed df1 columns
-    + ``count``). ``return_input=False`` returns only the count column."""
+    + ``count``). ``return_input=False`` returns only the count column;
+    NOTE (deviation, documented): Spark output is unordered, so without
+    the input columns the counts cannot be correlated to df1 rows — use it
+    only for aggregate statistics, or keep ``return_input=True``."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     on = list(on) if on else []
-    d1 = _with_rid(df1, ck1, sk1, ek1)
-    # inner pairs on the narrow columns only, then left-join the counts
-    # back by row id with 0-fill — cheaper than a left interval join (no
-    # unmatched-row reconstruction inside the join)
-    slim = d1.select("__rid", ck1, sk1, ek1, *on)
+    keys = [ck1, sk1, ek1, *on]
+    coords = df1.select(*keys).filter(F.col(ck1).isNotNull()).distinct()
     pairs = overlap(
-        slim, df2.select(ck2, sk2, ek2, *on), how="inner", suffixes=("", "__r2"),
+        coords, df2.select(ck2, sk2, ek2, *on), how="inner", suffixes=("", "__r2"),
         cols1=cols1, cols2=cols2, on=on, strategy=strategy,
     )
-    counts = pairs.groupBy("__rid").agg(F.count(F.lit(1)).alias("count"))
+    counts = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+    counts = counts.select(*[F.col(k).alias("__k_" + k) for k in keys], "count")
+    cond = F.lit(True)
+    for k in keys:
+        # plain equality: null-keyed df1 rows can never overlap, so a join
+        # miss + 0-fill is exactly right for them
+        cond = cond & (F.col(k) == F.col("__k_" + k))
     out = (
-        d1.join(counts, "__rid", "left")
+        df1.join(counts, cond, "left")
         .withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
-        .drop("__rid")
+        .drop(*["__k_" + k for k in keys])
     )
     return out if return_input else out.select("count")
 
@@ -862,24 +891,31 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
 
     ``suffixes`` is accepted for reference signature parity but has no
     output effect (matching the reference: output is unsuffixed df1 columns
-    + ``coverage``). ``return_input=False`` returns only the coverage column."""
+    + ``coverage``). ``return_input=False`` returns only the coverage
+    column; NOTE (deviation, documented): Spark output is unordered, so
+    without the input columns the values cannot be correlated to df1 rows
+    — use it only for aggregate statistics, or keep ``return_input=True``.
+
+    Coverage depends only on coordinates, so both paths aggregate over
+    DISTINCT (chrom,start,end) and equi-join the sums back onto df1 — no
+    row ids, no per-chromosome window. The per-chrom product vs merged2 is
+    BOUNDED (merged intervals are disjoint), so even the broadcast-hash
+    join can't go quadratic the way raw interval joins do. Small inputs
+    broadcast merged2 and the coverage map (df1 itself never shuffles);
+    large inputs run the interval join at the requested strategy and
+    shuffle-join the map back."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
-    if (strategy == "auto"
-            and _plan_size_bytes(df1) <= _SMALL_INPUT_BYTES
-            and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES):
-        # Small-input fast path. Coverage depends only on coordinates, so:
-        # distinct coords ⋈ broadcast(merged2) → per-coord sums → broadcast
-        # back onto df1. No row ids, no window passes, df1 itself never
-        # shuffles. The per-chrom product vs merged2 is BOUNDED (merged
-        # intervals are disjoint), so a broadcast-hash join can't go
-        # quadratic the way raw interval joins do.
-        coords = (
-            df1.select(F.col(ck1).alias("__cc"), F.col(sk1).alias("__cs"),
-                       F.col(ek1).alias("__ce"))
-            .filter(F.col("__cc").isNotNull()).distinct()
-        )
+    small = (strategy == "auto"
+             and _plan_size_bytes(df1) <= _SMALL_INPUT_BYTES
+             and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES)
+    coords = (
+        df1.select(F.col(ck1).alias("__cc"), F.col(sk1).alias("__cs"),
+                   F.col(ek1).alias("__ce"))
+        .filter(F.col("__cc").isNotNull()).distinct()
+    )
+    if small:
         m2 = merged2.select(F.col(ck2).alias("__mc"), F.col(sk2).alias("__ms"),
                             F.col(ek2).alias("__me"))
         cond = (F.col("__cc") == F.col("__mc")) & overlap_predicate(
@@ -891,27 +927,24 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
             .groupBy("__cc", "__cs", "__ce")
             .agg(F.sum(ov).cast("long").alias("__cov"))
         )
-        back = (F.col(ck1) == F.col("__cc")) & (F.col(sk1) == F.col("__cs")) \
-            & (F.col(ek1) == F.col("__ce"))
-        out = (
-            df1.join(F.broadcast(covmap), back, "left")
-            .withColumn("coverage", F.coalesce(F.col("__cov"), F.lit(0)))
-            .drop("__cc", "__cs", "__ce", "__cov")
+        covmap = F.broadcast(covmap)
+    else:
+        pairs = overlap(
+            coords, merged2.select(ck2, sk2, ek2), how="inner",
+            suffixes=("", "__r2"), cols1=("__cc", "__cs", "__ce"),
+            cols2=cols2, strategy=strategy,
         )
-        return out if return_input else out.select("coverage")
-    d1 = _with_rid(df1, ck1, sk1, ek1)
-    slim = d1.select("__rid", ck1, sk1, ek1)
-    pairs = overlap(
-        slim, merged2.select(ck2, sk2, ek2), how="inner", suffixes=("", "__r2"),
-        cols1=cols1, cols2=cols2, strategy=strategy,
-    )
-    s2, e2 = sk2 + "__r2", ek2 + "__r2"
-    ov = F.least(F.col(ek1), F.col(e2)) - F.greatest(F.col(sk1), F.col(s2))
-    sums = pairs.groupBy("__rid").agg(F.sum(ov).cast("long").alias("coverage"))
+        s2, e2 = sk2 + "__r2", ek2 + "__r2"
+        ov = F.least(F.col("__ce"), F.col(e2)) - F.greatest(F.col("__cs"), F.col(s2))
+        covmap = pairs.groupBy("__cc", "__cs", "__ce").agg(
+            F.sum(ov).cast("long").alias("__cov")
+        )
+    back = (F.col(ck1) == F.col("__cc")) & (F.col(sk1) == F.col("__cs")) \
+        & (F.col(ek1) == F.col("__ce"))
     out = (
-        d1.join(sums, "__rid", "left")
-        .withColumn("coverage", F.coalesce(F.col("coverage"), F.lit(0)))
-        .drop("__rid")
+        df1.join(covmap, back, "left")
+        .withColumn("coverage", F.coalesce(F.col("__cov"), F.lit(0)))
+        .drop("__cc", "__cs", "__ce", "__cov")
     )
     return out if return_input else out.select("coverage")
 
@@ -934,14 +967,17 @@ def subtract(df1: DataFrame, df2: DataFrame, return_index: bool = False,
         F.lit(INT64_MAX).cast("long").alias(ek2), F.col("c").alias("name"),
     )
     comp = complement(df2, view_df=view, cols=(ck2, sk2, ek2)).drop("view_region")
-    # span hint from the RAW inputs (cheap scans) — overlaps with the
-    # complement can only fall inside df1's own span, so clipping there is
-    # lossless and avoids executing the complement plan for stats
-    lo1, hi1, bin1 = _bin_stats(df1, sk1, ek1, df2, sk2, ek2)
+    # resolve the join strategy HERE so the span-stats job only runs when
+    # the binned path is actually taken; the hint comes from the RAW
+    # inputs (cheap scans) — overlaps with the complement can only fall
+    # inside df1's own span, so clipping there is lossless and avoids
+    # executing the complement plan just to measure it
+    strat = _choose_strategy(df1, comp, "auto")
+    hint = _bin_stats(df1, sk1, ek1, df2, sk2, ek2) if strat == "binned" else None
     ov = overlap(
         df1, comp, how="inner", suffixes=suffixes, return_overlap=True,
-        cols1=cols1, cols2=(ck2, sk2, ek2),
-        _bin_hint=(lo1, hi1, bin1),
+        cols1=cols1, cols2=(ck2, sk2, ek2), strategy=strat,
+        _bin_hint=hint,
     )
     sfx1, sfx2 = suffixes
     extra1 = [c for c in df1.columns if c not in (ck1, sk1, ek1)]
@@ -970,7 +1006,7 @@ def _default_view(df, ck, sk, ek):
 
 def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
                cols=None, cols_view=None,
-               range_width: int | None = None) -> DataFrame:
+               range_width="auto") -> DataFrame:
     """Gaps: view regions not covered by any interval (reference
     ``ops.py:1560-1687``; kernel ``arrops.py:482-503``).
 
@@ -987,10 +1023,12 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
     ``range_width`` lifts the per-region window ceiling (the 100 TB path):
     the running max splits into a per-(region, range) local window plus a
     broadcast max-end carry over preceding ranges — identical output
-    (equivalence-tested), parallelism regions × ranges.
+    (equivalence-tested), parallelism regions × ranges. Default ``"auto"``
+    selects it by input size; ``None`` forces the classic window.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "complement")
+    range_width = _auto_range_width(df, sk, ek, range_width)
     if view_df is None:
         view = _default_view(df, ck, sk, ek)
     else:
@@ -1142,7 +1180,7 @@ def trim(df: DataFrame, view_df=None, df_view_col: str | None = None,
 
 
 def pileup(df: DataFrame, weight_col: str | None = None, cols=None,
-           keep_zero: bool = False, range_width: int | None = None) -> DataFrame:
+           keep_zero: bool = False, range_width="auto") -> DataFrame:
     """Coverage depth track: step function of how many intervals (or how
     much total weight) covers each genomic segment.
 
@@ -1162,10 +1200,12 @@ def pileup(df: DataFrame, weight_col: str | None = None, cols=None,
     sum of per-range totals over a tiny broadcast range table — the classic
     two-phase distributed scan), and the cross-range ``lead`` stitches from
     the next non-empty range's min position. Identical output to the
-    classic window (equivalence-tested).
+    classic window (equivalence-tested). Default ``"auto"`` selects it by
+    input size; ``None`` forces the classic window.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "pileup")
+    range_width = _auto_range_width(df, sk, ek, range_width)
     wcol = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     valid = df.filter(F.col(ck).isNotNull() & F.col(sk).isNotNull() & F.col(ek).isNotNull())
     starts = valid.select(F.col(ck), F.col(sk).alias("__pos"), wcol.alias("__d"))
@@ -1231,8 +1271,13 @@ def sort_bedframe(df: DataFrame, view_df=None, view_name_col: str = "name",
                   df_view_col: str | None = None, natsort: bool = False,
                   cols=None, cols_view=None) -> DataFrame:
     """Sort by (chrom, start, end), optionally view-ordered (reference
-    ``ops.py:1690-1804``): regions take their view-row order (broadcast
-    ordinal join replaces the ordered-categorical trick ``ops.py:1792-96``).
+    ``ops.py:1690-1804``): each interval is first assigned to the view
+    region of LARGEST overlap via ``assign_view`` (exactly the reference's
+    ``df_view_col is None`` path, ``ops.py:1767-1776`` — a raw overlap
+    join would duplicate intervals spanning two regions), then regions
+    take their view-row order (broadcast ordinal join replaces the
+    ordered-categorical trick ``ops.py:1792-96``); unassigned intervals
+    sort last.
     """
     ck, sk, ek = _resolve_cols(cols)
     if view_df is None:
@@ -1244,23 +1289,33 @@ def sort_bedframe(df: DataFrame, view_df=None, view_name_col: str = "name",
     view = construction.make_viewframe(
         view_df, view_name_col=view_name_col, cols=(ckv, skv, ekv)
     )
+    if df_view_col is None:
+        tagged = assign_view(
+            df, view_df, df_view_col="__region", view_name_col=view_name_col,
+            cols=cols, cols_view=cols_view,
+        )
+        df_view_col = "__region"
+        added = True
+    else:
+        _verify_columns(df, [df_view_col], "sort_bedframe")
+        tagged = df
+        added = False
     # Attach the view-row ordinal driver-side: views are tiny by contract
     # (one row per region), and collect() preserves construction order for
     # driver-built views — no monotonically_increasing_id / window ordering
     # assumption, which is not shuffle-stable.
     vrows = view.collect()
-    view = df.sparkSession.createDataFrame(
-        [(r[ckv], r[skv], r[ekv], i + 1) for i, r in enumerate(vrows)],
-        "__vc string, __vs long, __ve long, __ord int",
+    ord_df = df.sparkSession.createDataFrame(
+        [(r[view_name_col], i + 1) for i, r in enumerate(vrows)],
+        "__vn string, __ord int",
     )
-    cond = (F.col(ck) == F.col("__vc")) & overlap_predicate(
-        F.col(sk), F.col(ek), F.col("__vs"), F.col("__ve")
+    tagged = tagged.join(
+        F.broadcast(ord_df), F.col(df_view_col) == F.col("__vn"), "left_outer"
     )
-    tagged = df.join(F.broadcast(view), cond, "left_outer")
-    return (
-        tagged.orderBy(
-            F.col("__ord").asc_nulls_last(), F.col(ck).asc_nulls_last(),
-            F.col(sk).asc_nulls_last(), F.col(ek).asc_nulls_last(),
-        )
-        .drop("__vc", "__vs", "__ve", "__ord")
-    )
+    out = tagged.orderBy(
+        F.col("__ord").asc_nulls_last(), F.col(ck).asc_nulls_last(),
+        F.col(sk).asc_nulls_last(), F.col(ek).asc_nulls_last(),
+    ).drop("__vn", "__ord")
+    if added:
+        out = out.drop("__region")
+    return out

@@ -103,18 +103,81 @@ def seq_gc(seq: str, mapped_only: bool = True) -> float | None:
     return (seq.count("G") + seq.count("C")) / len(seq)
 
 
-def digest(chromsizes: dict, fasta_provider: Callable, enzyme_site: str,
-           cols=None) -> DataFrame:
-    """Restriction fragments from cut sites (reference ``extras.py:170-217``).
+# Public restriction-enzyme facts: IUPAC recognition site + 0-based cut
+# offset from the site start on the + strand (REBASE conventions, e.g.
+# EcoRI = G^AATTC → ("GAATTC", 1)). The reference resolves these through
+# Biopython (``extras.py:186-203``); carrying the (site, offset) pairs
+# directly keeps digest dependency-free and the table injectable.
+RESTRICTION_ENZYMES: dict[str, tuple[str, int]] = {
+    "EcoRI": ("GAATTC", 1),
+    "BamHI": ("GGATCC", 1),
+    "BglII": ("AGATCT", 1),
+    "HindIII": ("AAGCTT", 1),
+    "DpnII": ("GATC", 0),
+    "MboI": ("GATC", 0),
+    "Sau3AI": ("GATC", 0),
+    "HinfI": ("GANTC", 1),
+    "AluI": ("AGCT", 2),
+    "HaeIII": ("GGCC", 2),
+    "HpaII": ("CCGG", 1),
+    "MspI": ("CCGG", 1),
+    "NlaIII": ("CATG", 4),
+    "NcoI": ("CCATGG", 1),
+    "NotI": ("GCGGCCGC", 2),
+    "PstI": ("CTGCAG", 5),
+    "SacI": ("GAGCTC", 5),
+    "XhoI": ("CTCGAG", 1),
+    "ClaI": ("ATCGAT", 2),
+    "EcoRV": ("GATATC", 3),
+}
 
-    The reference uses Biopython's enzyme search; here the recognition
-    site is a literal pattern searched per chromosome inside
-    ``mapInPandas`` (one chromosome per row in, fragment intervals out).
-    Position reported is the site start (a simplification of enzyme cut
-    offsets, noted in the docstring by design).
+_IUPAC = {
+    "A": "A", "C": "C", "G": "G", "T": "T", "N": ".",
+    "R": "[AG]", "Y": "[CT]", "W": "[AT]", "S": "[CG]",
+    "M": "[AC]", "K": "[GT]", "B": "[CGT]", "D": "[AGT]",
+    "H": "[ACT]", "V": "[ACG]",
+}
+
+
+def _site_regex(site: str) -> str:
+    # lookahead so overlapping recognition sites are all found (Biopython
+    # reports overlapping sites too)
+    body = "".join(_IUPAC.get(ch, ch) for ch in site.upper())
+    return f"(?=({body}))"
+
+
+def digest(chromsizes: dict, fasta_provider: Callable, enzyme: str,
+           enzyme_table: dict | None = None, cols=None) -> DataFrame:
+    """Restriction fragments (reference ``extras.py:170-217``).
+
+    ``enzyme`` is either a known enzyme name (resolved through
+    ``enzyme_table``, default ``RESTRICTION_ENZYMES``: IUPAC site +
+    0-based cut offset from the site start — the dependency-free stand-in
+    for the reference's Biopython ``Restriction`` lookup) or a raw
+    IUPAC site string (cut at the site start, offset 0).
+
+    Fragment boundaries are ``match_start + cut_offset`` clipped to
+    (0, length); one chromosome per input row inside ``mapInPandas``,
+    fragment intervals out — parallel across chromosomes, and the
+    sequence never moves through a shuffle.
     """
+    import re
+
     ck, sk, ek = _resolve_cols(cols)
     from pyspark.sql import SparkSession
+
+    table = enzyme_table if enzyme_table is not None else RESTRICTION_ENZYMES
+    if enzyme in table:
+        site, offset = table[enzyme]
+    else:
+        bad = set(enzyme.upper()) - set(_IUPAC)
+        if bad:
+            raise ValueError(
+                f"unknown enzyme {enzyme!r} (not in the enzyme table and not "
+                f"an IUPAC site: bad characters {sorted(bad)})"
+            )
+        site, offset = enzyme, 0
+    pattern = _site_regex(site)
 
     spark = SparkSession.active()
     chrom_df = spark.createDataFrame(
@@ -126,22 +189,22 @@ def digest(chromsizes: dict, fasta_provider: Callable, enzyme_site: str,
         T.StructField(ek, T.LongType()),
         T.StructField("n_fragment", T.LongType()),
     ])
-    site = enzyme_site.upper()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rx = re.compile(pattern)
         for pdf in batches:
             rows = []
             for chrom, length in zip(pdf["chrom"], pdf["length"]):
-                seq = fasta_provider(chrom, 0, int(length)).upper()
-                cuts = [0]
-                pos = seq.find(site)
-                while pos != -1:
-                    cuts.append(pos)
-                    pos = seq.find(site, pos + 1)
-                cuts.append(int(length))
-                for i in range(len(cuts) - 1):
-                    if cuts[i] < cuts[i + 1]:
-                        rows.append((chrom, cuts[i], cuts[i + 1], i))
+                length = int(length)
+                seq = fasta_provider(chrom, 0, length).upper()
+                cuts = sorted(
+                    {m.start() + offset for m in rx.finditer(seq)
+                     if 0 < m.start() + offset < length}
+                )
+                bounds = [0, *cuts, length]
+                for i in range(len(bounds) - 1):
+                    if bounds[i] < bounds[i + 1]:
+                        rows.append((chrom, bounds[i], bounds[i + 1], i))
             yield pd.DataFrame(rows, columns=[ck, sk, ek, "n_fragment"])
 
     return chrom_df.mapInPandas(run, schema)

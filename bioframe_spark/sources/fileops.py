@@ -43,18 +43,47 @@ def read_table(path: str, schema: str | None = "bed3", sep: str = "\t",
 
 
 def read_chromsizes(path: str, filter_chroms: bool = True,
-                    chrom_patterns: tuple = (r"^chr[0-9]+$", r"^chr[XY]$", r"^chrM$"),
-                    natsort: bool = True) -> DataFrame:
-    """UCSC chrom.sizes → (chrom, length) with regex filtering + natural
-    sort (reference ``io/fileops.py:86-160``)."""
+                    chrom_patterns=(r"^chr[0-9]+$", r"^chr[XY]$", r"^chrM$"),
+                    natsort: bool = True, as_bed: bool = False) -> DataFrame:
+    """UCSC chrom.sizes → (chrom, length) with pattern capture + natural
+    sort (reference ``io/fileops.py:86-160``).
+
+    ``chrom_patterns`` may be a sequence of regexes or an assembly name
+    (a key of ``CHROM_NAME_PATTERNS``, e.g. ``"hg38"`` — reference
+    ``io/schemas.py:201-267``). Matching the reference's concat-of-parts
+    semantics: rows matching pattern i sort before rows matching pattern
+    i+1 (first match wins for rows matching several patterns), natural
+    order within each group when ``natsort``. ``as_bed`` returns
+    (chrom, start, end) instead of (chrom, length).
+    """
+    from .schemas import CHROM_NAME_PATTERNS
+
+    if isinstance(chrom_patterns, str):
+        if chrom_patterns not in CHROM_NAME_PATTERNS:
+            raise ValueError(
+                f"no chromosome patterns for assembly {chrom_patterns!r}; "
+                f"have {sorted(CHROM_NAME_PATTERNS)}"
+            )
+        chrom_patterns = CHROM_NAME_PATTERNS[chrom_patterns]
     df = read_table(path, schema="chromsizes")
     if filter_chroms:
-        pred = F.lit(False)
-        for pat in chrom_patterns:
-            pred = pred | F.col("chrom").rlike(pat)
-        df = df.filter(pred)
-    if natsort:
+        grp = F.lit(None).cast("int")
+        for i, pat in reversed(list(enumerate(chrom_patterns))):
+            if not len(pat):
+                continue
+            grp = F.when(F.col("chrom").rlike(pat), F.lit(i)).otherwise(grp)
+        df = df.withColumn("__grp", grp).filter(F.col("__grp").isNotNull())
+        order = [F.col("__grp")]
+        if natsort:
+            order.append(natsort_key(F.col("chrom")))
+        df = df.orderBy(*order).drop("__grp")
+    elif natsort:
         df = df.orderBy(natsort_key(F.col("chrom")))
+    if as_bed:
+        df = df.select(
+            F.col("chrom"), F.lit(0).cast("long").alias("start"),
+            F.col("length").alias("end"),
+        )
     return df
 
 
@@ -164,58 +193,242 @@ def parse_gtf_attributes(df: DataFrame, attr_col: str = "attributes",
 
 
 # --------------------------------------------------------------------------
-# executor-side indexed formats (optional deps, reference io/fileops.py)
+# executor-side indexed formats (reference io/fileops.py:163-486)
+#
+# Design: the REGIONS→PARTITIONS scaffold is real Spark plumbing (one
+# region per partition, Arrow-batched mapInPandas, stable schema) and is
+# testable with any injectable *engine* — a picklable callable
+# ``(path, chrom, start, end) -> pandas.DataFrame``. Only the default
+# engines touch the optional libraries (pysam / pyBigWig), imported
+# lazily EXECUTOR-side, mirroring the reference's optional-dependency
+# pattern (``io/fileops.py:14-21``) and the fasta_provider pattern
+# (``operators/sequence.py:29-51``).
 # --------------------------------------------------------------------------
 
-def read_tabix(path: str, regions: list[tuple]) -> DataFrame:
-    """Region-indexed fetch from a bgzip/tabix file: the region list
-    parallelizes over executors; each partition opens its own pysam handle
-    (reference ``io/fileops.py:163-180``)."""
-    try:
-        import pysam  # noqa: F401
-    except ImportError as e:
-        raise ImportError("read_tabix requires pysam (not installed here)") from e
+def _fetch_by_region(path: str, regions: list[tuple], engine, out_schema: str,
+                     what: str) -> DataFrame:
+    """regions → one partition each → ``engine(path, chrom, start, end)``
+    per region → Arrow batches with *out_schema*. Positional columns from
+    an engine are renamed to the schema's names; missing columns are
+    null-filled."""
+    from pyspark.sql import types as T
+
+    if not regions:
+        raise ValueError(f"{what}: regions must be a non-empty list of tuples")
+    rows = []
+    for r in regions:
+        chrom, start, end = (tuple(r) + (None, None))[:3]
+        rows.append((
+            str(chrom),
+            None if start is None else int(start),
+            None if end is None else int(end),
+        ))
     spark = _spark()
+    rdf = spark.createDataFrame(
+        rows, "chrom string, start long, end long"
+    ).repartition(len(rows))
+    schema_obj = (T.StructType.fromDDL(out_schema)
+                  if isinstance(out_schema, str) else out_schema)
+    fields = schema_obj.fieldNames()
 
-    def fetch(region):
-        import pysam
+    def gen(batches):
+        import pandas as pd
 
-        tb = pysam.TabixFile(path)
-        chrom, start, end = region
-        return [tuple(row.split("\t")) for row in tb.fetch(chrom, start, end)]
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                start = None if pd.isna(row.start) else int(row.start)
+                end = None if pd.isna(row.end) else int(row.end)
+                out = engine(path, row.chrom, start, end)
+                if out is None or len(out) == 0:
+                    continue
+                if list(out.columns) != fields:
+                    if len(out.columns) == len(fields):
+                        out = out.set_axis(fields, axis=1)
+                    else:
+                        out = out.reindex(columns=fields)
+                yield out
 
-    rdd = spark.sparkContext.parallelize(regions, len(regions)).flatMap(fetch)
-    return rdd.toDF()
+    return rdf.mapInPandas(gen, schema_obj)
 
 
-def read_pairix(path: str, regions2d: list[tuple]) -> DataFrame:
+def pysam_tabix_engine(columns: list | None = None):
+    """Default ``read_tabix`` engine: one pysam.TabixFile per fetch
+    (reference ``io/fileops.py:163-180``)."""
+    def fetch(path, chrom, start, end):
+        import io as _io
+
+        import pandas as pd
+
+        try:
+            import pysam
+        except ImportError as e:
+            raise ImportError("the default read_tabix engine requires pysam") from e
+        f = pysam.TabixFile(path)
+        try:
+            names = columns or (list(f.header) or None)
+            lines = list(f.fetch(chrom, start, end))
+        finally:
+            f.close()
+        if not lines:
+            return None
+        return pd.read_csv(_io.StringIO("\n".join(lines)), sep="\t",
+                           header=None, names=names)
+
+    return fetch
+
+
+def read_tabix(path: str, regions: list[tuple], schema: str = "bed3",
+               engine=None) -> DataFrame:
+    """Region-indexed fetch from a bgzip/tabix file, one region per
+    partition (reference ``io/fileops.py:163-180``). ``schema`` is a
+    ``SCHEMAS`` key or a DDL string; ``engine`` overrides the pysam
+    default (see module section doc)."""
+    sch = SCHEMAS[schema] if schema in SCHEMAS else schema
+    return _fetch_by_region(path, regions, engine or pysam_tabix_engine(),
+                            sch, "read_tabix")
+
+
+def pypairix_engine(columns: list | None = None):
+    """Default ``read_pairix`` engine (reference ``io/fileops.py:183-235``):
+    a 2-D block query per (region1, region2) pair."""
+    def fetch(path, block):
+        import pandas as pd
+
+        try:
+            import pypairix
+        except ImportError as e:
+            raise ImportError("the default read_pairix engine requires pypairix") from e
+        (c1, s1, e1), (c2, s2, e2) = block
+        f = pypairix.open(path, "r")
+        records = list(f.query2D(c1, s1, e1, c2, s2, e2))
+        if not records:
+            return None
+        return pd.DataFrame.from_records(records, columns=columns)
+
+    return fetch
+
+
+def read_pairix(path: str, blocks2d: list[tuple], schema: str =
+                "chrom1 string, pos1 long, chrom2 string, pos2 long",
+                engine=None) -> DataFrame:
     """2-D block queries from a pairix-indexed pairs file (reference
-    ``io/fileops.py:183-235``): the (region1, region2) block list
-    parallelizes over executors, pypairix handle per partition."""
-    try:
-        import pypairix  # noqa: F401
-    except ImportError as e:
-        raise ImportError("read_pairix requires pypairix (not installed here)") from e
-    raise NotImplementedError("pairix partition reader: pypairix absent in this container")
+    ``io/fileops.py:183-235``): one (region1, region2) block per
+    partition; ``engine(path, block)`` returns the block's records."""
+    eng = engine or pypairix_engine()
+    # reuse the region scaffold by packing the 2-D block into the chrom
+    # slot of a synthetic 1-D region list
+    blocks = list(blocks2d)
+
+    def unpack(path_, chrom, start, end):
+        i = int(chrom)
+        return eng(path_, blocks[i])
+
+    fake_regions = [(str(i), None, None) for i in range(len(blocks))]
+    return _fetch_by_region(path, fake_regions, unpack, schema, "read_pairix")
 
 
-def read_bigbed(path: str, regions: list[tuple]) -> DataFrame:
-    """bigBed interval fetch per region (reference ``io/fileops.py:434-486``)."""
-    try:
-        import pyBigWig  # noqa: F401
-    except ImportError as e:
-        raise ImportError("read_bigbed requires pyBigWig/pybbi (not installed here)") from e
-    raise NotImplementedError("bigBed partition reader: engine absent in this container")
+def pybigwig_engine(kind: str = "bigwig"):
+    """Default engine for ``read_bigwig`` / ``read_bigbed`` (reference
+    ``io/fileops.py:379-486``, pyBigWig branch)."""
+    def fetch(path, chrom, start, end):
+        import pandas as pd
+
+        try:
+            import pyBigWig
+        except ImportError as e:
+            raise ImportError(
+                "the default read_bigwig/read_bigbed engine requires pyBigWig"
+            ) from e
+        f = pyBigWig.open(path)
+        try:
+            if start is None:
+                start = 0
+            if end is None:
+                end = f.chroms()[chrom]
+            if kind == "bigwig":
+                ivals = f.intervals(chrom, int(start), int(end)) or []
+                out = pd.DataFrame(ivals, columns=["start", "end", "value"])
+            else:
+                ents = f.entries(chrom, int(start), int(end)) or []
+                out = pd.DataFrame(ents, columns=["start", "end", "rest"])
+        finally:
+            f.close()
+        out.insert(0, "chrom", chrom)
+        return out
+
+    return fetch
 
 
-def read_alignments(path: str, chunks: list[tuple]) -> DataFrame:
-    """SAM/BAM/CRAM → 12-col frame; (file, region) shards per partition
-    (reference ``io/fileops.py:238-289``)."""
-    try:
-        import pysam  # noqa: F401
-    except ImportError as e:
-        raise ImportError("read_alignments requires pysam (not installed here)") from e
-    raise NotImplementedError("BAM partition reader: pysam absent in this container")
+def read_bigwig(path: str, regions: list[tuple], engine=None) -> DataFrame:
+    """bigWig value intervals, one region per partition (reference
+    ``io/fileops.py:379-432``) → (chrom, start, end, value)."""
+    return _fetch_by_region(
+        path, regions, engine or pybigwig_engine("bigwig"),
+        "chrom string, start long, end long, value double", "read_bigwig",
+    )
+
+
+def read_bigbed(path: str, regions: list[tuple], engine=None) -> DataFrame:
+    """bigBed entries, one region per partition (reference
+    ``io/fileops.py:434-486``) → (chrom, start, end, rest)."""
+    return _fetch_by_region(
+        path, regions, engine or pybigwig_engine("bigbed"),
+        "chrom string, start long, end long, rest string", "read_bigbed",
+    )
+
+
+def pysam_alignments_engine():
+    """Default ``read_alignments`` engine (reference
+    ``io/fileops.py:238-282``): pysam fetch → 12-column SAM frame, tags
+    JSON-encoded."""
+    def fetch(path, chrom, start, end):
+        import json
+        import os
+        from array import array
+
+        import pandas as pd
+
+        try:
+            import pysam
+        except ImportError as e:
+            raise ImportError("the default read_alignments engine requires pysam") from e
+        ext = os.path.splitext(path)[1]
+        mode = {".sam": "r", ".bam": "rb", ".cram": "rc"}.get(ext)
+        if mode is None:
+            raise ValueError(f"{ext} is not a supported alignment filetype")
+        f = pysam.AlignmentFile(path, mode)
+        try:
+            records = []
+            for s in f.fetch(chrom, start, end):
+                tags = [(k, v.tolist() if isinstance(v, array) else v)
+                        for k, v in s.tags]
+                records.append((
+                    s.qname, s.flag, s.reference_name, s.pos, s.mapq,
+                    s.cigarstring if s.mapq != 0 else None,
+                    s.rnext, s.pnext, s.tlen, s.seq, s.qual,
+                    json.dumps(dict(tags)),
+                ))
+        finally:
+            f.close()
+        if not records:
+            return None
+        return pd.DataFrame.from_records(records)
+
+    return fetch
+
+
+ALIGNMENT_SCHEMA = (
+    "QNAME string, FLAG int, RNAME string, POS long, MAPQ int, CIGAR string, "
+    "RNEXT long, PNEXT long, TLEN long, SEQ string, QUAL string, TAGs string"
+)
+
+
+def read_alignments(path: str, regions: list[tuple], engine=None) -> DataFrame:
+    """SAM/BAM/CRAM → 12-column frame (reference ``io/fileops.py:238-289``,
+    same field list as the reference's BAM_FIELDS), one (chrom, start,
+    end) shard per partition."""
+    return _fetch_by_region(path, regions, engine or pysam_alignments_engine(),
+                            ALIGNMENT_SCHEMA, "read_alignments")
 
 
 def prepare_bedgraph(df: DataFrame, chromsizes: dict,
@@ -374,12 +587,3 @@ def to_parquet_partitioned(df: DataFrame, path: str, by: str = "chrom",
     if sort_within:
         out = out.sortWithinPartitions(ck, sk, ek)
     out.write.mode("overwrite").partitionBy(by).parquet(path)
-
-
-def read_bigwig(path: str, regions: list[tuple]) -> DataFrame:
-    """bigWig value intervals per region (reference ``io/fileops.py:379-432``)."""
-    try:
-        import pyBigWig  # noqa: F401
-    except ImportError as e:
-        raise ImportError("read_bigwig requires pyBigWig (not installed here)") from e
-    raise NotImplementedError("bigWig partition reader: pyBigWig absent in this container")

@@ -23,12 +23,68 @@ def fetch_chromsizes(db: str, provider: str = "ucsc", **_kw) -> dict:
     return _packaged_chromsizes(db, provider)
 
 
-def fetch_centromeres(db: str, provider: str = "ucsc"):
-    """Centromere positions (reference ``resources.py:109-242``): requires
-    the UCSC cytoband/centromere HTTP endpoints — disabled here."""
+def centromeres_from_cytoband(cyb, band_col: str = "gieStain"):
+    """Centromere origins from a cytoband table (reference
+    ``resources.py:109-142`` ``_origins_from_cytoband``): per chromosome,
+    the two 'acen' bands define (start, end) and their boundary is ``mid``.
+
+    *cyb* is a Spark DataFrame with (chrom, start, end, *band_col*) —
+    e.g. ``read_table(path, schema='cytoband')``. One aggregation job; a
+    chromosome with an 'acen' band count other than 2 raises (same
+    contract as the reference).
+    """
+    from pyspark.sql import functions as F
+
+    acen = cyb.filter(F.col(band_col) == "acen")
+    g = acen.groupBy("chrom").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("start").alias("start"),
+        F.max("end").alias("end"),
+        # mid = end of the band with the smaller start (the p/q boundary)
+        F.min_by("end", "start").alias("mid"),
+    )
+    bad = [r["chrom"] for r in g.filter(F.col("__n") != 2).select("chrom").collect()]
+    if bad:
+        raise ValueError(f"Expected 2 'acen' bands, found otherwise for: {bad}")
+    return g.select("chrom", "start", "end", "mid")
+
+
+def centromeres_from_ucsccentromeres(cens):
+    """Centromere origins from a UCSC centromeres.txt table (reference
+    ``resources.py:145-168``): per chromosome span + midpoint."""
+    from pyspark.sql import functions as F
+
+    g = cens.groupBy("chrom").agg(
+        F.min("start").alias("start"), F.max("end").alias("end")
+    )
+    return g.select(
+        "chrom", "start", "end",
+        ((F.col("start") + F.col("end")) / 2).cast("long").alias("mid"),
+    )
+
+
+def fetch_centromeres(db: str, provider: str = "local", cytoband_path: str | None = None):
+    """Centromere positions (reference ``resources.py:171-242``).
+
+    ``provider='local'`` + ``cytoband_path``: derive centromeres from a
+    local cytoband file (the reference's packaged-cytoband path) — no
+    network. ``provider='ucsc'`` needs the UCSC HTTP endpoints, disabled
+    in this build.
+    """
+    if provider == "local":
+        if cytoband_path is None:
+            raise ValueError(
+                "fetch_centromeres(provider='local') needs cytoband_path= "
+                "(no cytoband tables are packaged in this build)"
+            )
+        from .fileops import read_table
+
+        return centromeres_from_cytoband(
+            read_table(cytoband_path, schema="cytoband")
+        )
     raise NetworkDisabled(
-        "fetch_centromeres needs UCSC HTTP access (disabled in this build); "
-        "load a cytoband table with read_table(path, schema='cytoband') instead"
+        "fetch_centromeres(provider='ucsc') needs UCSC HTTP access (disabled "
+        "in this build); pass provider='local' with cytoband_path= instead"
     )
 
 

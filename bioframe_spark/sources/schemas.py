@@ -112,3 +112,52 @@ def parse_bed_schema(schema: str) -> tuple[int, int]:
     if not 3 <= n <= 12:
         raise ValueError(f"BED files have 3-12 standard columns, got {n}")
     return n, int(m.group(2) or 0)
+
+
+# Per-assembly chromosome-name capture patterns (reference
+# ``io/schemas.py:201-267`` — public UCSC/NCBI naming conventions). Each
+# tuple is ordered: ``read_chromsizes`` emits the group matching pattern
+# i before the group matching pattern i+1, natural-sorted within a group.
+CHROM_NAME_PATTERNS: dict[str, tuple] = {
+    "hg19": (
+        r"^chr[0-9]+$", r"^chr[XY]$", r"^chrM$",
+        r"^chr(?!Un).+_.*_random$", r"^chrUn_.*$", r"^chr(?!Un).+_.*_hap\d+$",
+    ),
+    "hg38": (
+        r"^chr[0-9]+$", r"^chr[XY]$", r"^chrM$", r"^chrEBV$",
+        r"^chr(?!Un).+_.*_random$", r"^chrUn_.*$", r"^chr(?!Un).+_.*_alt$",
+    ),
+    "mm9": (
+        r"^chr[0-9]+$", r"^chr[XY]$", r"^chrM$",
+        r"^chr(?!Un).+_random$", r"^chrUn_random$",
+    ),
+    "mm10": (
+        r"^chr[0-9]+$", r"^chr[XY]$", r"^chrM$",
+        r"^chr(?!Un).+_random$", r"^chrUn_.*$",
+    ),
+    "mm39": (
+        r"^chr[0-9]+$", r"^chr[XY]$", r"^chrM$",
+        r"^chr(?!Un).+_random$", r"^chrUn_.*$",
+    ),
+    "galGal5": (
+        r"^chr[0-9]+$", r"^chr[ZW]$", r"^chrM$", r"^chrLGE64$",
+        r"^chr(?!Un).+_random$", r"^chrUn_.*$",
+    ),
+    "dm6": (
+        r"^chr[234][LR]*", r"^chr[XY]$", r"^chrM$",
+        r"^chr(?!Un).+_random$", r"^chrUn_.*$",
+    ),
+    "ce11": (r"chr[IV]+$", r"^chrX$", r"^chrM$"),
+    "sacCer3": (r"chr[IXV]+$", r"^chrM$"),
+}
+
+# UCSC/NCBI sequence-class regexes (reference ``io/schemas.py:270-283``)
+UCSC_AUTOSOMES = r"^chr[0-9]+[A-Za-z]*$"
+UCSC_SEXCHROMS = r"^chr[XYZW][A-Za-z]*$"
+UCSC_NONNUCLEAR = r"^chrM$"
+UCSC_UNLOCALIZED = r"^chr(?!Un).+.*_random$"
+UCSC_UNPLACED = r"^chrUn_.*$|^chrU[A-Za-z]*$"
+UCSC_ALTCHROMS = r"^chr(?!Un).+_.*_hap\d+$|^chr(?!Un).+_.*_alt$"
+NCBI_AUTOSOMES = r"^[0-9]+$"
+NCBI_SEXCHROMS = r"^[XYZW]$"
+NCBI_NONNUCLEAR = r"^MT$|^Pltd$"

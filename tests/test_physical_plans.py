@@ -58,3 +58,41 @@ def test_merge_partial_aggregation(spark):
     plan = _plan(bf.merge(d, min_dist=0))
     # two-stage hash aggregation (partial + final)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_plain_overlap_no_probe_repartition_when_well_split(spark, tmp_path, monkeypatch):
+    """A well-partitioned probe must NOT pay a round-robin shuffle before a
+    broadcast join; an under-partitioned (single-file) probe must."""
+    big = ivals(spark, [("chr1", i, i + 5) for i in range(0, 5000, 10)])
+    small = ivals(spark, [("chr1", 100, 200)])
+    bp, sp = str(tmp_path / "big2"), str(tmp_path / "small2")
+    par = spark.sparkContext.defaultParallelism
+    big.repartition(par * 2).write.parquet(bp)
+    small.write.parquet(sp)
+    q = bf.overlap(spark.read.parquet(bp), spark.read.parquet(sp),
+                   how="inner", strategy="plain")
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "RoundRobinPartitioning" not in plan
+
+    # under-partitioned probe: force "big" classification for the tiny
+    # single-file table so the spread kicks in
+    from bioframe_spark.operators import ops as _ops
+    monkeypatch.setattr(_ops, "_BROADCAST_BYTES", 1)
+    big.coalesce(1).write.parquet(str(tmp_path / "big1"))
+    q1 = bf.overlap(spark.read.parquet(str(tmp_path / "big1")),
+                    spark.read.parquet(sp), how="inner", strategy="plain")
+    assert "RoundRobinPartitioning" in _plan(q1)
+
+
+def test_binned_overlap_parallelism_guard_with_aqe(spark):
+    """The binned probe exchange is REPARTITION_BY_NUM (exempt from AQE
+    coalescing) so high-fanout/small-bytes inputs keep their task count."""
+    a = ivals(spark, [("chr1", i, i + 5) for i in range(0, 500, 10)])
+    b = ivals(spark, [("chr1", i, i + 7) for i in range(0, 500, 20)])
+    q = bf.overlap(a, b, how="inner", strategy="binned", bin_size=50)
+    par = spark.sparkContext.defaultParallelism
+    plan = _plan(q)
+    assert f"REPARTITION_BY_NUM" in plan or "RepartitionByExpression" in _optimized(q)
+    # the explicit numPartitions survives into the exchange
+    assert str(par * 2) in plan

@@ -1,0 +1,308 @@
+"""Round-3 additions: injectable-engine indexed readers, chromsizes
+pattern groups, digest cut offsets, centromeres-from-cytoband, auto
+range_width selection, closest-binned duplicate handling."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import bioframe_spark as bf
+from bioframe_spark.operators import ops, sequence
+from bioframe_spark.operators.closest import closest
+from bioframe_spark.sources import fileops, resources
+
+from helpers import ivals, rows
+
+
+# --------------------------------------------------------------------------
+# indexed readers: the regions→partitions scaffold runs end-to-end with a
+# fake engine; only the pysam/pyBigWig constructors stay library-gated
+# --------------------------------------------------------------------------
+
+def test_read_bigwig_fake_engine(spark):
+    # engines must be defined inside the test: cloudpickle serializes
+    # closures by value, while a test-module-level function would pickle
+    # by reference and fail to import on the executor
+    def fake_bigwig_engine(path, chrom, start, end):
+        s = 0 if start is None else start
+        e = (s + 200) if end is None else end
+        return pd.DataFrame({
+            "chrom": [chrom, chrom],
+            "start": [s, s + 100],
+            "end": [s + 100, e],
+            "value": [1.5, 2.5],
+        })
+
+    out = fileops.read_bigwig(
+        "/nonexistent.bw", [("chr1", 0, 200), ("chr2", 1000, 1200)],
+        engine=fake_bigwig_engine,
+    )
+    got, cols = rows(out)
+    assert cols == ["chrom", "end", "start", "value"]
+    assert len(got) == 4
+    assert out.rdd.getNumPartitions() == 2  # one region per partition
+    vals = sorted(r["value"] for r in out.collect())
+    assert vals == [1.5, 1.5, 2.5, 2.5]
+
+
+def test_read_bigbed_fake_engine(spark):
+    def eng(path, chrom, start, end):
+        return pd.DataFrame({"chrom": [chrom], "start": [start], "end": [end],
+                             "rest": ["name1\t0\t+"]})
+
+    out = fileops.read_bigbed("/x.bb", [("chr1", 5, 50)], engine=eng)
+    r = out.collect()[0]
+    assert (r["chrom"], r["start"], r["end"], r["rest"]) == ("chr1", 5, 50, "name1\t0\t+")
+
+
+def test_read_tabix_fake_engine(spark):
+    def eng(path, chrom, start, end):
+        # positional columns, renamed to the schema by the scaffold
+        return pd.DataFrame([(chrom, start, end)])
+
+    out = fileops.read_tabix("/x.gz", [("chr1", 1, 9), ("chr1", 20, 30)],
+                             schema="bed3", engine=eng)
+    got, cols = rows(out)
+    assert cols == ["chrom", "end", "start"]
+    assert got == [("chr1", 9, 1), ("chr1", 30, 20)]
+
+
+def test_read_alignments_fake_engine(spark):
+    def eng(path, chrom, start, end):
+        return pd.DataFrame.from_records([
+            ("r1", 0, chrom, 100, 60, "50M", -1, 0, 0, "A" * 5, "I" * 5, "{}"),
+        ])
+
+    out = fileops.read_alignments("/x.bam", [("chr1", 0, 1000)], engine=eng)
+    r = out.collect()[0]
+    assert r["QNAME"] == "r1" and r["RNAME"] == "chr1" and r["POS"] == 100
+    assert len(out.columns) == 12
+
+
+def test_read_pairix_fake_engine(spark):
+    def eng(path, block):
+        (c1, s1, e1), (c2, s2, e2) = block
+        return pd.DataFrame([(c1, s1, c2, s2)])
+
+    out = fileops.read_pairix(
+        "/x.px2",
+        [(("chr1", 0, 10), ("chr2", 5, 15)), (("chr3", 1, 2), ("chr3", 3, 4))],
+        engine=eng,
+    )
+    got, cols = rows(out)
+    assert cols == ["chrom1", "chrom2", "pos1", "pos2"]
+    assert got == [("chr1", "chr2", 0, 5), ("chr3", "chr3", 1, 3)]
+
+
+def test_default_engines_are_library_gated(spark):
+    out = fileops.read_bigwig("/x.bw", [("chr1", 0, 10)])
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "pyBigWig" in str(ei.value)
+
+
+# --------------------------------------------------------------------------
+# read_chromsizes: pattern-group ordering, assembly patterns, as_bed
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def chromsizes_file(tmp_path):
+    p = tmp_path / "test.chrom.sizes"
+    lines = [
+        ("chr2", 100), ("chr10", 50), ("chr1", 200), ("chrX", 30),
+        ("chrM", 16000), ("chr1_gl000191_random", 10),
+        ("chrUn_gl000211", 9), ("chr6_apd_hap1", 8), ("weird", 7),
+    ]
+    p.write_text("".join(f"{c}\t{n}\n" for c, n in lines))
+    return str(p)
+
+
+def test_read_chromsizes_group_order(spark, chromsizes_file):
+    out = fileops.read_chromsizes(chromsizes_file, chrom_patterns="hg19")
+    names = [r["chrom"] for r in out.collect()]
+    # group 0 natural-sorted, then sex, then M, then random/un/hap groups
+    assert names == [
+        "chr1", "chr2", "chr10", "chrX", "chrM",
+        "chr1_gl000191_random", "chrUn_gl000211", "chr6_apd_hap1",
+    ]
+
+
+def test_read_chromsizes_default_and_as_bed(spark, chromsizes_file):
+    out = fileops.read_chromsizes(chromsizes_file, as_bed=True)
+    got = [(r["chrom"], r["start"], r["end"]) for r in out.collect()]
+    assert got == [("chr1", 0, 200), ("chr2", 0, 100), ("chr10", 0, 50),
+                   ("chrX", 0, 30), ("chrM", 0, 16000)]
+
+
+def test_read_chromsizes_unknown_assembly(spark, chromsizes_file):
+    with pytest.raises(ValueError, match="no chromosome patterns"):
+        fileops.read_chromsizes(chromsizes_file, chrom_patterns="nope99")
+
+
+# --------------------------------------------------------------------------
+# digest: enzyme cut offsets (hand-computed golden fragments)
+# --------------------------------------------------------------------------
+
+def test_digest_ecori_offset(spark):
+    #            0123456789...
+    genome = {"chrT": "AAGAATTCAAAAGAATTCAA"}  # sites at 2 and 12
+    prov = sequence.dict_fasta_provider(genome)
+    out = sequence.digest({"chrT": 20}, prov, "EcoRI")
+    got = [(r["start"], r["end"]) for r in out.orderBy("start").collect()]
+    # EcoRI = G^AATTC → cuts at 2+1=3 and 12+1=13
+    assert got == [(0, 3), (3, 13), (13, 20)]
+
+
+def test_digest_degenerate_site_hinfi(spark):
+    # HinfI = G^ANTC — N matches anything
+    genome = {"chrT": "TTGACTCTT"}  # GACTC at 2 → cut at 3
+    prov = sequence.dict_fasta_provider(genome)
+    out = sequence.digest({"chrT": 9}, prov, "HinfI")
+    got = [(r["start"], r["end"]) for r in out.orderBy("start").collect()]
+    assert got == [(0, 3), (3, 9)]
+
+
+def test_digest_raw_site_backcompat(spark):
+    genome = {"chrT": "AAGATCAA"}
+    prov = sequence.dict_fasta_provider(genome)
+    out = sequence.digest({"chrT": 8}, prov, "GATC")  # literal site, offset 0
+    got = [(r["start"], r["end"]) for r in out.orderBy("start").collect()]
+    assert got == [(0, 2), (2, 8)]
+
+
+def test_digest_injectable_table(spark):
+    genome = {"chrT": "AACCGGAA"}
+    prov = sequence.dict_fasta_provider(genome)
+    out = sequence.digest({"chrT": 8}, prov, "Fake",
+                          enzyme_table={"Fake": ("CCGG", 2)})
+    got = [(r["start"], r["end"]) for r in out.orderBy("start").collect()]
+    assert got == [(0, 4), (4, 8)]
+
+
+def test_digest_unknown_enzyme(spark):
+    prov = sequence.dict_fasta_provider({"chrT": "AAAA"})
+    with pytest.raises(ValueError, match="unknown enzyme"):
+        sequence.digest({"chrT": 4}, prov, "NoSuchEnzyme123")
+
+
+# --------------------------------------------------------------------------
+# centromeres from cytoband
+# --------------------------------------------------------------------------
+
+def test_centromeres_from_cytoband(spark):
+    cyb = spark.createDataFrame(
+        [
+            ("chr1", 0, 120, "p12", "gpos50"),
+            ("chr1", 120, 125, "p11", "acen"),
+            ("chr1", 125, 132, "q11", "acen"),
+            ("chr1", 132, 200, "q12", "gneg"),
+            ("chr2", 0, 50, "p11", "acen"),
+            ("chr2", 50, 90, "q11", "acen"),
+        ],
+        "chrom string, start long, end long, name string, gieStain string",
+    )
+    out = resources.centromeres_from_cytoband(cyb)
+    got = {r["chrom"]: (r["start"], r["end"], r["mid"]) for r in out.collect()}
+    assert got == {"chr1": (120, 132, 125), "chr2": (0, 90, 50)}
+
+
+def test_centromeres_bad_band_count(spark):
+    cyb = spark.createDataFrame(
+        [("chr1", 0, 10, "p11", "acen")],
+        "chrom string, start long, end long, name string, gieStain string",
+    )
+    with pytest.raises(ValueError, match="acen"):
+        resources.centromeres_from_cytoband(cyb)
+
+
+def test_fetch_centromeres_local_from_file(spark, tmp_path):
+    p = tmp_path / "cytoband.txt"
+    p.write_text(
+        "chr1\t0\t100\tp12\tgneg\n"
+        "chr1\t100\t110\tp11\tacen\n"
+        "chr1\t110\t125\tq11\tacen\n"
+    )
+    out = resources.fetch_centromeres("custom", provider="local",
+                                      cytoband_path=str(p))
+    r = out.collect()[0]
+    assert (r["start"], r["end"], r["mid"]) == (100, 125, 110)
+
+
+# --------------------------------------------------------------------------
+# auto range_width selection + ranged pair_by_distance equivalence
+# --------------------------------------------------------------------------
+
+TRIPLES = [
+    ("chr1", 0, 10), ("chr1", 5, 15), ("chr1", 15, 20), ("chr1", 30, 40),
+    ("chr1", 30, 40), ("chr1", 100, 200), ("chr2", 0, 5), ("chr2", 7, 9),
+    ("chr2", 8, 30), ("chr2", 45, 50),
+]
+
+
+def test_auto_range_width_forced(spark, monkeypatch):
+    """With the size threshold forced to 0, 'auto' picks the ranged
+    constructions — outputs must be identical to the classic windows."""
+    df = ivals(spark, TRIPLES)
+    classic = {
+        "merge": rows(bf.merge(df, min_dist=0, range_width=None)),
+        "cluster": rows(bf.cluster(df, min_dist=0, range_width=None)),
+        "complement": rows(bf.complement(df, range_width=None)),
+        "pileup": rows(bf.pileup(df, range_width=None)),
+    }
+    monkeypatch.setattr(ops, "_RANGED_WINDOW_BYTES", -1)
+    assert rows(bf.merge(df, min_dist=0)) == classic["merge"]
+    assert rows(bf.cluster(df, min_dist=0)) == classic["cluster"]
+    assert rows(bf.complement(df)) == classic["complement"]
+    assert rows(bf.pileup(df)) == classic["pileup"]
+
+
+def test_auto_range_width_multiple_tasks(spark, monkeypatch):
+    """Forced-auto on a single-chrom input must produce >1 window range
+    (the point of the ranged path: parallelism within a chromosome)."""
+    monkeypatch.setattr(ops, "_RANGED_WINDOW_BYTES", -1)
+    df = ivals(spark, [("chr1", i * 100, i * 100 + 50) for i in range(200)])
+    width = ops._auto_range_width(df, "start", "end", "auto")
+    assert width is not None
+    span = 199 * 100 + 50
+    assert width < span  # more than one range over the chromosome
+    got, _ = rows(bf.merge(df, min_dist=0))
+    assert len(got) == 200
+
+
+def test_pair_by_distance_ranged_equivalence(spark):
+    df = ivals(spark, TRIPLES)
+    classic, _ = rows(bf.pair_by_distance(df, min_sep=1, max_sep=60,
+                                          range_width=None))
+    ranged, _ = rows(bf.pair_by_distance(df, min_sep=1, max_sep=60,
+                                         range_width=13))
+    assert classic == ranged and len(classic) > 0
+
+
+def test_pair_by_distance_ranged_intervening(spark):
+    df = ivals(spark, TRIPLES)
+    classic, _ = rows(bf.pair_by_distance(df, min_sep=1, max_sep=120,
+                                          min_intervening=1, range_width=None))
+    ranged, _ = rows(bf.pair_by_distance(df, min_sep=1, max_sep=120,
+                                         min_intervening=1, range_width=7))
+    assert classic == ranged
+
+
+# --------------------------------------------------------------------------
+# closest binned: duplicate df1 rows keep their multiplicity
+# --------------------------------------------------------------------------
+
+def test_closest_binned_duplicate_rows(spark):
+    df1 = ivals(spark, [("chr1", 10, 20), ("chr1", 10, 20), ("chr1", 50, 60)])
+    df2 = ivals(spark, [("chr1", 30, 40), ("chr1", 100, 110)])
+    got = closest(df1, df2, k=1, suffixes=("", "_2"), strategy="binned")
+    cog = closest(df1, df2, k=1, suffixes=("", "_2"), strategy="cogroup")
+    assert rows(got) == rows(cog)
+    assert got.count() == 3  # the duplicate row appears twice
+
+
+def test_closest_binned_duplicate_rows_k2_left_null(spark):
+    df1 = ivals(spark, [("chr1", 10, 20), ("chr1", 10, 20), ("chr3", 5, 6)])
+    df2 = ivals(spark, [("chr1", 30, 40), ("chr1", 100, 110)])
+    got = closest(df1, df2, k=2, suffixes=("", "_2"), strategy="binned")
+    cog = closest(df1, df2, k=2, suffixes=("", "_2"), strategy="cogroup")
+    assert rows(got) == rows(cog)

@@ -109,8 +109,11 @@ def test_resources_no_network():
     assert client.fetch_chromsizes()["chrM"] == 16569
     with pytest.raises(resources.NetworkDisabled):
         client.fetch_mrna()
+    # ucsc provider needs HTTP; local provider needs a cytoband file
     with pytest.raises(resources.NetworkDisabled):
-        resources.fetch_centromeres("hg38")
+        resources.fetch_centromeres("hg38", provider="ucsc")
+    with pytest.raises(ValueError, match="cytoband_path"):
+        resources.fetch_centromeres("hg38", provider="local")
 
 
 def test_write_bedgraph_golden(spark, tmp_path):

@@ -1,0 +1,82 @@
+"""Skew-hardening demo: compare physical strategies on a deliberately
+skewed genome (90% of intervals on ONE chromosome).
+
+This is the distribution a 100 TB operator actually meets (one huge
+contig / hot key), and the reason the binned join and the ranged window
+constructions exist. Results recorded in SCALING.md §9.
+
+Usage: python tools/skew_bench.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import bioframe_spark as bf  # noqa: E402
+from bioframe_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as em  # noqa: E402
+
+
+def skewed(df, ck="chrom"):
+    """Send ~90% of rows to chr0 (keyed on the row's numeric id columns, so
+    the reassignment is deterministic), keep the rest where they are."""
+    key = F.abs(F.hash(*[c for c in df.columns if c != ck]))
+    return df.withColumn(
+        ck, F.when(key % 10 < 9, F.lit("chr0")).otherwise(F.col(ck))
+    )
+
+
+def t(label, fn, results, reps=3):
+    samples = []
+    n = 0
+    for _ in range(reps):
+        t0 = time.time()
+        n = fn().count()
+        samples.append(time.time() - t0)
+    med = sorted(samples)[len(samples) // 2]
+    results[label] = round(med, 3)
+    print(f"# {label}: median {med:.2f}s ({n} rows)", file=sys.stderr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("skew_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    a = skewed(em.ivals_a(spark, sf_dir)).cache()
+    b = skewed(em.ivals_b(spark, sf_dir)).cache()
+    na, nb = a.count(), b.count()
+    print(f"# skewed inputs: a={na} b={nb}, ~90% on chr0", file=sys.stderr)
+
+    r = {}
+    # interval join under key skew: chrom-equi plain join (per-chrom
+    # cartesian on the hot key) vs binned (hot chrom split over bins)
+    t("overlap_plain_skew", lambda: bf.overlap(
+        a, b, how="inner", suffixes=("", "_b"), strategy="plain"), r)
+    t("overlap_binned_skew", lambda: bf.overlap(
+        a, b, how="inner", suffixes=("", "_b"), strategy="binned"), r)
+
+    # window-family under skew: classic one-window-partition-per-chrom vs
+    # range-partitioned islands / scan-sum
+    a3 = a.select("chrom", "start", "end").cache()
+    a3.count()
+    t("merge_classic_skew", lambda: bf.merge(a3, min_dist=0, range_width=None), r)
+    t("merge_ranged_skew", lambda: bf.merge(a3, min_dist=0, range_width=20_000), r)
+    t("complement_classic_skew", lambda: bf.complement(a3, range_width=None), r)
+    t("complement_ranged_skew", lambda: bf.complement(a3, range_width=20_000), r)
+    t("pileup_classic_skew", lambda: bf.pileup(a3, range_width=None), r)
+    t("pileup_ranged_skew", lambda: bf.pileup(a3, range_width=20_000), r)
+
+    print(json.dumps({"metric": "skew_bench", "sf_dir": sf_dir, "results": r}))
+
+
+if __name__ == "__main__":
+    main()
