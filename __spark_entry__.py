@@ -350,17 +350,32 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    """events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    default — read ts as raw nanos (runtime-settable legacy conf)."""
+    """Read events with a type-adaptive ts: older testdata generations
+    carried TIMESTAMP(NANOS) (readable only as raw long nanos via the
+    legacy conf), newer ones TIMESTAMP(MICROS) (a real timestamp_ntz).
+    The epoch-extraction helpers below normalize either to integers —
+    integer division throughout because ns epochs exceed double's 53-bit
+    mantissa (float division would round the millisecond)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _t(spark, sf_dir, "events")
 
 
+def _ts_is_long(ev) -> bool:
+    return ev.schema["ts"].dataType.simpleString() == "bigint"
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
-    # integer division throughout — ns epochs exceed double's mantissa
-    sec = F.expr("ts div 1000000000")
-    hour = F.date_format(F.timestamp_seconds(sec - sec % 3600), "yyyy-MM-dd HH:mm:ss")
+    if _ts_is_long(ev):
+        sec = F.expr("ts div 1000000000")
+        hour = F.date_format(
+            F.timestamp_seconds(sec - sec % 3600), "yyyy-MM-dd HH:mm:ss"
+        )
+    else:
+        # session tz is UTC, so ntz → epoch is the naive-as-UTC reading,
+        # identical to DuckDB's date_trunc on a naive timestamp
+        hour = F.date_format(F.date_trunc("hour", F.col("ts")),
+                             "yyyy-MM-dd HH:mm:ss")
     return ev.groupBy(hour.alias("hour"), F.col("event_type")).agg(
         F.count(F.lit(1)).alias("n"),
         F.min("value").alias("min_v"),
@@ -371,9 +386,10 @@ def q_events_hourly(spark, sf_dir):
 def q_sessions(spark, sf_dir):
     from bioframe_spark.datapipe import events as ev_ops
 
-    # integer division: ns values (~1.7e18) exceed double's 53-bit mantissa,
-    # so float division would round the millisecond
-    ev = _events(spark, sf_dir).withColumn("ts_ms", F.expr("ts div 1000000"))
+    ev = _events(spark, sf_dir)
+    ms = (F.expr("ts div 1000000") if _ts_is_long(ev)
+          else F.expr("unix_micros(cast(ts as timestamp)) div 1000"))
+    ev = ev.withColumn("ts_ms", ms)
     return ev_ops.sessionize_batch(ev, gap_ms=86_400_000)
 
 
