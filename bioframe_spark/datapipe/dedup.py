@@ -60,7 +60,8 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        cache: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id1 < id2).
 
     shingle-inverted-index self-join: explode → join on shingle → count
@@ -69,13 +70,17 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     so the shuffle is well-distributed; hot shingles (stopword n-grams) are
     the skew risk — AQE skew-join splits them.
     Output: id1, id2, n_common, n_union (integers — engine-exact).
+
+    ``cache``: the shingle table has THREE consumers (two self-join sides
+    + the per-doc counts); caching it trades executor memory for a 3×
+    explode recompute (~2× wall locally). At 100 TB pass ``cache=False``
+    — pinning an exploded ≫input-size frame is worse than recomputing —
+    and unpersist via ``spark.catalog.clearCache()`` when the lazy result
+    has been materialized.
     """
-    # no cache: the shingle explode is cheap JVM-side work, and pinning an
-    # exploded (≫input-size) frame in executor memory is exactly wrong at
-    # 100 TB — recomputing the explode for the three consumers costs less
-    # than the eviction pressure (and a returned lazy frame has no
-    # unpersist point anyway)
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if cache:
+        sh = sh.cache()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id1"), "shingle")
     b = sh.select(F.col(id_col).alias("id2"), "shingle")

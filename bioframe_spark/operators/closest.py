@@ -350,6 +350,16 @@ def _closest_binned(
     s1o, e1o = F.col("__cb_s" + sfx1), F.col("__cb_e" + sfx1)
     s2c, e2c = F.col(sk2 + sfx2), F.col(ek2 + sfx2)
 
+    # The ladder is driver-EAGER: each round persists its `found` rows and
+    # the shrinking `remaining` set and materializes the remaining-count.
+    # A fully lazy composition would embed round i's whole plan inside
+    # every later round's anti-join (quadratic plan blowup — measured 4×
+    # wall at sf0.1), and could never exit early; with the count we stop
+    # as soon as every row has its k neighbors (round 1 usually finishes
+    # all but the sparse tail). MEMORY_AND_DISK so a 100 TB remaining set
+    # spills instead of evicting.
+    from pyspark.storagelevel import StorageLevel
+
     done_parts = []
     remaining = d1
     for i, cap in enumerate(caps):
@@ -397,7 +407,7 @@ def _closest_binned(
             ranked
             .withColumns({sk1 + sfx1: s1o, ek1 + sfx1: e1o})
             .drop("__rk", "__cnt", "__idist", "__cb_s" + sfx1, "__cb_e" + sfx1)
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         done_parts.append(found)
         if last:
             # left-completion: rows that matched nothing at the full bound
@@ -414,10 +424,17 @@ def _closest_binned(
             )
             done_parts.append(left_null)
         else:
-            remaining = remaining.join(
+            nxt = remaining.join(
                 found.select(F.col(rid1).alias("__cb_rid")).distinct(),
                 "__cb_rid", "left_anti",
-            )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            n_left = nxt.count()
+            if remaining is not d1:
+                remaining.unpersist()
+            remaining = nxt
+            if n_left == 0:
+                # every row complete — no further rounds, no left-nulls
+                break
 
     out = done_parts[0]
     for part in done_parts[1:]:

@@ -336,6 +336,12 @@ def overlap(
 
     ``return_index`` adds dense LONG ids ``index``+suffixes ordered by
     (chrom,start,end) — the Spark stand-in for the pandas index.
+
+    ``ensure_int`` is accepted for reference signature parity and is a
+    NO-OP by construction (documented deviation): the reference needs it
+    because pandas outer joins upcast int coordinates to float64 + NaN
+    (``ops.py:414-428``); Spark LONG columns are natively nullable, so
+    unmatched outer rows are null longs and the schema never changes.
     """
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)

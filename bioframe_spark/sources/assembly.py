@@ -54,10 +54,28 @@ _REGISTRY = {
 _ALIASES = {"GRCh38": "hg38", "GRCh37": "hg19", "GRCm39": "mm39"}
 
 
+def _seq_role_unit(chrom: str) -> tuple[str, str]:
+    """Sequence role + assembly unit from UCSC naming conventions
+    (reference seqinfo columns; the registry carries only primary +
+    non-nuclear sequences, so unlocalized/unplaced/alt rows appear only
+    when a user registers a fuller assembly via ``register_assembly``)."""
+    if chrom.endswith("M") or chrom in ("chrM", "chrMT", "MT", "Pltd"):
+        # reference seqinfo: chrM role=assembled, unit=non-nuclear
+        return "assembled", "non-nuclear"
+    if chrom.startswith("chrUn"):
+        return "unplaced", "primary"
+    if chrom.endswith("_random"):
+        return "unlocalized", "primary"
+    if chrom.endswith("_alt") or "_hap" in chrom:
+        return "alt", "alt"
+    return "assembled", "primary"
+
+
 @dataclass
 class GenomeAssembly:
     """Mirror of the reference's GenomeAssembly dataclass
-    (``io/assembly.py:26-66``)."""
+    (``io/assembly.py:26-66``): chromsizes/chromnames/viewframe plus a
+    seqinfo table with role/unit columns."""
 
     organism: str
     provider: str
@@ -69,15 +87,14 @@ class GenomeAssembly:
         return list(self.chromsizes)
 
     def seqinfo(self):
-        """(name, length, role) as a Spark DataFrame."""
+        """(name, length, role, unit) as a Spark DataFrame."""
         from pyspark.sql import SparkSession
 
         rows = [
-            (c, int(n), "assembled" if not c.endswith("M") else "mitochondrion")
-            for c, n in self.chromsizes.items()
+            (c, int(n), *_seq_role_unit(c)) for c, n in self.chromsizes.items()
         ]
         return SparkSession.active().createDataFrame(
-            rows, "name string, length long, role string"
+            rows, "name string, length long, role string, unit string"
         )
 
     def viewframe(self):
@@ -91,15 +108,61 @@ def assemblies_available() -> list[str]:
     return sorted(n for _, n in _REGISTRY)
 
 
-def assembly_info(name: str, provider: str = "ucsc") -> GenomeAssembly:
-    """Look up an assembly by name or alias (reference ``io/assembly.py:85-184``)."""
+def register_assembly(name: str, chromsizes: dict, organism: str = "custom",
+                      provider: str = "custom", aliases: dict | None = None):
+    """Add an assembly to the in-process registry (the stand-in for the
+    reference's YAML+TSV package data, ``io/assembly.py:68-83``) — lets a
+    deployment carry its full seqinfo without network access."""
+    _REGISTRY[(provider, name)] = (organism, dict(chromsizes), aliases or {})
+    for a in (aliases or {}):
+        _ALIASES[a] = name
+
+
+_DEFAULT_ROLES = ("assembled",)
+_DEFAULT_UNITS = ("primary", "non-nuclear")
+
+
+def assembly_info(name: str, provider: str = "ucsc",
+                  roles=None, units=None) -> GenomeAssembly:
+    """Look up an assembly by name or alias (reference
+    ``io/assembly.py:85-184``). ``"provider.name"`` syntax is accepted.
+
+    ``roles`` / ``units``: sequences to include — a tuple of role/unit
+    names or ``"all"``; defaults mirror the reference (default roles =
+    assembled; default units = primary + non-nuclear).
+    """
+    if "." in name:
+        provider, name = name.split(".", 1)
+        provider = provider.lower()
     name = _ALIASES.get(name, name)
     key = (provider, name)
     if key not in _REGISTRY:
         raise ValueError(f"unknown assembly {name!r}; have {assemblies_available()}")
     organism, sizes, _ = _REGISTRY[key]
+
+    def keep(chrom: str) -> bool:
+        role, unit = _seq_role_unit(chrom)
+        if roles is None:
+            role_ok = role in _DEFAULT_ROLES
+        elif roles == "all":
+            role_ok = True
+        elif isinstance(roles, (tuple, list)):
+            role_ok = role in roles
+        else:
+            raise ValueError(f"roles must be a tuple or 'all', not {roles!r}")
+        if units is None:
+            unit_ok = unit in _DEFAULT_UNITS
+        elif units == "all":
+            unit_ok = True
+        elif isinstance(units, (tuple, list)):
+            unit_ok = unit in units
+        else:
+            raise ValueError(f"units must be a tuple or 'all', not {units!r}")
+        return role_ok and unit_ok
+
+    filtered = {c: n for c, n in sizes.items() if keep(c)}
     return GenomeAssembly(organism=organism, provider=provider, name=name,
-                          chromsizes=dict(sizes))
+                          chromsizes=filtered)
 
 
 def fetch_chromsizes(db: str, provider: str = "ucsc") -> dict:

@@ -306,3 +306,35 @@ def test_closest_binned_duplicate_rows_k2_left_null(spark):
     got = closest(df1, df2, k=2, suffixes=("", "_2"), strategy="binned")
     cog = closest(df1, df2, k=2, suffixes=("", "_2"), strategy="cogroup")
     assert rows(got) == rows(cog)
+
+
+# --------------------------------------------------------------------------
+# documented deviations pinned: ensure_int no-op, keep_order semantics
+# --------------------------------------------------------------------------
+
+def test_outer_overlap_keeps_long_schema(spark):
+    """The reference upcasts int->float64 on outer joins (its ensure_int
+    exists to undo that); Spark longs are natively nullable, so the schema
+    must stay bigint for every ensure_int value."""
+    a = ivals(spark, [("chr1", 0, 10), ("chr9", 50, 60)])
+    b = ivals(spark, [("chr1", 5, 12)])
+    for ensure_int in (True, False):
+        out = bf.overlap(a, b, how="outer", suffixes=("", "_b"),
+                         ensure_int=ensure_int)
+        dt = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+        assert dt["start"] == "bigint" and dt["start_b"] == "bigint"
+        # unmatched side arrives as null longs, not NaN floats
+        lonely = [r for r in out.collect() if r["chrom"] == "chr9"]
+        assert lonely and lonely[0]["start_b"] is None
+
+
+def test_keep_order_left_overlap(spark):
+    df1 = ivals(spark, [("chr2", 5, 9), ("chr1", 100, 200), ("chr1", 0, 10)])
+    df2 = ivals(spark, [("chr1", 5, 12)])
+    out = bf.overlap(df1, df2, how="left", suffixes=("", "_b"),
+                     keep_order=True)
+    got = [(r["chrom"], r["start"]) for r in out.collect()]
+    # df1's canonical (chrom, start, end) order
+    assert got == [("chr1", 0), ("chr1", 100), ("chr2", 5)]
+    with pytest.raises(ValueError, match="keep_order"):
+        bf.overlap(df1, df2, how="inner", keep_order=True)
