@@ -158,6 +158,59 @@ def embedding_dup_pairs(
     return tagged.groupBy("lo", "hi").applyInPandas(run, schema)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical-k-means centroids as pure DataFrame plans.
+
+    Init: the ``n_centroids`` smallest-id corpus vectors (reproducible —
+    no RNG state to ship). Each Lloyd iteration: broadcast centroids →
+    nearest-centroid assignment by cosine (crossJoin + top-1 window) →
+    component-wise mean via ``posexplode`` + groupBy + ``array_sort``
+    re-assembly. Every step is a bounded shuffle (assignment keys =
+    vectors × n_centroids fan-in, mean keys = n_centroids × dim), so the
+    training scales with the corpus scan, not with pairs.
+
+    Returns (cent_id, cvec: array<double>).
+    """
+    cents = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+    )
+    for _ in range(n_iter):
+        v = corpus.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        j = v.crossJoin(F.broadcast(cents))
+        dot = F.aggregate(F.zip_with(F.col("v"), F.col("cvec"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        n1 = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+        n2 = F.sqrt(F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x))
+        w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cent_id"))
+        assigned = (
+            j.withColumn("ccos", dot / (n1 * n2))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("cent_id", "v")
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cent_id", "pos").agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            means.groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cent_id", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+        )
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -166,20 +219,25 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
 
-    Deterministic "training": centroids are the ``n_centroids`` corpus
-    vectors with the smallest ids (a stand-in for k-means — the list
-    structure, assignment join, and probe fan-out are the real scale
-    mechanics; swapping in trained centroids changes recall, not the
-    plan). Corpus vectors are assigned to their nearest centroid (one
-    broadcast join + window); queries scan only their ``n_probe`` nearest
-    centroid lists — at 1000× corpus scale the scan per query drops
+    Centroids come from ``kmeans_centroids`` (deterministic Lloyd
+    iterations, ``train_iters=0`` degrades to the smallest-id init).
+    Corpus vectors are assigned to their nearest centroid (one broadcast
+    join + window); queries scan only their ``n_probe`` nearest centroid
+    lists — at 1000× corpus scale the scan per query drops
     ~n_centroids/n_probe-fold.
     """
-    cents = corpus.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("cent_id"), _quantized(F.col(vec_col), "cvec")
+    trained = kmeans_centroids(corpus, n_centroids=n_centroids,
+                               n_iter=train_iters, id_col=id_col,
+                               vec_col=vec_col)
+    cents = trained.select(
+        "cent_id",
+        F.transform(
+            F.col("cvec"), lambda x: F.round(x * QUANT).cast("long")
+        ).alias("cvec"),
     ).withColumn("cnorm", _norm2(F.col("cvec")))
 
     def assign(df, out_id, vname, nname, top):
