@@ -59,6 +59,7 @@ from .operators.extras import (
     frac_gene_coverage,
 )
 from .operators import sequence
+from .operators.sequence import load_fasta
 from .sources.assembly import assembly_info, assemblies_available, fetch_chromsizes
 from .sources import fileops, schemas
 from . import vis

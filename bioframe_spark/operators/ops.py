@@ -425,12 +425,18 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
 
     Distributes a single huge chromosome across many tasks; shuffle keys
     gain cardinality chrom×bins. Inner pairs are exact; outer variants are
-    reconstructed with anti-joins on deterministic row ids.
+    reconstructed with full-row anti-joins (no row ids, no per-chromosome
+    id window — identical full rows are interchangeable, and an anti join
+    keeps each unmatched duplicate copy independently). Only frames with
+    unorderable columns (maps can't join on a row struct) fall back to
+    the per-chrom ``_with_rid`` construction.
     """
+    from pyspark.sql import types as _T
+
     c1, s1, e1 = lkeys
     c2, s2, e2 = rkeys
 
-    def binned(df, c, s, e, rid):
+    def binned(df, c, s, e):
         ee = effective_end(F.col(s), F.col(e))
         s_clip = F.greatest(F.col(s), F.lit(lo))
         e_clip = F.least(ee, F.lit(hi))
@@ -442,12 +448,21 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
             .withColumn("__bin", F.explode(F.sequence(first, last)))
         )
 
-    # deterministic ids for outer reconstruction
-    Lr = _with_rid(L, c1, s1, e1, "__rid1")
-    Rr = _with_rid(R, c2, s2, e2, "__rid2")
-    lb = binned(Lr, c1, s1, e1, "__rid1").withColumnRenamed("__first_bin", "__fb1")
+    def orderable(df):
+        return not any(isinstance(f.dataType, _T.MapType) for f in df.schema.fields)
+
+    # ids only when an outer side needs reconstruction AND its rows can't
+    # serve as their own identity (unorderable columns)
+    Lr, Rr = L, R
+    lrow_ok = orderable(L)
+    rrow_ok = orderable(R)
+    if jt in ("left_outer", "full_outer") and not lrow_ok:
+        Lr = _with_rid(L, c1, s1, e1, "__rid1")
+    if jt in ("right_outer", "full_outer") and not rrow_ok:
+        Rr = _with_rid(R, c2, s2, e2, "__rid2")
+    lb = binned(Lr, c1, s1, e1).withColumnRenamed("__first_bin", "__fb1")
     rb = (
-        binned(Rr, c2, s2, e2, "__rid2")
+        binned(Rr, c2, s2, e2)
         .withColumnRenamed("__first_bin", "__fb2")
         .withColumnRenamed("__bin", "__bin2")
     )
@@ -473,15 +488,30 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
         .drop("__bin", "__bin2", "__fb1", "__fb2")
     )
     if jt == "inner":
-        return pairs.drop("__rid1", "__rid2")
+        return pairs
+
+    def anti_lonely(side_df, side_cols, key_col, row_ok):
+        """Rows of side_df with no pair: anti join on the full row struct
+        (or on the minted rid when the row has unorderable columns)."""
+        if row_ok:
+            matched = pairs.select(
+                F.struct(*[F.col(c) for c in side_cols]).alias("__mrow")
+            ).distinct()
+            return side_df.join(
+                matched,
+                F.struct(*[F.col(c) for c in side_cols]) == F.col("__mrow"),
+                "left_anti",
+            )
+        return side_df.join(pairs.select(key_col).distinct(), key_col, "left_anti")
+
     out = pairs
     if jt in ("left_outer", "full_outer"):
-        lonely = Lr.join(pairs.select("__rid1").distinct(), "__rid1", "left_anti")
+        lonely = anti_lonely(Lr, L.columns, "__rid1", lrow_ok)
         for c in R.columns:
             lonely = lonely.withColumn(c, F.lit(None).cast(R.schema[c].dataType))
         out = out.unionByName(lonely, allowMissingColumns=True)
     if jt in ("right_outer", "full_outer"):
-        lonely = Rr.join(pairs.select("__rid2").distinct(), "__rid2", "left_anti")
+        lonely = anti_lonely(Rr, R.columns, "__rid2", rrow_ok)
         for c in L.columns:
             lonely = lonely.withColumn(c, F.lit(None).cast(L.schema[c].dataType))
         out = out.unionByName(lonely, allowMissingColumns=True)

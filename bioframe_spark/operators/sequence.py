@@ -35,6 +35,100 @@ def dict_fasta_provider(genome: dict[str, str]) -> Callable:
     return fetch
 
 
+class FastaRecord:
+    """Lazy record with the reference's slicing surface
+    (``io/fileops.py:292-306``): ``record[start:end]`` / ``record[pos]``
+    fetch through the provider."""
+
+    def __init__(self, provider: Callable, name: str, length: int | None = None):
+        self._provider = provider
+        self.name = name
+        self.length = length
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            start = key.start or 0
+            stop = key.stop if key.stop is not None else self.length
+            if stop is None:
+                stop = 1 << 40  # provider clips to the sequence end
+            return self._provider(self.name, start, stop)
+        return self._provider(self.name, key, key + 1)
+
+
+def parse_fasta(path: str) -> dict[str, str]:
+    """Dependency-free FASTA parser (plain or gzip text, driver-side —
+    for test/small genomes; use the pysam engine for indexed access to
+    multi-GB files). Returns name → sequence."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    records: dict[str, str] = {}
+    name = None
+    parts: list[str] = []
+    with opener(path, "rt") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    records[name] = "".join(parts)
+                name = line[1:].split()[0]
+                parts = []
+            elif name is not None:
+                parts.append(line)
+        if name is not None:
+            records[name] = "".join(parts)
+    return records
+
+
+def load_fasta(filepath_or, engine: str = "auto", **kwargs) -> dict:
+    """Lazy FASTA records (reference ``io/fileops.py:309-376``): an
+    ordered dict of name → sliceable record.
+
+    ``engine='pysam'`` wraps an indexed ``pysam.FastaFile`` (the path for
+    multi-GB genomes); ``engine='python'`` uses the dependency-free text
+    parser (plain/.gz, loads sequences in memory); ``'auto'`` prefers
+    pysam and falls back to the parser. An iterable of paths loads one
+    record per file (reference multifile mode).
+    """
+    is_multi = not isinstance(filepath_or, str)
+    paths = list(filepath_or) if is_multi else [filepath_or]
+
+    if engine in ("auto", "pysam"):
+        try:
+            import pysam  # noqa: F401
+            have_pysam = True
+        except ImportError:
+            have_pysam = False
+            if engine == "pysam":
+                raise ImportError("pysam is required for engine='pysam'") from None
+        if have_pysam:
+            records: dict = {}
+            for p in paths:
+                prov = pysam_fasta_provider(p)
+                import pysam
+
+                ff = pysam.FastaFile(p, **kwargs)
+                names = ff.references if not is_multi else ff.references[:1]
+                for name in names:
+                    records[name] = FastaRecord(
+                        prov, name, ff.get_reference_length(name)
+                    )
+            return records
+
+    if engine not in ("auto", "python"):
+        raise ValueError("engine must be 'auto', 'pysam' or 'python'")
+    records = {}
+    for p in paths:
+        seqs = parse_fasta(p)
+        items = list(seqs.items())[:1] if is_multi else seqs.items()
+        for name, seq in items:
+            prov = dict_fasta_provider({name: seq})
+            records[name] = FastaRecord(prov, name, len(seq))
+    return records
+
+
 def pysam_fasta_provider(fasta_path: str) -> Callable:
     """Lazy per-executor pysam handle (one per process, cached)."""
     def fetch(chrom: str, start: int, end: int) -> str:

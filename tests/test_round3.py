@@ -338,3 +338,42 @@ def test_keep_order_left_overlap(spark):
     assert got == [("chr1", 0), ("chr1", 100), ("chr2", 5)]
     with pytest.raises(ValueError, match="keep_order"):
         bf.overlap(df1, df2, how="inner", keep_order=True)
+
+
+# --------------------------------------------------------------------------
+# load_fasta: dependency-free engine + record slicing surface
+# --------------------------------------------------------------------------
+
+def test_load_fasta_python_engine(tmp_path):
+    p = tmp_path / "g.fa"
+    p.write_text(">chrA extra words\nACGT\nACGT\n>chrB\nGGGG\n")
+    recs = bf.load_fasta(str(p), engine="python")
+    assert list(recs) == ["chrA", "chrB"]
+    assert recs["chrA"][:] == "ACGTACGT"
+    assert recs["chrA"][2:6] == "GTAC"
+    assert recs["chrA"][3] == "T"
+    assert recs["chrB"].length == 4
+
+
+def test_load_fasta_gzip_and_multifile(tmp_path):
+    import gzip
+
+    p1 = tmp_path / "a.fa.gz"
+    with gzip.open(p1, "wt") as fh:
+        fh.write(">c1\nAAAA\n")
+    p2 = tmp_path / "b.fa"
+    p2.write_text(">c2\nCCCC\n>ignored\nTTTT\n")
+    recs = bf.load_fasta([str(p1), str(p2)], engine="python")
+    # multifile mode: one record per file (reference semantics)
+    assert list(recs) == ["c1", "c2"]
+    assert recs["c2"][:] == "CCCC"
+
+
+def test_load_fasta_feeds_digest(spark, tmp_path):
+    p = tmp_path / "g.fa"
+    p.write_text(">chrT\nAAGAATTCAA\n")
+    recs = bf.load_fasta(str(p), engine="python")
+    prov = lambda chrom, s, e: recs[chrom][s:e]
+    out = sequence.digest({"chrT": 10}, prov, "EcoRI")
+    got = [(r["start"], r["end"]) for r in out.orderBy("start").collect()]
+    assert got == [(0, 3), (3, 10)]
