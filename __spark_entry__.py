@@ -546,6 +546,38 @@ def q_checks(spark, sf_dir):
     )
 
 
+def q_media_pipeline(spark, sf_dir):
+    """Multimodal binary-column plumbing, oracle-checked: synthesize an
+    opaque payload (utf-8 bytes of the document text) + typed metadata,
+    run the frame-sampling explode plan, and verify byte-exact binary
+    expressions (md5 / octet_length) plus the frame arithmetic."""
+    from bioframe_spark.datapipe import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.length("text") % 5000 + 1000).cast("long").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    frames = multimodal.frame_sample_plan(media, every_ms=500)
+    agg = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_ts"),
+    )
+    return media.join(agg, "media_id").select(
+        "media_id",
+        F.md5("payload").alias("payload_md5"),
+        F.octet_length("payload").alias("n_bytes"),
+        "n_frames", "last_ts",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "overlap_inner": q_overlap_inner,
@@ -603,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_labels": q_select_labels,
         "sort_view_rank": q_sort_view_rank,
         "checks": q_checks,
+        "media_pipeline": q_media_pipeline,
     }
 
 
@@ -1152,6 +1185,22 @@ SELECT is_bedframe, is_overlapping, is_viewframe, is_contained,
         AND NOT is_overlapping) AS is_tiling
 FROM flags
 """
+    media_pipeline = """
+WITH m AS (
+  -- DuckDB md5(VARCHAR) hashes the string's utf-8 bytes == Spark's
+  -- md5(encode(text,'UTF-8')); octet_length needs the explicit BLOB
+  SELECT doc_id AS media_id, md5(text) AS payload_md5,
+         octet_length(encode(text)) AS n_bytes,
+         (length(text) % 5000 + 1000) AS duration_ms
+  FROM documents
+)
+SELECT media_id, payload_md5, n_bytes,
+       -- FLOOR, not a bare cast: DuckDB CAST(double AS BIGINT) rounds
+       -- half-away while Spark .cast("long") truncates
+       GREATEST(CAST(FLOOR(duration_ms / 500.0) AS BIGINT) - 1, 0) + 1 AS n_frames,
+       GREATEST(CAST(FLOOR(duration_ms / 500.0) AS BIGINT) - 1, 0) * 500 AS last_ts
+FROM m
+"""
     return {
         "overlap_inner": overlap_inner,
         "overlap_left": overlap_left,
@@ -1207,6 +1256,7 @@ FROM flags
         "select_labels": select_labels,
         "sort_view_rank": sort_view_rank,
         "checks": checks_sql,
+        "media_pipeline": media_pipeline,
         # minhash_lsh / simhash_pairs / ann_lsh: intentionally no oracle
         # (hash-based randomized algorithms) → rows-only check
     }

@@ -1143,8 +1143,11 @@ def assign_view(df: DataFrame, view_df, drop_unassigned: bool = False,
                 df_view_col: str = "view_region", view_name_col: str = "name",
                 cols=None, cols_view=None) -> DataFrame:
     """Tag each interval with the view region of largest overlap
-    (reference ``ops.py:1807-1901``). Broadcast join to the view + top-1
-    window; deterministic ties → (view start, view name) ascending."""
+    (reference ``ops.py:1807-1901``). Assignment depends only on the
+    coordinate key, so: DISTINCT coords ⋈ broadcast(view) → top-1 window
+    over the coord struct (parallel — no per-row id, no per-chromosome
+    window) → equi-join back onto the rows. Deterministic ties →
+    (view start, view name) ascending."""
     ck, sk, ek = _resolve_cols(cols)
     ckv, skv, ekv = _resolve_cols(cols_view)
     view = construction.make_viewframe(
@@ -1153,21 +1156,32 @@ def assign_view(df: DataFrame, view_df, drop_unassigned: bool = False,
         F.col(ckv).alias("__vc"), F.col(skv).alias("__vs"), F.col(ekv).alias("__ve"),
         F.col(view_name_col).alias("__vn"),
     )
-    d1 = _with_rid(df, ck, sk, ek)
-    cond = (F.col(ck) == F.col("__vc")) & overlap_predicate(
-        F.col(sk), F.col(ek), F.col("__vs"), F.col("__ve")
+    coords = df.select(
+        F.col(ck).alias("__ac"), F.col(sk).alias("__as"), F.col(ek).alias("__ae")
+    ).distinct()
+    cond = (F.col("__ac") == F.col("__vc")) & overlap_predicate(
+        F.col("__as"), F.col("__ae"), F.col("__vs"), F.col("__ve")
     )
-    joined = d1.join(F.broadcast(view), cond, "left_outer")
-    ov_len = F.least(F.col(ek), F.col("__ve")) - F.greatest(F.col(sk), F.col("__vs"))
-    wtop = Window.partitionBy("__rid").orderBy(
+    joined = coords.join(F.broadcast(view), cond, "left_outer")
+    ov_len = F.least(F.col("__ae"), F.col("__ve")) - F.greatest(F.col("__as"), F.col("__vs"))
+    wtop = Window.partitionBy("__ac", "__as", "__ae").orderBy(
         F.desc_nulls_last("__ovl"), F.asc("__vs"), F.asc("__vn")
     )
-    out = (
+    best = (
         joined.withColumn("__ovl", ov_len)
         .withColumn("__rk", F.row_number().over(wtop))
         .filter(F.col("__rk") == 1)
+        .select("__ac", "__as", "__ae", F.col("__vn"))
+    )
+    back = (
+        F.col(ck).eqNullSafe(F.col("__ac"))
+        & F.col(sk).eqNullSafe(F.col("__as"))
+        & F.col(ek).eqNullSafe(F.col("__ae"))
+    )
+    out = (
+        df.join(best, back, "left")
         .withColumn(df_view_col, F.col("__vn"))
-        .drop("__rid", "__vc", "__vs", "__ve", "__vn", "__ovl", "__rk")
+        .drop("__ac", "__as", "__ae", "__vn")
     )
     if drop_unassigned:
         out = out.filter(F.col(df_view_col).isNotNull())
