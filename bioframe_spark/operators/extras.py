@@ -221,12 +221,28 @@ def mark_runs(
     reset_counter: bool = True,
     run_col: str = "run",
     cols=None,
+    range_width="auto",
 ) -> DataFrame:
     """Label runs of spatially-consecutive intervals sharing a value of
     *col* (reference ``extras.py:546-650``). Gaps-and-islands window: a new
-    run starts at a spatial break OR a value change (lag compare)."""
+    run starts at a spatial break OR a value change (lag compare).
+
+    ``range_width`` lifts the per-chromosome window ceiling: rows
+    range-partition by ``floor(start/range_width)``, the cross-boundary
+    ``lag`` is repaired from a tiny per-range carry table (each range's
+    last (end, value) row, lagged over the chromosome's present ranges and
+    broadcast back), and run numbers accumulate per-range border counts +
+    offsets — identical labels to the classic window. Default ``"auto"``
+    selects by input size; ``None`` forces the classic window.
+    """
+    from .ops import _auto_range_width
+
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek, col], "mark_runs")
+    range_width = _auto_range_width(df, sk, ek, range_width)
+    if range_width is not None:
+        return _mark_runs_ranged(df, col, allow_overlaps, reset_counter,
+                                 run_col, ck, sk, ek, range_width)
     w = Window.partitionBy(ck).orderBy(sk, ek)
     prev_end = F.lag(ek).over(w)
     prev_val = F.lag(col).over(w)
@@ -252,6 +268,72 @@ def mark_runs(
             .drop("__ck", "__ofs", "__local")
         )
     return out.drop("__border")
+
+
+def _mark_runs_ranged(df, col, allow_overlaps, reset_counter, run_col,
+                      ck, sk, ek, range_width):
+    """Range-partitioned ``mark_runs`` (see its docstring): per-(chrom,
+    range) local lag + first-row repair from the previous non-empty
+    range's last row, then run ids from per-range border counts."""
+    d = df.withColumn("__rng", F.floor(F.col(sk) / F.lit(range_width)))
+    w = Window.partitionBy(ck, "__rng").orderBy(sk, ek)
+
+    # carry: each range's LAST (end, value) row, shifted to the NEXT
+    # present range of the chromosome (ranges with no rows don't exist in
+    # the table, so lag-over-rng finds the true predecessor range)
+    wc = Window.partitionBy("__c_ck").orderBy("__c_rng")
+    carry = (
+        d.groupBy(F.col(ck).alias("__c_ck"), F.col("__rng").alias("__c_rng"))
+        .agg(F.max_by(
+            F.struct(F.col(ek).alias("e"), F.col(col).alias("v")),
+            F.struct(F.col(sk), F.col(ek)),
+        ).alias("__last"))
+        .select("__c_ck", "__c_rng", F.lag("__last").over(wc).alias("__prev"))
+    )
+    d = d.join(
+        F.broadcast(carry),
+        (F.col(ck) == F.col("__c_ck")) & (F.col("__rng") == F.col("__c_rng")),
+        "left",
+    ).drop("__c_ck", "__c_rng")
+
+    first_in_rng = F.row_number().over(w) == 1
+    prev_end = F.when(first_in_rng, F.col("__prev.e")).otherwise(F.lag(ek).over(w))
+    prev_val = F.when(first_in_rng, F.col("__prev.v")).otherwise(F.lag(col).over(w))
+    # the carried struct is null for the chromosome's first range — then
+    # prev_end is null exactly like the classic window's first row
+    val_change = ~F.col(col).eqNullSafe(prev_val)
+    spatial_break = F.col(sk) > prev_end if not allow_overlaps else F.lit(False)
+    # prev_end is null exactly when the classic window's lag would be null
+    # (true first row, or predecessor with null end) — border there
+    border = F.when(prev_end.isNull(), F.lit(True)).otherwise(
+        val_change | spatial_break
+    )
+
+    d = d.withColumn("__b", border.cast("long")).withColumn(
+        "__local", F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # per-range border-count offsets (within chrom for reset_counter,
+    # global chrom-major otherwise)
+    kcounts = d.groupBy(ck, "__rng").agg(F.sum("__b").alias("__k"))
+    if reset_counter:
+        wofs = Window.partitionBy(F.col(ck)).orderBy(F.col("__rng")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    else:
+        wofs = Window.orderBy(F.col(ck), F.col("__rng")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    offsets = kcounts.select(
+        F.col(ck).alias("__o_ck"), F.col("__rng").alias("__o_rng"),
+        F.coalesce(F.sum("__k").over(wofs), F.lit(0)).alias("__ofs"),
+    )
+    d = d.join(
+        F.broadcast(offsets),
+        (F.col(ck) == F.col("__o_ck")) & (F.col("__rng") == F.col("__o_rng")),
+        "left",
+    )
+    out = d.withColumn(run_col, (F.col("__ofs") + F.col("__local") - 1).cast("long"))
+    return out.drop("__rng", "__prev", "__b", "__local", "__o_ck", "__o_rng", "__ofs")
 
 
 def merge_runs(

@@ -377,3 +377,42 @@ def test_load_fasta_feeds_digest(spark, tmp_path):
     out = sequence.digest({"chrT": 10}, prov, "EcoRI")
     got = [(r["start"], r["end"]) for r in out.orderBy("start").collect()]
     assert got == [(0, 3), (3, 10)]
+
+
+# --------------------------------------------------------------------------
+# ranged mark_runs equivalence
+# --------------------------------------------------------------------------
+
+RUN_ROWS = [
+    ("chr1", 0, 10, 1), ("chr1", 10, 20, 1), ("chr1", 20, 30, 2),
+    ("chr1", 35, 40, 2), ("chr1", 40, 50, 2), ("chr1", 50, 60, 1),
+    ("chr2", 0, 5, 7), ("chr2", 5, 9, 7), ("chr2", 9, 12, 8),
+]
+
+
+@pytest.mark.parametrize("width", [7, 13, 25, 1000])
+@pytest.mark.parametrize("reset", [True, False])
+def test_mark_runs_ranged_equivalence(spark, width, reset):
+    df = spark.createDataFrame(RUN_ROWS, "chrom string, start long, end long, val long")
+    classic = rows(bf.mark_runs(df, "val", reset_counter=reset, range_width=None))
+    ranged = rows(bf.mark_runs(df, "val", reset_counter=reset, range_width=width))
+    assert classic == ranged
+
+
+def test_mark_runs_ranged_allow_overlaps(spark):
+    df = spark.createDataFrame(
+        [("chr1", 0, 10, 1), ("chr1", 5, 30, 1), ("chr1", 40, 50, 1)],
+        "chrom string, start long, end long, val long")
+    classic = rows(bf.mark_runs(df, "val", allow_overlaps=True, range_width=None))
+    ranged = rows(bf.mark_runs(df, "val", allow_overlaps=True, range_width=9))
+    assert classic == ranged
+
+
+def test_merge_runs_with_ranged_auto(spark, monkeypatch):
+    from bioframe_spark.operators import ops as _ops
+
+    df = spark.createDataFrame(RUN_ROWS, "chrom string, start long, end long, val long")
+    classic = rows(bf.merge_runs(df, "val", agg={"n": F.count(F.lit(1))}))
+    monkeypatch.setattr(_ops, "_RANGED_WINDOW_BYTES", -1)
+    forced = rows(bf.merge_runs(df, "val", agg={"n": F.count(F.lit(1))}))
+    assert classic == forced
