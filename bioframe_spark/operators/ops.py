@@ -1143,11 +1143,15 @@ def assign_view(df: DataFrame, view_df, drop_unassigned: bool = False,
                 df_view_col: str = "view_region", view_name_col: str = "name",
                 cols=None, cols_view=None) -> DataFrame:
     """Tag each interval with the view region of largest overlap
-    (reference ``ops.py:1807-1901``). Assignment depends only on the
-    coordinate key, so: DISTINCT coords ⋈ broadcast(view) → top-1 window
-    over the coord struct (parallel — no per-row id, no per-chromosome
-    window) → equi-join back onto the rows. Deterministic ties →
-    (view start, view name) ascending."""
+    (reference ``ops.py:1807-1901``). Deterministic ties → (view start,
+    view name) ascending.
+
+    Two plans, size-selected like the other window-family ops: small
+    inputs keep the per-row-id broadcast-join + top-1 window (one shuffle
+    of the rows); large inputs exploit that assignment depends only on
+    the coordinate key — DISTINCT coords ⋈ broadcast(view) → top-1 per
+    coord struct → equi-join back — no per-row id, no per-chromosome
+    window ceiling (the row-id window is one task per chromosome)."""
     ck, sk, ek = _resolve_cols(cols)
     ckv, skv, ekv = _resolve_cols(cols_view)
     view = construction.make_viewframe(
@@ -1156,6 +1160,26 @@ def assign_view(df: DataFrame, view_df, drop_unassigned: bool = False,
         F.col(ckv).alias("__vc"), F.col(skv).alias("__vs"), F.col(ekv).alias("__ve"),
         F.col(view_name_col).alias("__vn"),
     )
+    if _plan_size_bytes(df) <= _RANGED_WINDOW_BYTES:
+        d1 = _with_rid(df, ck, sk, ek)
+        cond = (F.col(ck) == F.col("__vc")) & overlap_predicate(
+            F.col(sk), F.col(ek), F.col("__vs"), F.col("__ve")
+        )
+        joined = d1.join(F.broadcast(view), cond, "left_outer")
+        ov_len = F.least(F.col(ek), F.col("__ve")) - F.greatest(F.col(sk), F.col("__vs"))
+        wtop = Window.partitionBy("__rid").orderBy(
+            F.desc_nulls_last("__ovl"), F.asc("__vs"), F.asc("__vn")
+        )
+        out = (
+            joined.withColumn("__ovl", ov_len)
+            .withColumn("__rk", F.row_number().over(wtop))
+            .filter(F.col("__rk") == 1)
+            .withColumn(df_view_col, F.col("__vn"))
+            .drop("__rid", "__vc", "__vs", "__ve", "__vn", "__ovl", "__rk")
+        )
+        if drop_unassigned:
+            out = out.filter(F.col(df_view_col).isNotNull())
+        return out
     coords = df.select(
         F.col(ck).alias("__ac"), F.col(sk).alias("__as"), F.col(ek).alias("__ae")
     ).distinct()
