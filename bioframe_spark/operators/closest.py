@@ -291,9 +291,10 @@ _CLOSEST_COGROUP_BYTES = 512 << 20  # above this combined scan size the
 
 
 def _big_inputs(df1: DataFrame, df2: DataFrame) -> bool:
-    from .ops import _plan_size_bytes
+    from .ops import _plan_size_bytes, _threshold
 
-    return (_plan_size_bytes(df1) + _plan_size_bytes(df2)) > _CLOSEST_COGROUP_BYTES
+    bar = _threshold(df1, "closestCogroupBytes", _CLOSEST_COGROUP_BYTES)
+    return (_plan_size_bytes(df1) + _plan_size_bytes(df2)) > bar
 
 
 def _closest_binned(

@@ -130,6 +130,16 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 60  # unknown → assume large (prefer the scalable path)
 
 
+def _threshold(df: DataFrame, key: str, default: int) -> int:
+    """Deployment knob: ``spark.bioframe.<key>`` (bytes) overrides a
+    built-in strategy threshold — lets a cluster tune the plain/binned
+    and classic/ranged cutovers without code changes."""
+    try:
+        return int(df.sparkSession.conf.get("spark.bioframe." + key))
+    except Exception:
+        return default
+
+
 def _bin_stats(df1, sk1, ek1, df2, sk2, ek2) -> tuple:
     """(lo, hi, auto_bin): global coordinate span across both sides and an
     auto bin width — wide enough that interval duplication stays ~1×
@@ -180,7 +190,8 @@ def _choose_strategy(df1, df2, strategy: str) -> str:
     cartesian with a post-filter, which is quadratic in rows-per-chrom."""
     if strategy != "auto":
         return strategy
-    if min(_plan_size_bytes(df1), _plan_size_bytes(df2)) <= _BROADCAST_BYTES:
+    bar = _threshold(df1, "broadcastBytes", _BROADCAST_BYTES)
+    if min(_plan_size_bytes(df1), _plan_size_bytes(df2)) <= bar:
         return "plain"
     return "binned"
 
@@ -657,7 +668,8 @@ def _auto_range_width(df: DataFrame, sk: str, ek: str, range_width):
     per-group window; an int is explicit."""
     if range_width != "auto":
         return range_width
-    if _plan_size_bytes(df) <= _RANGED_WINDOW_BYTES:
+    if _plan_size_bytes(df) <= _threshold(df, "rangedWindowBytes",
+                                          _RANGED_WINDOW_BYTES):
         return None
     row = df.agg(F.min(sk).alias("lo"), F.max(ek).alias("hi")).collect()[0]
     if row["lo"] is None:
@@ -1160,7 +1172,8 @@ def assign_view(df: DataFrame, view_df, drop_unassigned: bool = False,
         F.col(ckv).alias("__vc"), F.col(skv).alias("__vs"), F.col(ekv).alias("__ve"),
         F.col(view_name_col).alias("__vn"),
     )
-    if _plan_size_bytes(df) <= _RANGED_WINDOW_BYTES:
+    if _plan_size_bytes(df) <= _threshold(df, "rangedWindowBytes",
+                                          _RANGED_WINDOW_BYTES):
         d1 = _with_rid(df, ck, sk, ek)
         cond = (F.col(ck) == F.col("__vc")) & overlap_predicate(
             F.col(sk), F.col(ek), F.col("__vs"), F.col("__ve")

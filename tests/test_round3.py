@@ -416,3 +416,21 @@ def test_merge_runs_with_ranged_auto(spark, monkeypatch):
     monkeypatch.setattr(_ops, "_RANGED_WINDOW_BYTES", -1)
     forced = rows(bf.merge_runs(df, "val", agg={"n": F.count(F.lit(1))}))
     assert classic == forced
+
+
+def test_threshold_conf_override(spark):
+    """spark.bioframe.* confs override the strategy thresholds."""
+    df = ivals(spark, TRIPLES)
+    try:
+        # force the ranged path for a tiny frame purely via conf
+        spark.conf.set("spark.bioframe.rangedWindowBytes", "-1")
+        classic = rows(bf.merge(df, min_dist=0, range_width=None))
+        auto = rows(bf.merge(df, min_dist=0))
+        assert classic == auto
+        # and force the classic path even for unknown-size frames (whose
+        # plan stats report Long.MaxValue)
+        spark.conf.set("spark.bioframe.rangedWindowBytes", str((1 << 63) - 1))
+        width = ops._auto_range_width(df, "start", "end", "auto")
+        assert width is None
+    finally:
+        spark.conf.unset("spark.bioframe.rangedWindowBytes")
