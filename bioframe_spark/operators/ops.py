@@ -866,10 +866,14 @@ def setdiff(df1: DataFrame, df2: DataFrame, cols1=None, cols2=None,
     if strategy == "binned":
         keys = [ck1, sk1, ek1, *on]
         coords = df1.select(*keys).filter(F.col(ck1).isNotNull()).distinct()
+        # span hint from the RAW inputs: the stats job then scans df1/df2
+        # directly instead of re-executing the distinct shuffle to measure
+        # it (coords' span ⊆ df1's, so clipping stays lossless)
         hits = overlap(
             coords, df2.select(ck2, sk2, ek2, *on), how="inner",
             suffixes=("", "__r2"), cols1=cols1, cols2=cols2, on=on,
             strategy="binned",
+            _bin_hint=_bin_stats(df1, sk1, ek1, df2, sk2, ek2),
         ).select(*keys).distinct()
         hits = hits.select(*[F.col(k).alias("__h_" + k) for k in keys])
         cond = F.lit(True)
@@ -909,9 +913,14 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     on = list(on) if on else []
     keys = [ck1, sk1, ek1, *on]
     coords = df1.select(*keys).filter(F.col(ck1).isNotNull()).distinct()
+    # resolve the strategy on the RAW inputs and pre-compute the span hint
+    # there too — a binned join over the derived coords would otherwise
+    # re-execute the distinct shuffle just to measure it
+    strat = _choose_strategy(df1, df2, strategy)
+    hint = _bin_stats(df1, sk1, ek1, df2, sk2, ek2) if strat == "binned" else None
     pairs = overlap(
         coords, df2.select(ck2, sk2, ek2, *on), how="inner", suffixes=("", "__r2"),
-        cols1=cols1, cols2=cols2, on=on, strategy=strategy,
+        cols1=cols1, cols2=cols2, on=on, strategy=strat, _bin_hint=hint,
     )
     counts = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
     counts = counts.select(*[F.col(k).alias("__k_" + k) for k in keys], "count")
@@ -977,10 +986,13 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
         )
         covmap = F.broadcast(covmap)
     else:
+        strat = _choose_strategy(df1, df2, strategy)
+        hint = (_bin_stats(df1, sk1, ek1, df2, sk2, ek2)
+                if strat == "binned" else None)
         pairs = overlap(
             coords, merged2.select(ck2, sk2, ek2), how="inner",
             suffixes=("", "__r2"), cols1=("__cc", "__cs", "__ce"),
-            cols2=cols2, strategy=strategy,
+            cols2=cols2, strategy=strat, _bin_hint=hint,
         )
         s2, e2 = sk2 + "__r2", ek2 + "__r2"
         ov = F.least(F.col("__ce"), F.col(e2)) - F.greatest(F.col("__cs"), F.col(s2))
