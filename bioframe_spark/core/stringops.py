@@ -22,7 +22,8 @@ _TOKEN_RE = re.compile(
     "|".join(f"(?P<{name}>{pat})" for name, pat in _TOKEN_SPEC), re.IGNORECASE
 )
 
-_UNIT_MULT = {"k": 10**3, "m": 10**6, "g": 10**9}
+_UNIT_MULT = {"k": 10**3, "m": 10**6, "g": 10**9,
+              "kb": 10**3, "mb": 10**6, "gb": 10**9}
 
 
 def to_humanized_int(s: str | int | float) -> int:
@@ -51,7 +52,9 @@ def parse_region_string(s: str) -> tuple[str, int | None, int | None]:
     if ":" not in s:
         return (s, None, None)
     chrom, _, rng = s.rpartition(":")
-    if chrom == "":
+    # reference grammar: sequence names may contain any character except
+    # whitespace and colon — "chr1::1000-2000" is an error, not a name
+    if chrom == "" or ":" in chrom or any(c.isspace() for c in chrom):
         raise ValueError(f"invalid region string: {s!r}")
     rng = rng.strip()
     if rng == "":
@@ -96,7 +99,10 @@ def parse_region(
             start = 0
         if not (0 <= start <= end <= clen):
             raise ValueError(f"region out of bounds: {region}")
-    if start is not None and end is not None and end < start:
+    if start is None:
+        # reference ``parse_region``: a missing start is always 0
+        start = 0
+    if end is not None and end < start:
         raise ValueError(f"end < start in region: {region}")
     return (chrom, start, end)
 

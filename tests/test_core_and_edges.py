@@ -29,7 +29,9 @@ def test_parse_region_string():
     assert parse_region_string("chr1:5-10") == ("chr1", 5, 10)
     assert parse_region_string("chr5:10,100,000-30M") == ("chr5", 10_100_000, 30_000_000)
     assert parse_region_string("chr1:5-") == ("chr1", 5, None)
-    assert parse_region_string("weird:name:5-10") == ("weird:name", 5, 10)
+    # reference grammar: sequence names may not contain colons
+    with pytest.raises(ValueError):
+        parse_region_string("weird:name:5-10")
     with pytest.raises(ValueError):
         parse_region_string("chr1:10-5")
 

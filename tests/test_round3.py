@@ -434,3 +434,29 @@ def test_threshold_conf_override(spark):
         assert width is None
     finally:
         spark.conf.unset("spark.bioframe.rangedWindowBytes")
+
+
+# --------------------------------------------------------------------------
+# parse_region grammar parity (ported reference test_core_stringops cases)
+# --------------------------------------------------------------------------
+
+def test_parse_region_reference_cases():
+    from bioframe_spark.core.stringops import parse_region
+
+    assert parse_region("chr21") == ("chr21", 0, None)
+    assert parse_region("chr21:1000-2000") == ("chr21", 1000, 2000)
+    assert parse_region("chr21:1,000-2,000") == ("chr21", 1000, 2000)
+    assert parse_region("6") == ("6", 0, None)
+    assert parse_region("gb|accession|locus:1000-2000") == (
+        "gb|accession|locus", 1000, 2000)
+    assert parse_region("name-with-hyphens-") == ("name-with-hyphens-", 0, None)
+    assert parse_region("GL000207.1:1000-2000") == ("GL000207.1", 1000, 2000)
+    assert parse_region("chr21:1000-") == ("chr21", 1000, None)
+    assert parse_region("6:1kb-2kb") == ("6", 1000, 2000)
+    assert parse_region("6:1k-2000") == ("6", 1000, 2000)
+    assert parse_region("6:1kb-2M") == ("6", 1000, 2000000)
+    assert parse_region("6:1Gb-") == ("6", 1000000000, None)
+    with pytest.raises(ValueError):
+        parse_region("chr1:2,000-1,000")  # reverse selection
+    with pytest.raises(ValueError):
+        parse_region("chr1::1000-2000")  # more than one colon
