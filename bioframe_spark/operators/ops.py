@@ -1397,6 +1397,17 @@ def sort_bedframe(df: DataFrame, view_df=None, view_name_col: str = "name",
         added = True
     else:
         _verify_columns(df, [df_view_col], "sort_bedframe")
+        # reference ops.py:1779-1790: an explicit df_view_col must be
+        # cataloged in the view (one aggregate-probe job)
+        from ..core import checks
+
+        if not checks.is_cataloged(
+            df.filter(F.col(df_view_col).isNotNull()), view,
+            df_view_col=df_view_col, view_name_col=view_name_col,
+        ):
+            raise ValueError(
+                "intervals in df not cataloged in view_df, cannot sort by view"
+            )
         tagged = df
         added = False
     # Attach the view-row ordinal driver-side: views are tiny by contract

@@ -460,3 +460,25 @@ def test_parse_region_reference_cases():
         parse_region("chr1:2,000-1,000")  # reverse selection
     with pytest.raises(ValueError):
         parse_region("chr1::1000-2000")  # more than one colon
+
+
+def test_sort_bedframe_view_semantics(spark):
+    """View-ordered sort: assign-largest-overlap first (no duplication of
+    region-spanning intervals), view-row order, unassigned last; an
+    explicit df_view_col must be cataloged."""
+    view = [("chr1", 0, 50, "B"), ("chr1", 50, 100, "A"), ("chr2", 0, 100, "C")]
+    df = ivals(spark, [
+        ("chr1", 60, 70),    # region A (2nd view row)
+        ("chr1", 10, 20),    # region B (1st view row)
+        ("chr1", 40, 60),    # SPANS B|A: larger overlap in B -> B
+        ("chr2", 5, 6),      # region C
+        ("chr9", 0, 5),      # unassigned -> last
+    ])
+    out = bf.sort_bedframe(df, view_df=view)
+    got = [(r["chrom"], r["start"]) for r in out.collect()]
+    assert got == [("chr1", 10), ("chr1", 40), ("chr1", 60), ("chr2", 5), ("chr9", 0)]
+    assert out.count() == 5  # spanning interval NOT duplicated
+
+    tagged = df.withColumn("view_region", F.lit("NOPE"))
+    with pytest.raises(ValueError, match="cataloged"):
+        bf.sort_bedframe(tagged, view_df=view, df_view_col="view_region")
