@@ -59,9 +59,45 @@ from .operators.extras import (
     frac_gene_coverage,
 )
 from .operators import sequence
-from .operators.sequence import load_fasta
+from .operators.sequence import (
+    digest,
+    frac_gc,
+    frac_mapped,
+    load_fasta,
+    seq_gc,
+)
 from .sources.assembly import assembly_info, assemblies_available, fetch_chromsizes
 from .sources import fileops, schemas
+from .sources.schemas import SCHEMAS
+from .sources.fileops import (
+    read_alignments,
+    read_bigbed,
+    read_bigwig,
+    read_chromsizes,
+    read_pairix,
+    read_tabix,
+    read_table,
+    to_bigbed,
+    to_bigwig,
+)
+from .sources.bed import to_bed
+from .sources.resources import UCSCClient, fetch_centromeres
+from .core.specs import is_chrom_dtype
+from .core.construction import from_series
+from .core.checks import (
+    is_bedframe,
+    is_cataloged,
+    is_contained,
+    is_covering,
+    is_overlapping,
+    is_sorted,
+    is_tiling,
+    is_viewframe,
+)
 from . import vis
+from .vis import plot_intervals, to_ucsc_colorstring
+
+# reference's deprecated alias surface
+read_bam = read_alignments
 
 __version__ = "0.1.0"

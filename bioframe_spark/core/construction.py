@@ -28,6 +28,18 @@ def _spark() -> SparkSession:
     return SparkSession.active()
 
 
+def from_series(regions, cols=None) -> DataFrame:
+    """A chromsizes-style mapping (pandas Series indexed by name, or any
+    name→length mapping) → (chrom, 0, length) frame (reference
+    ``construction.py:57-62``)."""
+    ck, sk, ek = _resolve_cols(cols)
+    items = regions.items() if hasattr(regions, "items") else zip(
+        regions.index, regions.values
+    )
+    rows = [(str(c), 0, int(v)) for c, v in items]
+    return _spark().createDataFrame(rows, _INTERVAL_FIELDS(ck, sk, ek))
+
+
 def from_dict(regions: dict, cols=None) -> DataFrame:
     """``{chrom: length}`` or ``{chrom: (start, end)}`` → interval DataFrame."""
     ck, sk, ek = _resolve_cols(cols)

@@ -53,3 +53,24 @@ def _verify_columns(df, colnames, caller: str = ""):
     missing = [c for c in colnames if c not in df.columns]
     if missing:
         raise ValueError(f"{caller}: missing columns {missing}; have {list(df.columns)}")
+
+
+def is_chrom_dtype(dtype) -> bool:
+    """True for types usable as a chromosome column (reference
+    ``specs.py:142-152``: string/object/categorical pandas dtypes — here
+    the Spark analog: StringType, or a string-valued pandas/numpy dtype
+    for driver-side frames)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.DataType):
+        return isinstance(dtype, T.StringType)
+    try:
+        import pandas as pd
+
+        return bool(
+            pd.api.types.is_string_dtype(dtype)
+            or pd.api.types.is_object_dtype(dtype)
+            or isinstance(dtype, pd.CategoricalDtype)
+        )
+    except Exception:
+        return False

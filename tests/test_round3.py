@@ -482,3 +482,37 @@ def test_sort_bedframe_view_semantics(spark):
     tagged = df.withColumn("view_region", F.lit("NOPE"))
     with pytest.raises(ValueError, match="cataloged"):
         bf.sort_bedframe(tagged, view_df=view, df_view_col="view_region")
+
+
+def test_top_level_namespace_parity():
+    """Every public reference name a bioframe user calls resolves as
+    bf.<name> (drop-in ergonomics); internal kernel module aliases
+    (arrops) intentionally excluded."""
+    expected = [
+        "overlap", "cluster", "merge", "closest", "coverage", "subtract",
+        "setdiff", "count_overlaps", "trim", "complement", "sort_bedframe",
+        "assign_view", "select", "expand", "binnify", "digest", "frac_gc",
+        "frac_mapped", "frac_gene_coverage", "seq_gc", "pair_by_distance",
+        "mark_runs", "merge_runs", "make_chromarms", "read_table",
+        "read_chromsizes", "read_tabix", "read_pairix", "read_bigwig",
+        "read_bigbed", "read_alignments", "read_bam", "to_bed", "to_bigwig",
+        "to_bigbed", "load_fasta", "parse_region", "parse_region_string",
+        "make_viewframe", "from_any", "from_dict", "from_list", "from_series",
+        "from_ucsc_string_list", "sanitize_bedframe", "is_bedframe",
+        "is_cataloged", "is_contained", "is_covering", "is_overlapping",
+        "is_sorted", "is_tiling", "is_viewframe", "is_chrom_dtype",
+        "assembly_info", "assemblies_available", "fetch_chromsizes",
+        "fetch_centromeres", "UCSCClient", "SCHEMAS", "plot_intervals",
+        "to_ucsc_colorstring", "to_ucsc_string", "is_complete_ucsc_string",
+    ]
+    missing = [n for n in expected if not hasattr(bf, n)]
+    assert not missing, missing
+
+
+def test_from_series_and_is_chrom_dtype(spark):
+    got = [(r["chrom"], r["start"], r["end"])
+           for r in bf.from_series({"chr1": 100, "chr2": 50}).collect()]
+    assert sorted(got) == [("chr1", 0, 100), ("chr2", 0, 50)]
+    from pyspark.sql import types as T
+    assert bf.is_chrom_dtype(T.StringType())
+    assert not bf.is_chrom_dtype(T.LongType())
