@@ -135,7 +135,8 @@ def _threshold(df: DataFrame, key: str, default: int) -> int:
     built-in strategy threshold — lets a cluster tune the plain/binned
     and classic/ranged cutovers without code changes."""
     try:
-        return int(df.sparkSession.conf.get("spark.bioframe." + key))
+        v = df.sparkSession.conf.get("spark.bioframe." + key, None)
+        return default if v is None else int(v)
     except Exception:
         return default
 
