@@ -442,9 +442,10 @@ def to_bed(df: DataFrame, path: str | None = None, *, schema: str = "infer",
     """Validate + write a BED file (reference ``io/bed.py:685-738``).
 
     Returns the coerced frame; writes TSV when ``path`` is given.
-    ``single_file=True`` coalesces to one part (a BED file is one ordered
-    text file by convention); at scale pass False for one part per
-    partition.
+    ``single_file=True`` writes exactly the file at *path* (a BED file is
+    one ordered text file by convention — the part file is moved into
+    place for local paths; scheme-qualified paths keep Spark's directory
+    layout); at scale pass False for one part per partition.
     """
     bed = to_bed_dataframe(
         df, schema=schema, validate_fields=validate_fields,
@@ -453,7 +454,22 @@ def to_bed(df: DataFrame, path: str | None = None, *, schema: str = "infer",
     )
     if path is not None:
         out = bed.orderBy("chrom", "start", "end") if sort else bed
+        local = "://" not in path
         if single_file:
             out = out.coalesce(1)
-        out.write.mode("overwrite").option("sep", "\t").csv(path)
+        if single_file and local:
+            import glob
+            import os
+            import shutil
+
+            tmp = path + ".spark-write-tmp"
+            out.write.mode("overwrite").option("sep", "\t").csv(tmp)
+            parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+            with open(path, "wb") as dst:
+                for p in parts:
+                    with open(p, "rb") as src:
+                        shutil.copyfileobj(src, dst)
+            shutil.rmtree(tmp)
+        else:
+            out.write.mode("overwrite").option("sep", "\t").csv(path)
     return bed
