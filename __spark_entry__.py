@@ -308,6 +308,12 @@ def q_text_fingerprints(spark, sf_dir):
     )
 
 
+def q_language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    hit_cols = [f"{lg}_hits" for lg in text.LANG_PROFILES]
+    return text.language_id(docs).select("doc_id", "lang_pred", *hit_cols)
+
+
 def q_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                      n=3, threshold=0.5)
@@ -611,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "text_fingerprints": q_text_fingerprints,
+        "language_id": q_language_id,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -912,6 +919,35 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
 FROM documents
 """
+    # language-ID oracle generated from the SAME profile dict the Spark
+    # operator uses (bioframe_spark/datapipe/text.py LANG_PROFILES) — the
+    # chained CASE gives the identical first-tie-wins argmax.
+    _langs = list(text.LANG_PROFILES)
+    _toks = "regexp_extract_all(lower(text), '[a-zà-ÿ]+')"
+
+    def _inlist(lg):
+        return ", ".join("'%s'" % w.replace("'", "''")
+                         for w in text.LANG_PROFILES[lg])
+
+    _hit_exprs = ",\n         ".join(
+        f"len(list_filter({_toks}, t -> t IN ({_inlist(lg)}))) AS {lg}_hits"
+        for lg in _langs)
+    _case = "CASE " + " ".join(
+        "WHEN %s_hits > 0 AND %s THEN '%s'" % (
+            lg,
+            " AND ".join(f"{lg}_hits >= {o}_hits" for o in _langs if o != lg),
+            lg)
+        for lg in _langs) + " ELSE 'und' END"
+    language_id = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_hit_exprs}
+  FROM documents
+)
+SELECT doc_id, {_case} AS lang_pred, {', '.join(f'{lg}_hits' for lg in _langs)}
+FROM h
+"""
+
     jaccard_pairs = """
 WITH sh AS (
   SELECT doc_id,
@@ -1233,6 +1269,7 @@ FROM m
         "dedup_exact": dedup_exact,
         "text_stats": text_stats,
         "text_fingerprints": text_fingerprints,
+        "language_id": language_id,
         "jaccard_pairs": jaccard_pairs,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,

@@ -97,6 +97,58 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Per-language word profiles for the language-ID heuristic: the highest-
+# frequency function words of each language (public knowledge — any
+# frequency list gives the same top-10). Word-unigram profile matching is
+# the classic n-gram language-ID heuristic (Cavnar & Trenkle 1994, with
+# n=1 over words instead of character n-grams).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "es": ["que", "los", "del", "las", "por", "una", "con", "para", "es", "su"],
+    "fr": ["les", "des", "est", "une", "dans", "qui", "pas", "pour", "sur", "vous"],
+    "it": ["che", "di", "non", "per", "una", "sono", "della", "il", "gli", "anche"],
+    "pt": ["que", "não", "uma", "com", "para", "por", "mais", "dos", "como", "os"],
+    "nl": ["het", "een", "van", "dat", "niet", "aan", "voor", "ook", "maar", "zijn"],
+}
+
+LANG_TOKEN_PATTERN = "[a-zà-ÿ]+"
+
+
+def language_hits(text: Column, lang: str) -> Column:
+    """Multiplicity-counting profile hits for one language: how many word
+    tokens of ``text`` are in that language's top-frequency-word profile.
+    Pure JVM expressions (regexp token extraction + higher-order filter)."""
+    words = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    toks = F.regexp_extract_all(F.lower(text), F.lit(LANG_TOKEN_PATTERN), F.lit(0))
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                langs: list[str] | None = None) -> DataFrame:
+    """Attach ``lang_pred`` (best-scoring language, 'und' when no profile
+    word occurs) plus per-language ``<lang>_hits`` columns.
+
+    Deterministic argmax: languages are compared in the fixed ``langs``
+    order and the FIRST language whose hit count ties the maximum wins —
+    the decision is a chained CASE, exactly expressible in any SQL engine
+    (the driver oracle mirrors it in DuckDB). Scoring is one projection
+    over the corpus: no shuffle, no UDF, survives any scale."""
+    langs = list(langs or LANG_PROFILES)
+    t = F.col(text_col)
+    out = df.withColumns({f"{lg}_hits": language_hits(t, lg) for lg in langs})
+    hit_cols = [F.col(f"{lg}_hits") for lg in langs]
+    pred = F.lit("und")
+    # build the CASE back-to-front so earlier languages take ties
+    for i in range(len(langs) - 1, -1, -1):
+        cond = (hit_cols[i] > 0)
+        for j in range(len(langs)):
+            if j != i:
+                cond = cond & (hit_cols[i] >= hit_cols[j])
+        pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
 def doc_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Continuous quality score in [0,1]: blend of length and stopword
     signals (double-valued — excluded from exact-hash oracles)."""

@@ -281,3 +281,35 @@ def test_select_labels(spark):
     # default: dense canonical index doubles as the label
     lab2 = bf.select_labels(d, "chr1:0-25")
     assert sorted(r["label"] for r in lab2.collect()) == [0, 1]
+
+
+def test_language_id_heuristic(spark):
+    from bioframe_spark.datapipe import text as T
+
+    rows = [
+        (1, "the cat sat on the mat and it was good"),          # en
+        (2, "der hund und die katze sind nicht auf dem tisch"),  # de
+        (3, "les chats sont dans la maison pour vous"),          # fr
+        (4, "los perros del parque corren por las calles"),      # es
+        (5, "xyzzy qwerty plugh"),                               # no profile hit
+        (6, ""),                                                 # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in T.language_id(df).select("doc_id", "lang_pred").collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "es"
+    assert out[5] == "und"
+    assert out[6] == "und"
+
+
+def test_language_id_tie_breaks_by_profile_order(spark):
+    from bioframe_spark.datapipe import text as T
+
+    # "que" is in both the es and pt profiles; es precedes pt in
+    # LANG_PROFILES so a pure tie must resolve to es.
+    df = spark.createDataFrame([(1, "que que")], ["doc_id", "text"])
+    [row] = T.language_id(df).select("lang_pred").collect()
+    assert row["lang_pred"] == "es"
