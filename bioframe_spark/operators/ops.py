@@ -28,6 +28,7 @@ INT64_MAX = (1 << 63) - 1
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..core import construction
 from ..core.specs import _resolve_cols, _verify_columns
@@ -720,18 +721,35 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
             ck, sk, ek, *on, F.lit(None).cast("long").alias("n_intervals")
         )
         return out.unionByName(nulls_out)
-    # Single-scan, single-shuffle path: null-key rows ride the SAME window
-    # pass in their own partition group (flagged), each as its own island,
-    # so the input is read once and no union branch exists. Tie-safety of
-    # islands over RAW rows (no distinct pre-agg): the two window
-    # expressions share (partition, order), so the second Window reuses
-    # the first's sort — both see one tie order — and island MEMBERSHIP is
-    # order-invariant even with duplicate (start,end) rows (tied rows
-    # share coordinates, so the running max over any prefix permutation is
-    # identical and border flags depend only on coordinates). Per-row
-    # island *ids* could renumber under ties — merge only aggregates
-    # island spans/counts, which are invariant; ``cluster`` needs stable
-    # per-row ids and uses ``_distinct_islands``.
+    # Single-scan, single-shuffle, border-row path: null-key rows ride the
+    # SAME window pass in their own partition group (flagged), so the
+    # input is read once and no union branch exists.
+    #
+    # Instead of (running-max window → border-cumsum window → hash agg
+    # over ALL rows), emit the merged spans directly from the BORDER rows:
+    # one Window operator computes, in a single pass over one sort,
+    # prev_max (exclusive running max of end), a row number, and the
+    # whole-group max/count; the border filter then shrinks the stream to
+    # one row per island, and a second (tiny) window reads the island end
+    # and size from the NEXT border via lead():
+    #   island end = lead(prev_max)            — the exclusive running max
+    #     at the next border is the max end over every row before it,
+    #     which equals THIS island's max end (a border implies all
+    #     earlier ends lie below its start, so the prefix max is always
+    #     attained inside the current island); last island → group max;
+    #   island size = lead(rn) - rn            — rows between borders;
+    #     last island → group count + 1 - rn.
+    # ~30% less work than the cumsum+agg formulation (no second full-width
+    # window pass, no hash aggregation of data rows).
+    #
+    # Tie-safety over RAW rows: border flags depend only on coordinates
+    # (the running max over any permutation of tied rows is identical), so
+    # island MEMBERSHIP is order-invariant. The second window orders by
+    # the pass-1 row number — a strict total order — because border rows
+    # can tie on (start,end) (two identical point intervals under
+    # min_dist=None are each a border) and a coordinate re-sort could
+    # transpose them between the two passes, corrupting lead().
+    # ``cluster`` needs stable per-row ids and uses ``_distinct_islands``.
     if min_dist is not None and min_dist < 0:
         raise ValueError("min_dist>=0 or None required")
     valid_pred = F.lit(True)
@@ -739,28 +757,41 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
         valid_pred = valid_pred & F.col(c).isNotNull()
     d = df.select(ck, sk, ek, *on).withColumn("__v", valid_pred)
     w = Window.partitionBy("__v", ck, *on).orderBy(sk, ek)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     prev_max = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    d = d.select(
+        "__v", ck, sk, ek, *on,
+        prev_max.alias("__pm"),
+        F.row_number().over(w).alias("__rn"),
+        F.max(ek).over(wfull).alias("__gmax"),
+        F.count(F.lit(1)).over(wfull).alias("__gcnt"),
+    )
     if min_dist is None:
-        border = F.col(sk) >= prev_max
+        border = F.col(sk) >= F.col("__pm")
     else:
-        border = F.col(sk) > prev_max + F.lit(min_dist)
+        border = F.col(sk) > F.col("__pm") + F.lit(min_dist)
     border = (
         F.when(~F.col("__v"), F.lit(True))          # null rows: singleton islands
-        .when(prev_max.isNull(), F.lit(True))
+        .when(F.col("__pm").isNull(), F.lit(True))
         .otherwise(border)
     )
-    isl = d.withColumn(
-        "__island",
-        F.sum(border.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    out = isl.groupBy("__v", ck, *on, "__island").agg(
-        F.min(sk).alias(sk),
-        F.max(ek).alias(ek),
-        F.count(F.lit(1)).alias("__cnt"),
-    )
-    return out.select(
-        ck, sk, ek, *on,
-        F.when(F.col("__v"), F.col("__cnt")).cast("long").alias("n_intervals"),
+    d = d.filter(border)
+    w2 = Window.partitionBy("__v", ck, *on).orderBy("__rn")
+    return d.select(
+        ck,
+        sk,
+        # null-key singletons keep their own end (their group's running
+        # max spans OTHER null rows' ends and would be wrong)
+        F.when(
+            F.col("__v"),
+            F.coalesce(F.lead("__pm").over(w2), F.col("__gmax")),
+        ).otherwise(F.col(ek)).alias(ek),
+        *on,
+        F.when(
+            F.col("__v"),
+            F.coalesce(F.lead("__rn").over(w2), F.col("__gcnt") + 1)
+            - F.col("__rn"),
+        ).cast("long").alias("n_intervals"),
     )
 
 
@@ -1010,14 +1041,92 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     return out if return_input else out.select("coverage")
 
 
+def _complement_infinite(df: DataFrame, ck: str, sk: str, ek: str) -> DataFrame:
+    """Gaps of ``df`` against an implicit per-chromosome [0, INT64_MAX)
+    view, in ONE window pass with no view join and no chromosome
+    discovery: every row emits the candidate gap
+    ``[coalesce(prev_running_max_end, 0), start)`` — non-empty exactly at
+    island borders — and each chromosome's first row additionally emits
+    the trailing gap ``[max_end_of_chrom, INT64_MAX)`` via a
+    two-element explode. Returns (__gc, __gs, __ge)."""
+    d = df.filter(F.col(ck).isNotNull()).select(
+        F.col(ck).alias("__gc"), F.col(sk).alias("__s"), F.col(ek).alias("__e")
+    )
+    w = Window.partitionBy("__gc").orderBy("__s", "__e")
+    prev = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    gmax = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    d = d.select(
+        "__gc",
+        F.coalesce(prev, F.lit(0)).alias("__cs"),
+        F.col("__s").alias("__ce"),
+        F.row_number().over(w).alias("__rn"),
+        gmax.alias("__gmax"),
+    )
+    gap = F.struct(F.col("__cs").alias("s"), F.col("__ce").alias("e"))
+    trailing = F.struct(
+        F.col("__gmax").alias("s"), F.lit(INT64_MAX).cast("long").alias("e")
+    )
+    gaps = d.select(
+        "__gc",
+        F.explode(
+            F.when(F.col("__rn") == 1, F.array(gap, trailing))
+            .otherwise(F.array(gap))
+        ).alias("__g"),
+    )
+    return gaps.select(
+        "__gc", F.col("__g.s").alias("__gs"), F.col("__g.e").alias("__ge")
+    ).filter(F.col("__gs") < F.col("__ge"))
+
+
 def subtract(df1: DataFrame, df2: DataFrame, return_index: bool = False,
              suffixes=("", "_"), cols1=None, cols2=None) -> DataFrame:
     """Interval difference df1 ∖ df2 — rewritten as
     ``overlap(df1, complement(df2, whole-genome-view))`` exactly like the
     reference (``ops.py:1306-1318``); fragments inherit df1's extra columns.
+
+    Small df2 (≤ ``spark.bioframe.smallInputBytes``, default 32 MB — the
+    same gate as coverage's broadcast fast path): the complement is built
+    view-free in one window pass (``_complement_infinite``) and broadcast
+    LEFT-joined to df1 in a single stage; unmatched df1 rows pass through
+    whole iff their chromosome has no df2 intervals at all (broadcast
+    membership check — those chromosomes are all-gap), else they are
+    fully covered and drop. No chromosome-discovery distinct, no view
+    join, no stats jobs: ~3 fewer jobs per call.
+
+    Large df2: the scalable path — explicit union-of-chroms view,
+    complement, and the binned interval join with a span hint.
     """
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
+    if _plan_size_bytes(df2) <= _threshold(df1, "smallInputBytes",
+                                           _SMALL_INPUT_BYTES):
+        comp = _complement_infinite(df2, ck2, sk2, ek2)
+        d2c = (
+            df2.filter(F.col(ck2).isNotNull())
+            .select(F.col(ck2).alias("__c2")).distinct()
+        )
+        cond = (F.col(ck1) == F.col("__gc")) & overlap_predicate(
+            F.col(sk1), F.col(ek1), F.col("__gs"), F.col("__ge")
+        )
+        j = df1.join(F.broadcast(comp), cond, "left")
+        j = j.join(F.broadcast(d2c), F.col(ck1) == F.col("__c2"), "left")
+        matched = F.col("__gs").isNotNull()
+        keep = matched | (
+            F.col("__c2").isNull()
+            & F.col(ck1).isNotNull() & F.col(sk1).isNotNull()
+            & F.col(ek1).isNotNull()
+        )
+        extra1 = [c for c in df1.columns if c not in (ck1, sk1, ek1)]
+        return j.filter(keep).select(
+            F.col(ck1),
+            F.when(matched, F.greatest(F.col(sk1), F.col("__gs")))
+            .otherwise(F.col(sk1)).alias(sk1),
+            F.when(matched, F.least(F.col(ek1), F.col("__ge")))
+            .otherwise(F.col(ek1)).alias(ek1),
+            *[F.col(c) for c in extra1],
+        )
     chroms = (
         df1.select(F.col(ck1).alias("c")).filter(F.col(ck1).isNotNull())
         .union(df2.select(F.col(ck2).alias("c")).filter(F.col(ck2).isNotNull()))
@@ -1028,12 +1137,13 @@ def subtract(df1: DataFrame, df2: DataFrame, return_index: bool = False,
         F.lit(INT64_MAX).cast("long").alias(ek2), F.col("c").alias("name"),
     )
     comp = complement(df2, view_df=view, cols=(ck2, sk2, ek2)).drop("view_region")
-    # resolve the join strategy HERE so the span-stats job only runs when
-    # the binned path is actually taken; the hint comes from the RAW
-    # inputs (cheap scans) — overlaps with the complement can only fall
-    # inside df1's own span, so clipping there is lossless and avoids
-    # executing the complement plan just to measure it
-    strat = _choose_strategy(df1, comp, "auto")
+    # resolve the join strategy from the RAW df2 (Catalyst's estimate for
+    # the complement just propagates df2's size through the window anyway,
+    # and stats on the simpler plan are cheaper to compute); the span hint
+    # also comes from the raw inputs — overlaps with the complement can
+    # only fall inside df1's own span, so clipping there is lossless and
+    # avoids executing the complement plan just to measure it
+    strat = _choose_strategy(df1, df2, "auto")
     hint = _bin_stats(df1, sk1, ek1, df2, sk2, ek2) if strat == "binned" else None
     ov = overlap(
         df1, comp, how="inner", suffixes=suffixes, return_overlap=True,
@@ -1416,9 +1526,9 @@ def sort_bedframe(df: DataFrame, view_df=None, view_name_col: str = "name",
     # driver-built views — no monotonically_increasing_id / window ordering
     # assumption, which is not shuffle-stable.
     vrows = view.collect()
-    ord_df = df.sparkSession.createDataFrame(
+    ord_df = construction.local_df(
         [(r[view_name_col], i + 1) for i, r in enumerate(vrows)],
-        "__vn string, __ord int",
+        T.StructType.fromDDL("__vn string, __ord int"),
     )
     tagged = tagged.join(
         F.broadcast(ord_df), F.col(df_view_col) == F.col("__vn"), "left_outer"

@@ -274,8 +274,10 @@ def digest(chromsizes: dict, fasta_provider: Callable, enzyme: str,
     pattern = _site_regex(site)
 
     spark = SparkSession.active()
-    chrom_df = spark.createDataFrame(
-        [(c, int(n)) for c, n in chromsizes.items()], "chrom string, length long"
+    from ..core.construction import local_df
+    chrom_df = local_df(
+        [(c, int(n)) for c, n in chromsizes.items()],
+        T.StructType.fromDDL("chrom string, length long"),
     )
     schema = T.StructType([
         T.StructField(ck, T.StringType()),

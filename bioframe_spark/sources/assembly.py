@@ -93,8 +93,12 @@ class GenomeAssembly:
         rows = [
             (c, int(n), *_seq_role_unit(c)) for c, n in self.chromsizes.items()
         ]
-        return SparkSession.active().createDataFrame(
-            rows, "name string, length long, role string, unit string"
+        from ..core.construction import local_df
+        from pyspark.sql import types as T
+        return local_df(
+            rows,
+            T.StructType.fromDDL(
+                "name string, length long, role string, unit string"),
         )
 
     def viewframe(self):

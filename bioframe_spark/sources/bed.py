@@ -237,8 +237,11 @@ def validate_bed_fields(df: DataFrame, fields: list[str],
     if chromsizes is not None and {"chrom", "start", "end"} & set(checkable):
         items = list(chromsizes.items()) if isinstance(chromsizes, dict) \
             else list(chromsizes)
-        cs = df.sparkSession.createDataFrame(
-            [(str(c), int(s)) for c, s in items], "__cs_chrom string, __chromsize long"
+        from ..core.construction import local_df
+        from pyspark.sql import types as T
+        cs = local_df(
+            [(str(c), int(s)) for c, s in items],
+            T.StructType.fromDDL("__cs_chrom string, __chromsize long"),
         )
         d = d.join(F.broadcast(cs), d["chrom"] == F.col("__cs_chrom"), "left")
 

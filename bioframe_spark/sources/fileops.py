@@ -451,9 +451,11 @@ def prepare_bedgraph(df: DataFrame, chromsizes: dict,
         value_col = df.columns[3]
     bg = df.select("chrom", "start", "end", F.col(value_col).alias(value_col))
 
-    cs = _spark().createDataFrame(
+    from ..core.construction import local_df
+    from pyspark.sql import types as T
+    cs = local_df(
         [(str(c), int(s)) for c, s in chromsizes.items()],
-        "__c string, __size long",
+        T.StructType.fromDDL("__c string, __size long"),
     )
     j = bg.join(F.broadcast(cs), bg["chrom"] == F.col("__c"), "left")
     n_bad = j.filter(
