@@ -535,6 +535,30 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
 # gaps-and-islands family: cluster / merge
 # --------------------------------------------------------------------------
 
+def _expand_point_dups(dd: DataFrame, sk: str, ek: str,
+                       min_dist: int | None) -> DataFrame:
+    """Repair the one case where the distinct pre-agg is lossy: under
+    ``min_dist=None`` duplicate POINT intervals (start == end) are each
+    their own island in the reference (the strict border test
+    ``start >= running_max`` passes against a twin's own end,
+    ``arrops.py:470-471``), so collapsing them to one multiplicity-m row
+    would fuse m islands into one. Re-expand those rows to per-copy rows
+    with a within-coordinate ordinal ``__dup`` and multiplicity 1.
+    Positive-width duplicates strictly overlap their twins and stay
+    collapsed; any other ``min_dist`` merges coincident points anyway
+    (``s > s + min_dist`` is false), so no expansion (``__dup`` = 0)."""
+    if min_dist is not None:
+        return dd.withColumn("__dup", F.lit(0))
+    arr = F.when(
+        F.col(sk) == F.col(ek),
+        F.array_repeat(F.lit(1).cast("long"), F.col("__mult").cast("int")),
+    ).otherwise(F.array(F.col("__mult")))
+    others = [c for c in dd.columns if c != "__mult"]
+    return dd.select(
+        *others, F.posexplode(arr).alias("__dup", "__m")
+    ).withColumnRenamed("__m", "__mult")
+
+
 def _distinct_islands(df: DataFrame, ck: str, sk: str, ek: str, on: list,
                       min_dist: int | None) -> DataFrame:
     """Island numbers over DISTINCT (chrom,*on,start,end) intervals with a
@@ -553,7 +577,8 @@ def _distinct_islands(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     if min_dist is not None and min_dist < 0:
         raise ValueError("min_dist>=0 or None required")
     dd = df.groupBy(*keys, sk, ek).agg(F.count(F.lit(1)).alias("__mult"))
-    w = Window.partitionBy(*keys).orderBy(sk, ek)
+    dd = _expand_point_dups(dd, sk, ek, min_dist)
+    w = Window.partitionBy(*keys).orderBy(sk, ek, "__dup")
     prev_max_end = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
     if min_dist is None:
         border = F.col(sk) >= prev_max_end
@@ -596,8 +621,9 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     if min_dist is not None and min_dist < 0:
         raise ValueError("min_dist>=0 or None required")
     dd = df.groupBy(*keys, sk, ek).agg(F.count(F.lit(1)).alias("__mult"))
+    dd = _expand_point_dups(dd, sk, ek, min_dist)
     dd = dd.withColumn("__rng", F.floor(F.col(sk) / F.lit(range_width)))
-    w = Window.partitionBy(*keys, "__rng").orderBy(sk, ek)
+    w = Window.partitionBy(*keys, "__rng").orderBy(sk, ek, "__dup")
     local_prev = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
     if min_dist is None:
         local_border = F.col(sk) >= local_prev
@@ -821,7 +847,23 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
     spans = isl_d.groupBy(*keys, "__island").agg(
         F.min(sk).alias("cluster_start"), F.max(ek).alias("cluster_end")
     )
-    rows = df.join(isl_d.select(*keys, sk, ek, "__island"), [*keys, sk, ek])
+    if min_dist is None:
+        # point-duplicate rows were re-expanded in the islands table
+        # (``_expand_point_dups``) — match original copies to island
+        # copies 1:1 by a within-coordinate ordinal, otherwise the
+        # coordinate join would fan out m originals × m islands
+        wdup = Window.partitionBy(*keys, sk, ek).orderBy(F.lit(1))
+        dfd = df.withColumn(
+            "__dup",
+            F.when(F.col(sk) == F.col(ek),
+                   F.row_number().over(wdup) - 1).otherwise(F.lit(0)),
+        )
+        rows = dfd.join(
+            isl_d.select(*keys, sk, ek, "__dup", "__island"),
+            [*keys, sk, ek, "__dup"],
+        ).drop("__dup")
+    else:
+        rows = df.join(isl_d.select(*keys, sk, ek, "__island"), [*keys, sk, ek])
     rows = rows.join(spans, [*keys, "__island"])
     cond = F.lit(True)
     for k in keys:

@@ -176,3 +176,35 @@ def test_overlap_keep_order(spark):
     assert "__keep_order" not in bf.overlap(a, b, how="left", keep_order=True).columns
     with pytest.raises(ValueError, match="keep_order"):
         bf.overlap(a, b, how="inner", keep_order=True)
+
+
+def test_subtract_chrom_only_in_df1_passes_whole(spark):
+    # fast path: a df1 chromosome absent from df2 is all-gap — rows pass
+    # through whole; fully-covered rows on shared chromosomes drop
+    a = ivals(spark, [("chr1", 10, 20), ("chr2", 0, 100), ("chr1", 2, 4)])
+    b = ivals(spark, [("chr1", 0, 30)])
+    got, _ = rows(bf.subtract(a, b))
+    assert got == [("chr2", 100, 0)]
+
+
+def test_subtract_fast_vs_binned_paths_agree(spark):
+    a = ivals(spark, [("chr1", 0, 10), ("chr1", 15, 40), ("chr2", 5, 9),
+                      ("chr3", 1, 3), ("chr1", 25, 26)])
+    b = ivals(spark, [("chr1", 5, 20), ("chr1", 30, 35), ("chr2", 0, 100)])
+    fast, _ = rows(bf.subtract(a, b))
+    spark.conf.set("spark.bioframe.smallInputBytes", "1")
+    try:
+        binned, _ = rows(bf.subtract(a, b))
+    finally:
+        spark.conf.unset("spark.bioframe.smallInputBytes")
+    assert fast == binned
+    # canonical column order: (chrom, end, start)
+    assert fast == sorted([("chr1", 5, 0), ("chr1", 26, 25), ("chr1", 30, 20),
+                           ("chr1", 40, 35), ("chr3", 3, 1)])
+
+
+def test_subtract_null_rows_dropped(spark):
+    a = ivals(spark, [("chr1", 0, 10), (None, 1, 2), ("chr1", None, None)])
+    b = ivals(spark, [("chr1", 2, 5)])
+    got, _ = rows(bf.subtract(a, b))
+    assert got == [("chr1", 2, 0), ("chr1", 10, 5)]

@@ -218,3 +218,44 @@ def test_mark_and_merge_runs(spark):
     got2 = sorted((r["chrom"], r["start"], r["end"], r["val"], r["n"]) for r in merged.collect())
     assert got2 == [("chr1", 0, 10, "a", 2), ("chr1", 10, 15, "b", 1),
                     ("chr1", 20, 25, "b", 1), ("chr2", 0, 5, "a", 1)]
+
+
+def test_merge_duplicate_point_intervals_strict(spark):
+    # Two identical point intervals under min_dist=None are BOTH island
+    # borders at the same (start,end) — the border-row lead() pass must
+    # order by the pass-1 row number (a strict total order) or the two
+    # passes can transpose them. Each must come out a singleton.
+    d = ivals(spark, [("chr1", 5, 5), ("chr1", 5, 5), ("chr1", 5, 5)])
+    got, _ = rows(bf.merge(d, min_dist=None))
+    # canonical column order: (chrom, end, n_intervals, start)
+    assert got == [("chr1", 5, 1, 5)] * 3
+
+
+def test_merge_null_singletons_keep_own_end(spark):
+    # invalid rows (any null key) pass through with their OWN coordinates;
+    # the group running-max over other null rows' ends must not leak in
+    d = ivals(spark, [(None, 0, 100), (None, 50, 60), ("chr1", 1, 5)])
+    got, _ = rows(bf.merge(d, min_dist=0))
+    # canonical column order: (chrom, end, n_intervals, start)
+    assert sorted(got, key=str) == sorted(
+        [("chr1", 5, 1, 1), (None, 100, None, 0), (None, 60, None, 50)],
+        key=str,
+    )
+
+
+def test_merge_trailing_island_spans_group_max(spark):
+    # last island's end comes from the whole-group max, not the last row
+    d = ivals(spark, [("chr1", 0, 50), ("chr1", 10, 20), ("chr1", 30, 40)])
+    got, _ = rows(bf.merge(d, min_dist=0))
+    # canonical column order: (chrom, end, n_intervals, start)
+    assert got == [("chr1", 50, 3, 0)]
+
+
+def test_cluster_duplicate_point_intervals_strict(spark):
+    # reference: duplicate point intervals under min_dist=None each get
+    # their OWN cluster id (arrops border test start >= running_max)
+    d = ivals(spark, [("chr1", 5, 5), ("chr1", 5, 5), ("chr1", 1, 3)])
+    out = bf.cluster(d, min_dist=None)
+    ids = sorted(r["cluster"] for r in out.collect())
+    assert ids == [0, 1, 2]
+    assert out.count() == 3
