@@ -12,46 +12,18 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-# Public chromosome lengths (UCSC goldenPath chrom.sizes), main chromosomes.
-_HG38 = {
-    "chr1": 248956422, "chr2": 242193529, "chr3": 198295559,
-    "chr4": 190214555, "chr5": 181538259, "chr6": 170805979,
-    "chr7": 159345973, "chr8": 145138636, "chr9": 138394717,
-    "chr10": 133797422, "chr11": 135086622, "chr12": 133275309,
-    "chr13": 114364328, "chr14": 107043718, "chr15": 101991189,
-    "chr16": 90338345, "chr17": 83257441, "chr18": 80373285,
-    "chr19": 58617616, "chr20": 64444167, "chr21": 46709983,
-    "chr22": 50818468, "chrX": 156040895, "chrY": 57227415,
-    "chrM": 16569,
-}
-_HG19 = {
-    "chr1": 249250621, "chr2": 243199373, "chr3": 198022430,
-    "chr4": 191154276, "chr5": 180915260, "chr6": 171115067,
-    "chr7": 159138663, "chr8": 146364022, "chr9": 141213431,
-    "chr10": 135534747, "chr11": 135006516, "chr12": 133851895,
-    "chr13": 115169878, "chr14": 107349540, "chr15": 102531392,
-    "chr16": 90354753, "chr17": 81195210, "chr18": 78077248,
-    "chr19": 59128983, "chr20": 63025520, "chr21": 48129895,
-    "chr22": 51304566, "chrX": 155270560, "chrY": 59373566,
-    "chrM": 16571,
-}
-_MM39 = {
-    "chr1": 195154279, "chr2": 181755017, "chr3": 159745316,
-    "chr4": 156860686, "chr5": 151758149, "chr6": 149588044,
-    "chr7": 144995196, "chr8": 130127694, "chr9": 124359700,
-    "chr10": 130530862, "chr11": 121973369, "chr12": 120092757,
-    "chr13": 120883175, "chr14": 125139656, "chr15": 104073951,
-    "chr16": 98008968, "chr17": 95294699, "chr18": 90720763,
-    "chr19": 61420004, "chrX": 169476592, "chrY": 91455967,
-    "chrM": 16299,
-}
+# Assembled-chromosome lengths for the reference's full assembly set
+# (public UCSC/NCBI facts; see _assembly_data.py).
+from ._assembly_data import ALIASES as _DATA_ALIASES
+from ._assembly_data import CHROMSIZES as _DATA_CHROMSIZES
+from ._assembly_data import ORGANISM as _DATA_ORGANISM
+from ._assembly_data import UNIT_OVERRIDES as _UNIT_OVERRIDES
 
 _REGISTRY = {
-    ("ucsc", "hg38"): ("homo_sapiens", _HG38, {"GRCh38": "hg38"}),
-    ("ucsc", "hg19"): ("homo_sapiens", _HG19, {"GRCh37": "hg19"}),
-    ("ucsc", "mm39"): ("mus_musculus", _MM39, {"GRCm39": "mm39"}),
+    ("ucsc", name): (_DATA_ORGANISM[name], sizes, {})
+    for name, sizes in _DATA_CHROMSIZES.items()
 }
-_ALIASES = {"GRCh38": "hg38", "GRCh37": "hg19", "GRCm39": "mm39"}
+_ALIASES = dict(_DATA_ALIASES)
 
 
 def _seq_role_unit(chrom: str) -> tuple[str, str]:
@@ -81,6 +53,11 @@ class GenomeAssembly:
     provider: str
     name: str
     chromsizes: dict = field(repr=False)
+    unit_overrides: dict = field(default_factory=dict, repr=False)
+
+    def _role_unit(self, chrom: str) -> tuple:
+        role, unit = _seq_role_unit(chrom)
+        return role, self.unit_overrides.get(chrom, unit)
 
     @property
     def chromnames(self) -> list:
@@ -91,7 +68,7 @@ class GenomeAssembly:
         from pyspark.sql import SparkSession
 
         rows = [
-            (c, int(n), *_seq_role_unit(c)) for c, n in self.chromsizes.items()
+            (c, int(n), *self._role_unit(c)) for c, n in self.chromsizes.items()
         ]
         from ..core.construction import local_df
         from pyspark.sql import types as T
@@ -144,8 +121,11 @@ def assembly_info(name: str, provider: str = "ucsc",
         raise ValueError(f"unknown assembly {name!r}; have {assemblies_available()}")
     organism, sizes, _ = _REGISTRY[key]
 
+    overrides = _UNIT_OVERRIDES.get(name, {})
+
     def keep(chrom: str) -> bool:
         role, unit = _seq_role_unit(chrom)
+        unit = overrides.get(chrom, unit)
         if roles is None:
             role_ok = role in _DEFAULT_ROLES
         elif roles == "all":
@@ -166,7 +146,7 @@ def assembly_info(name: str, provider: str = "ucsc",
 
     filtered = {c: n for c, n in sizes.items() if keep(c)}
     return GenomeAssembly(organism=organism, provider=provider, name=name,
-                          chromsizes=filtered)
+                          chromsizes=filtered, unit_overrides=overrides)
 
 
 def fetch_chromsizes(db: str, provider: str = "ucsc") -> dict:

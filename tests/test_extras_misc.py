@@ -83,3 +83,20 @@ def test_frac_gene_coverage(spark):
     out = bf.frac_gene_coverage(d, genes).collect()[0]
     assert out["coverage"] == 4 and out["n_genes"] == 2
     assert abs(out["gene_coverage"] - 0.4) < 1e-12
+
+
+def test_assembly_registry_breadth():
+    # full reference assembly set (public UCSC/NCBI facts)
+    from bioframe_spark.sources.assembly import assemblies_available
+
+    have = set(assemblies_available())
+    assert {"hg19", "hg38", "hs1", "mm9", "mm10", "mm39", "ce10", "ce11",
+            "danRer10", "danRer11", "dm3", "dm6", "sacCer3",
+            "wuhCor1"} <= have
+    assert assembly_info("GRCm39").chromsizes["chr1"] == 195154279
+    assert assembly_info("sacCer3").organism == "saccharomyces_cerevisiae"
+    # unit overrides: chrEBV is a decoy (excluded by default units),
+    # chrMT's revised mitochondrial sequence likewise
+    assert "chrEBV" not in assembly_info("hg38").chromsizes
+    assert "chrMT" not in assembly_info("hg19").chromsizes
+    assert "chrEBV" in assembly_info("hg38", units="all").chromsizes
