@@ -73,10 +73,26 @@ def fetch_centromeres(db: str, provider: str = "local", cytoband_path: str | Non
     """
     if provider == "local":
         if cytoband_path is None:
-            raise ValueError(
-                "fetch_centromeres(provider='local') needs cytoband_path= "
-                "(no cytoband tables are packaged in this build)"
+            # packaged acen-band facts (public UCSC cytoBand data) cover
+            # the assemblies the reference ships cytoband tables for
+            from pyspark.sql import types as T
+
+            from ..core.construction import local_df
+            from ._assembly_data import ACEN_BANDS, ALIASES
+
+            db = ALIASES.get(db, db)
+            if db not in ACEN_BANDS:
+                raise ValueError(
+                    f"no packaged cytobands for {db!r} (have "
+                    f"{sorted(ACEN_BANDS)}); pass cytoband_path="
+                )
+            cyb = local_df(
+                [(c, s, e, n, "acen") for c, s, e, n in ACEN_BANDS[db]],
+                T.StructType.fromDDL(
+                    "chrom string, start long, end long, "
+                    "name string, gieStain string"),
             )
+            return centromeres_from_cytoband(cyb)
         from .fileops import read_table
 
         return centromeres_from_cytoband(
@@ -102,13 +118,27 @@ class UCSCClient:
         return fetch_chromsizes(self._db)
 
     def fetch_centromeres(self):
-        self._no("fetch_centromeres")
+        return fetch_centromeres(self._db, provider="local")
 
     def fetch_gaps(self):
         self._no("fetch_gaps")
 
     def fetch_cytoband(self):
-        self._no("fetch_cytoband")
+        """Packaged acen bands only (the full track needs HTTP)."""
+        from pyspark.sql import types as T
+
+        from ..core.construction import local_df
+        from ._assembly_data import ACEN_BANDS, ALIASES
+
+        db = ALIASES.get(self._db, self._db)
+        if db not in ACEN_BANDS:
+            self._no("fetch_cytoband")
+        return local_df(
+            [(c, s, e, n, "acen") for c, s, e, n in ACEN_BANDS[db]],
+            T.StructType.fromDDL(
+                "chrom string, start long, end long, "
+                "name string, gieStain string"),
+        )
 
     def fetch_mrna(self):
         self._no("fetch_mrna")

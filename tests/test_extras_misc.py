@@ -100,3 +100,15 @@ def test_assembly_registry_breadth():
     assert "chrEBV" not in assembly_info("hg38").chromsizes
     assert "chrMT" not in assembly_info("hg19").chromsizes
     assert "chrEBV" in assembly_info("hg38", units="all").chromsizes
+
+
+def test_fetch_centromeres_packaged(spark):
+    from bioframe_spark.sources.resources import UCSCClient, fetch_centromeres
+
+    cen = fetch_centromeres("hg38")
+    got = {r["chrom"]: (r["start"], r["end"], r["mid"]) for r in cen.collect()}
+    # public UCSC hg38 cytoBand facts: chr1 acen bands meet at 123400000
+    assert got["chr1"] == (121700000, 125100000, 123400000)
+    assert len(got) == 24
+    assert UCSCClient("GRCh37").fetch_centromeres().count() == 24
+    assert UCSCClient("hs1").fetch_cytoband().count() == 48
