@@ -313,3 +313,25 @@ def test_language_id_tie_breaks_by_profile_order(spark):
     df = spark.createDataFrame([(1, "que que")], ["doc_id", "text"])
     [row] = T.language_id(df).select("lang_pred").collect()
     assert row["lang_pred"] == "es"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with generous probing must recover most of the exact top-k:
+    recall@5 >= 0.6 with n_probe=half the centroids on the sf0.001
+    embeddings (and =1.0 when probing every centroid, since scanning all
+    inverted lists degenerates to brute force)."""
+    from bioframe_spark.datapipe import similarity as sim
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter("vec_id < 10")
+    exact = sim.cosine_topk(queries, corpus, k=5)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    full = sim.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=8)
+    full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert exact_pairs == full_pairs  # all-probe IVF == brute force
+
+    part = sim.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=4)
+    part_pairs = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    recall = len(part_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.6, recall
