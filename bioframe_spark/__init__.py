@@ -95,7 +95,7 @@ from .core.checks import (
     is_viewframe,
 )
 from . import vis
-from .vis import plot_intervals, to_ucsc_colorstring
+from .vis import plot_intervals, plot_intervals_arr, to_ucsc_colorstring
 
 # reference's deprecated alias surface
 read_bam = read_alignments

@@ -238,7 +238,6 @@ def validate_bed_fields(df: DataFrame, fields: list[str],
         items = list(chromsizes.items()) if isinstance(chromsizes, dict) \
             else list(chromsizes)
         from ..core.construction import local_df
-        from pyspark.sql import types as T
         cs = local_df(
             [(str(c), int(s)) for c, s in items],
             T.StructType.fromDDL("__cs_chrom string, __chromsize long"),

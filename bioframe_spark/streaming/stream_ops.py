@@ -156,3 +156,25 @@ def stream_overlap_static(stream: DataFrame, annotations: DataFrame,
         F.col(sk2 + sfx2), F.col(ek2 + sfx2),
     )
     return left.join(F.broadcast(ann), cond, "left_outer")
+
+
+def stream_drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
+                                 ts_col: str | None = None,
+                                 watermark: str | None = None) -> DataFrame:
+    """Streaming exact deduplication on a content hash — the streaming
+    form of ``datapipe.dedup.drop_exact_duplicates`` for continuously
+    arriving corpora.
+
+    With ``ts_col`` + ``watermark``, duplicates are dropped within the
+    watermark horizon via ``dropDuplicatesWithinWatermark`` — the state
+    store holds only hashes younger than the watermark, so state is
+    BOUNDED (the 100 TB/endless-stream mode; re-emission of a duplicate
+    older than the horizon is the documented trade). Without a watermark
+    the dedup is global and exact but state grows with distinct content
+    forever — only for finite backfills."""
+    hashed = docs.withColumn("__content_hash", F.md5(F.col(text_col)))
+    if ts_col is not None and watermark is not None:
+        return hashed.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(["__content_hash"]) \
+            .drop("__content_hash")
+    return hashed.dropDuplicates(["__content_hash"]).drop("__content_hash")

@@ -48,6 +48,45 @@ def stack_intervals_levels(starts, ends) -> np.ndarray:
     return levels
 
 
+def plot_intervals_arr(starts, ends, levels=None, labels=None, colors=None,
+                       xlim=None, show_coords: bool = False,
+                       figsize=(10, 2)):
+    """Plot raw interval arrays as stacked rectangles (reference
+    ``vis.py:165-237`` surface: per-interval levels/labels/colors,
+    auto-stacking when ``levels`` is None)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    starts = np.asarray(starts)
+    ends = np.asarray(ends)
+    if levels is None:
+        levels = stack_intervals_levels(starts, ends)
+    levels = np.asarray(levels)
+    if colors is None or isinstance(colors, str):
+        colors = [colors or "tab:blue"] * len(starts)
+    if labels is None or isinstance(labels, str):
+        labels = [labels] * len(starts)
+    if figsize is not None:
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(111)
+    else:
+        ax = plt.gca()
+        fig = ax.figure
+    for s, e, lvl, color, label in zip(starts, ends, levels, colors, labels):
+        ax.add_patch(Rectangle((s, lvl), max(e - s, 0.1), 0.8,
+                               facecolor=color))
+        if label is not None:
+            ax.text((s + e) / 2, lvl + 0.4, str(label),
+                    ha="center", va="center")
+    ax.set_xlim(*(xlim if xlim is not None
+                  else (starts.min(), ends.max())))
+    ax.set_ylim(-0.5, (levels.max() if len(levels) else 0) + 1.5)
+    if not show_coords:
+        ax.set_xticks([])
+    ax.set_yticks([])
+    return fig
+
+
 def plot_intervals(df, limit: int = 10_000, cols=None, **kwargs):
     """Collect (bounded) and plot interval rectangles, one facet per chrom.
 

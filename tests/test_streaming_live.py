@@ -106,3 +106,35 @@ def test_stream_sessionize_live(spark):
         assert prog is not None
     finally:
         q.stop()
+
+
+def test_stream_drop_exact_duplicates_live(spark):
+    # rate source emitting a REPEATING text cycle (value % 5) — the
+    # deduped stream must emit each distinct text once, not per arrival
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("doc text "), (F.col("value") % 5).cast("string"))
+            .alias("text"),
+        )
+    )
+    out = stream_ops.stream_drop_exact_duplicates(
+        stream, ts_col="ts", watermark="1 minute"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("dedup_live")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from dedup_live").collect()[0]["c"]
+            if n >= 5:
+                break
+            time.sleep(1)
+        texts = [r["text"] for r in spark.sql("select text from dedup_live").collect()]
+        assert sorted(texts) == [f"doc text {i}" for i in range(5)], texts
+    finally:
+        q.stop()
