@@ -83,7 +83,7 @@ def main():
     # REPS times and report the MEDIAN as the headline number; the first
     # (cold) run is recorded separately under "cold" so JIT/codegen cost
     # stays visible but stops polluting the steady-state comparison.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     qs = em.queries()
     times = {}
     cold = {}

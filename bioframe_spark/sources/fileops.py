@@ -589,3 +589,27 @@ def to_parquet_partitioned(df: DataFrame, path: str, by: str = "chrom",
     if sort_within:
         out = out.sortWithinPartitions(ck, sk, ek)
     out.write.mode("overwrite").partitionBy(by).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, num_buckets: int = 64,
+                   bucket_cols=("chrom",), sort_cols=("start", "end"),
+                   path: str | None = None, mode: str = "overwrite") -> None:
+    """Persist an interval table bucketed (and sorted) by join key — the
+    co-located-join layout for RECURRING joins at scale: two tables
+    bucketed by the same columns into the same bucket count join with NO
+    exchange on either side (Spark reads matching buckets pairwise), and
+    the in-file sort feeds SortMergeJoin without a sort step. At 100 TB
+    this converts every repeated `overlap`-by-chrom / `trim` /
+    `assign_view` against the same dimension into a scan-local join.
+
+    Bucketing requires the table catalog (``saveAsTable``); pass ``path``
+    to store the files at an explicit location (external table). The
+    binned join strategy keys on (chrom, bin), so pre-bucket by those
+    columns — e.g. ``bucket_cols=("chrom", "bin")`` after a
+    ``with_bin()`` projection — when the binned path is the recurring
+    shape."""
+    w = (df.write.format("parquet").mode(mode)
+         .bucketBy(num_buckets, *bucket_cols).sortBy(*sort_cols))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -96,3 +96,42 @@ def test_binned_overlap_parallelism_guard_with_aqe(spark):
     assert f"REPARTITION_BY_NUM" in plan or "RepartitionByExpression" in _optimized(q)
     # the explicit numPartitions survives into the exchange
     assert str(par * 2) in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by chrom into the same bucket count must join
+    without ANY Exchange in the physical plan — the co-located layout
+    write_bucketed exists to produce."""
+    from pyspark.sql import functions as F
+
+    from bioframe_spark.sources.fileops import write_bucketed
+
+    a = ivals(spark, [("chr%d" % (i % 3), i * 10, i * 10 + 5)
+                      for i in range(60)])
+    b = ivals(spark, [("chr%d" % (i % 3), i * 7, i * 7 + 4)
+                      for i in range(60)])
+    write_bucketed(a, "bucketed_a", num_buckets=4,
+                   path=str(tmp_path / "a"))
+    write_bucketed(b, "bucketed_b", num_buckets=4,
+                   path=str(tmp_path / "b"))
+    # force the big-table join regime (tiny test tables would otherwise
+    # broadcast, and the planner disables bucketed scans for broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta = spark.table("bucketed_a")
+        tb = spark.table("bucketed_b").select(
+            F.col("chrom").alias("chrom2"),
+            F.col("start").alias("start2"), F.col("end").alias("end2"))
+        joined = ta.join(
+            tb,
+            (ta["chrom"] == tb["chrom2"])
+            & (ta["start"] < tb["end2"]) & (tb["start2"] < ta["end"]),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS bucketed_b")
