@@ -320,15 +320,17 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    # oracle omitted (probabilistic banding) → rows-only check
+    # md5 hash mode: engine-portable seeded hashing → exact DuckDB oracle
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                   num_hashes=32, bands=8, threshold=0.5)
+                                   num_hashes=32, bands=8, threshold=0.5,
+                                   hash_fn="md5")
 
 
 def q_simhash_pairs(spark, sf_dir):
-    # oracle omitted (xxhash64 not available in DuckDB) → rows-only check
+    # md5 hash mode (60 effective bits) → exact DuckDB oracle
     # max_hamming=12 → 13 bit-slices: full pigeonhole recall guarantee
-    return dedup.simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
+    return dedup.simhash_dup_pairs(_t(spark, sf_dir, "documents"),
+                                   max_hamming=12, bits=60, hash_fn="md5")
 
 
 def q_embedding_dups(spark, sf_dir):
@@ -342,17 +344,22 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    # oracle omitted (approximate by construction) → rows-only check
+    # train_iters=0 → smallest-id centroid init, so every step is
+    # integer-exact and the DuckDB oracle mirrors the full IVF plan
+    # (assignment → n_probe fan-out → in-list top-k); the Lloyd-trained
+    # variant stays covered by the recall-vs-bruteforce unit test
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb.filter(F.col("vec_id") < 10), emb,
-                               k=5, n_centroids=16, n_probe=4)
+                               k=5, n_centroids=16, n_probe=4,
+                               train_iters=0)
 
 
 def q_ann_lsh(spark, sf_dir):
-    # oracle omitted (hash-derived hyperplanes) → rows-only check
+    # md5 plane components + integer projections → exact DuckDB oracle
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_topk(emb.filter(F.col("vec_id") < 10), emb,
-                                        k=5, n_planes=6, dim=64)
+                                        k=5, n_planes=6, dim=64,
+                                        hash_fn="md5")
 
 
 def _events(spark, sf_dir):
@@ -986,6 +993,145 @@ SELECT id1, id2,
 FROM pairs
 WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(m2 AS DOUBLE))) >= 0.5
 """
+    # ---- probabilistic-dedup / ANN oracles ---------------------------
+    # The gate queries run the md5 / integer-exact variants of these
+    # operators (see q_minhash_lsh etc.), so every step is reproducible
+    # bit-for-bit in DuckDB. CASTs around SUM avoid DuckDB's HUGEINT.
+    _mh_hash = "('0x' || substring(md5(shingle || '#' || i), 1, 15))::BIGINT"
+    minhash_lsh = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         ))) AS shingle
+  FROM documents
+), hv AS (
+  SELECT doc_id, i, MIN({_mh_hash}) AS mh
+  FROM sh, generate_series(0, 31) t(i)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM hv GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM band a JOIN band b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id1, c.id2,
+       CAST(SUM(CASE WHEN p1.mh = p2.mh THEN 1 ELSE 0 END) AS INT) AS n_match
+FROM cand c
+JOIN hv p1 ON p1.doc_id = c.id1
+JOIN hv p2 ON p2.doc_id = c.id2 AND p2.i = p1.i
+GROUP BY c.id1, c.id2
+HAVING CAST(SUM(CASE WHEN p1.mh = p2.mh THEN 1 ELSE 0 END) AS DOUBLE) >= 0.5 * 32
+"""
+
+    # simhash: bits=60, max_hamming=12 → 13 chunks with bounds 60*i//13
+    _sim_bounds = [60 * i // 13 for i in range(14)]
+    _sim_chunks = ", ".join(
+        f"({i}, {_sim_bounds[i]}, {_sim_bounds[i + 1]})" for i in range(13)
+    )
+    simhash_pairs = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substring(md5(tok || '#0'), 1, 15))::BIGINT AS h
+  FROM tok
+), votes AS (
+  SELECT doc_id, i,
+         CAST(SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM th, generate_series(0, 59) t(i)
+  GROUP BY doc_id, i
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, simhash, c.chunk_id,
+         (simhash >> c.lo) & ((1::BIGINT << (c.hi - c.lo)) - 1) AS chunk
+  FROM sig, (VALUES {_sim_chunks}) c(chunk_id, lo, hi)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                  a.simhash AS sh1, b.simhash AS sh2
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh1, sh2)) <= 12
+"""
+
+    _qv = ("list_transform(embedding, x -> "
+           "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    _cos = (lambda dot, n1, n2:
+            f"CAST({dot} AS DOUBLE) / (sqrt(CAST({n1} AS DOUBLE)) * "
+            f"sqrt(CAST({n2} AS DOUBLE)))")
+    _listdot = (lambda a, b:
+                f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
+                f"i -> {a}[i] * {b}[i])) AS BIGINT)")
+    ann_ivf = f"""
+WITH cn AS (
+  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+  FROM (SELECT vec_id, {_qv} AS v FROM embeddings)
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cvec, n2 AS ctn2
+  FROM cn ORDER BY vec_id LIMIT 16
+), cassign AS (
+  SELECT vec_id, v, n2, cent_id FROM (
+    SELECT c.vec_id, c.v, c.n2, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY {_cos(_listdot("c.v", "ct.cvec"), "c.n2", "ct.ctn2")} DESC,
+                      ct.cent_id ASC) AS r
+    FROM cn c, cents ct
+  ) WHERE r <= 1
+), qassign AS (
+  SELECT vec_id, v, n2, cent_id FROM (
+    SELECT c.vec_id, c.v, c.n2, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY {_cos(_listdot("c.v", "ct.cvec"), "c.n2", "ct.ctn2")} DESC,
+                      ct.cent_id ASC) AS r
+    FROM cn c, cents ct WHERE c.vec_id < 10
+  ) WHERE r <= 4
+), ranked AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           ORDER BY {_cos(_listdot("q.v", "c.v"), "q.n2", "c.n2")} DESC,
+                    c.vec_id ASC) AS rank
+  FROM qassign q JOIN cassign c USING (cent_id)
+  WHERE q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+    from bioframe_spark.datapipe.similarity import lsh_plane_components
+    _planes = lsh_plane_components(6, 64)
+    _bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+        f"i -> v[i] * ([{', '.join(map(str, _planes[p]))}])[i])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(6)
+    )
+    ann_lsh = f"""
+WITH vn AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
+         {_bucket} AS bucket
+  FROM (SELECT vec_id, {_qv} AS v FROM embeddings)
+), ranked AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           ORDER BY {_cos(_listdot("q.v", "c.v"), "q.n2", "c.n2")} DESC,
+                    c.vec_id ASC) AS rank
+  FROM vn q JOIN vn c USING (bucket)
+  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
     ann_topk = """
 WITH qv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -1271,8 +1417,12 @@ FROM m
         "text_fingerprints": text_fingerprints,
         "language_id": language_id,
         "jaccard_pairs": jaccard_pairs,
+        "minhash_lsh": minhash_lsh,
+        "simhash_pairs": simhash_pairs,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
+        "ann_ivf": ann_ivf,
+        "ann_lsh": ann_lsh,
         "events_hourly": events_hourly,
         "sessions": sessions,
         "events_json": events_json,

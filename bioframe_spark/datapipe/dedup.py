@@ -8,7 +8,7 @@ is bounded by bucket size, which LSH banding keeps small by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -102,14 +102,30 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     return out
 
 
+def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:
+    """Seeded 64-bit string hash. ``xxhash64`` (default): JVM codegen,
+    fastest. ``md5``: 60-bit int from the md5 hex prefix — ~3× slower but
+    bit-identical in any engine with md5 (DuckDB: ``('0x' ||
+    substring(md5(s || '#' || seed), 1, 15))::BIGINT``), which makes the
+    probabilistic dedup operators exactly oracle-checkable."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
-    xxhash64(shingle, i). One explode + one groupBy; signatures are an
+    hash(shingle, i). One explode + one groupBy; signatures are an
     array column."""
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_seeded_hash(F.col("shingle"), i, hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -120,7 +136,8 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       n: int = 3, threshold: float = 0.5,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified by signature
     similarity (id1 < id2, est_jaccard = matching minhashes / num_hashes).
 
@@ -133,25 +150,28 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes=num_hashes, n=n,
-                             text_col=text_col, id_col=id_col)
+                             text_col=text_col, id_col=id_col,
+                             hash_fn=hash_fn)
+    # bucket key per band: the concatenated band slice, hashed to a
+    # fixed-width long in xxhash64 mode; left as the raw string in md5
+    # mode (equally valid LSH bucketing, and trivially engine-portable)
+    band_key = lambda b: F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string"),
+        ),
+    )
+    mk_bucket = (
+        (lambda b: F.xxhash64(band_key(b))) if hash_fn == "xxhash64"
+        else band_key
+    )
     banded = sig.select(
         id_col, "signature",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows_per_band + 1,
-                                        rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), mk_bucket(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select(id_col, "signature", "bb.band", "bb.bucket")
@@ -179,13 +199,19 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc from token hashes — bit-majority over
-    xxhash64(token). Expressed as an aggregate over exploded tokens with
-    per-bit counters packed via bitwise ops."""
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash per doc from token hashes — bit-majority over
+    hash(token). Expressed as an aggregate over exploded tokens with
+    per-bit counters packed via bitwise ops. ``hash_fn='md5'`` gives a
+    60-bit engine-portable hash (pass ``bits=60`` with it so every bit
+    carries signal)."""
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h",
+        F.xxhash64("tok") if hash_fn == "xxhash64"
+        else _seeded_hash(F.col("tok"), 0, hash_fn),
+    )
     # per-bit vote: sum(+1/-1 per bit) > 0 → bit set
     votes = tok.groupBy(id_col).agg(
         *[
@@ -203,7 +229,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Scale path: block on ``max_hamming + 1`` bit-slices of the 64-bit
@@ -217,7 +244,7 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
         # >31 → slices of <2 bits: blocking degenerates to all-pairs
         raise ValueError("max_hamming must be in [0, 31]")
     n_chunks = max_hamming + 1
-    bounds = [64 * i // n_chunks for i in range(n_chunks + 1)]
+    bounds = [bits * i // n_chunks for i in range(n_chunks + 1)]
 
     def _slice(lo: int, hi: int):
         if hi - lo >= 64:
@@ -230,7 +257,8 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
                  _slice(bounds[i], bounds[i + 1]).alias("chunk"))
         for i in range(n_chunks)
     ])
-    sig = simhash(df, text_col=text_col, id_col=id_col)
+    sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
+                  hash_fn=hash_fn)
     chunks = sig.select(
         id_col, "simhash", F.explode(chunks_arr).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk")

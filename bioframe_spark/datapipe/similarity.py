@@ -273,6 +273,24 @@ def ivf_topk(
     )
 
 
+def lsh_plane_components(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane components for the md5 LSH
+    mode: component j of plane p is
+    ``int(md5(f"{p},{j}")[:15], 16) % 2001 - 1000`` — an integer in
+    [-1000, 1000], computable identically in any environment (the driver
+    oracle embeds the same numbers)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p},{j}".encode()).hexdigest()[:15], 16) % 2001
+            - 1000
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -281,17 +299,41 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets + in-bucket scan.
 
     Hyperplanes are pseudo-random but deterministic: component j of plane p
-    is ``(xxhash64(p, j) % 2001 - 1000)/1000``. A vector's bucket is the
-    n_planes-bit sign pattern; queries probe only their own bucket — at
-    1000× corpus scale the scan per query drops ~2^n_planes-fold.
+    is ``hash(p, j) % 2001 - 1000`` (an integer in [-1000, 1000]; scaling
+    by 1/1000 would not change any projection's sign, so the components
+    stay integer). A vector's bucket is the n_planes-bit sign pattern;
+    queries probe only their own bucket — at 1000× corpus scale the scan
+    per query drops ~2^n_planes-fold.
+
+    ``hash_fn='md5'``: plane components come from driver-side md5
+    (``lsh_plane_components``) and project the QUANTIZED integer vector —
+    every bucket bit is integer-exact arithmetic, reproducible in any
+    engine (the driver oracle embeds the same components).
     """
     if dim is None:
         first = corpus.select(F.size(vec_col).alias("d")).first()
         dim = first["d"]
+
+    if hash_fn == "md5":
+        plane = lsh_plane_components(n_planes, dim)
+
+        def bucket_int(vq):
+            out = F.lit(0)
+            for p in range(n_planes):
+                comps = F.array(*[F.lit(c) for c in plane[p]])
+                proj = F.aggregate(
+                    F.zip_with(vq, comps, lambda x, y: x * y),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v,
+                )
+                out = out + F.when(proj >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+            return out
+    elif hash_fn != "xxhash64":
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
     def bucket(vcol):
         bits = []
@@ -310,13 +352,22 @@ def lsh_bucketed_topk(
             out = out + b
         return out
 
+    def quant_expr(col):
+        return F.transform(
+            col, lambda x: F.round(x.cast("double") * QUANT).cast("long")
+        )
+
+    mk_bucket = (
+        (lambda col: bucket_int(quant_expr(col))) if hash_fn == "md5"
+        else bucket
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _quantized(F.col(vec_col), "qv"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        mk_bucket(F.col(vec_col)).alias("bucket"),
     ).withColumn("qn", _norm2(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _quantized(F.col(vec_col), "cv"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        mk_bucket(F.col(vec_col)).alias("bucket"),
     ).withColumn("cn", _norm2(F.col("cv")))
     joined = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     cos = (

@@ -101,7 +101,7 @@ def test_add_ucsc_name_column(spark):
     assert r["name"] == "chr1:5-10"
 
 
-def test_resources_no_network():
+def test_resources_no_network(spark):
     from bioframe_spark.sources import resources
 
     assert resources.fetch_chromsizes("hg38")["chr1"] == 248956422
@@ -109,11 +109,13 @@ def test_resources_no_network():
     assert client.fetch_chromsizes()["chrM"] == 16569
     with pytest.raises(resources.NetworkDisabled):
         client.fetch_mrna()
-    # ucsc provider needs HTTP; local provider needs a cytoband file
+    # ucsc provider needs HTTP; local provider uses packaged acen facts
+    # for hg19/hg38/hs1 and needs a cytoband file elsewhere
     with pytest.raises(resources.NetworkDisabled):
         resources.fetch_centromeres("hg38", provider="ucsc")
+    assert resources.fetch_centromeres("hg38", provider="local").count() == 24
     with pytest.raises(ValueError, match="cytoband_path"):
-        resources.fetch_centromeres("hg38", provider="local")
+        resources.fetch_centromeres("mm39", provider="local")
 
 
 def test_write_bedgraph_golden(spark, tmp_path):
