@@ -16,9 +16,28 @@ without a distance cap. (Escape hatch when one chromosome exceeds
 executor memory: a distance-capped pure-DataFrame formulation — binned
 join within a cap + window rank, doubling the cap until k found.)
 
-Deviation from the reference (documented): tie-breaking among equidistant
-df2 rows uses canonical (start2, end2) order rather than the pandas
-positional index — Spark rows have no input position.
+Deviations from the reference (documented, pinned in
+``tests/test_reference_parity_ab.py``):
+
+- Tie-breaking among equidistant df2 rows uses canonical (start2, end2)
+  order rather than the pandas positional index — Spark rows have no
+  input position. The reference's order is additionally an emergent
+  TWO-STAGE artifact: its searchsorted kernel prunes to the positionally
+  nearest candidate per side first (among equal ends the positionally
+  LAST wins — ``arrops.py:506-598``), then ranks by (distance, index)
+  (``arrops.py:740``) — so its k=1 winner can even rank second in its
+  own k=2 output.
+- The reference's ``tie_breaking_col`` crashes outright in this snapshot
+  (``arrops.py:740`` lexsorts a len(df2) tie array against event-shaped
+  arrays); this engine implements the documented semantics (ascending
+  tie value among equidistant candidates).
+- Zero-width intervals: the reference's kernel classifies a point
+  touching another interval's boundary as a distance-0 *neighbor* (it
+  has no point-rewrite in the closest path), reports a point as its own
+  closest in self-mode, and can emit the same pair twice (once per
+  search side, consuming two k-slots). This engine applies the same
+  point-overlap rule as ``overlap`` (points overlap intervals containing
+  them), excludes self-pairs positionally, and never duplicates a pair.
 """
 
 from __future__ import annotations
