@@ -57,19 +57,22 @@ def parse_region_string(s: str) -> tuple[str, int | None, int | None]:
     if chrom == "" or ":" in chrom or any(c.isspace() for c in chrom):
         raise ValueError(f"invalid region string: {s!r}")
     rng = rng.strip()
-    if rng == "":
-        return (chrom, None, None)
-    # split on the hyphen that separates coords (coords themselves have no '-')
+    # reference grammar (stringops.py:88-143): after the colon a START
+    # coord and a hyphen are MANDATORY ("chr1:" and "chr1:10" are
+    # errors, as is a missing start "chr1:-20"); the end may be empty
+    # ("chr1:10-" → open end); anything after the end token is ignored
+    # ("chr1:10-20-30" → (10, 20)); an inverted range parses fine here —
+    # only parse_region() validates end >= start.
     parts = rng.split("-")
     if len(parts) == 1:
-        return (chrom, to_humanized_int(parts[0]), None)
-    if len(parts) != 2:
-        raise ValueError(f"invalid range in region string: {s!r}")
-    start_s, end_s = parts
-    start = to_humanized_int(start_s) if start_s.strip() else None
+        raise ValueError(
+            f"expected 'start-end' range after ':' in region string: {s!r}")
+    start_s = parts[0]
+    if not start_s.strip():
+        raise ValueError(f"missing start coord in region string: {s!r}")
+    end_s = parts[1]
+    start = to_humanized_int(start_s)
     end = to_humanized_int(end_s) if end_s.strip() else None
-    if start is not None and end is not None and end < start:
-        raise ValueError(f"end < start in region string: {s!r}")
     return (chrom, start, end)
 
 

@@ -32,8 +32,20 @@ def test_parse_region_string():
     # reference grammar: sequence names may not contain colons
     with pytest.raises(ValueError):
         parse_region_string("weird:name:5-10")
+    # reference grammar edges (verified against the reference parser):
+    # a hyphen and a start coord are mandatory after ':'; tokens after
+    # the end are ignored; inverted ranges PARSE here (only parse_region
+    # validates end >= start)
     with pytest.raises(ValueError):
-        parse_region_string("chr1:10-5")
+        parse_region_string("chr1:10")
+    with pytest.raises(ValueError):
+        parse_region_string("chr1:")
+    with pytest.raises(ValueError):
+        parse_region_string("chr1:-20")
+    assert parse_region_string("chr1:10-20-30") == ("chr1", 10, 20)
+    assert parse_region_string("chr1:10-5") == ("chr1", 10, 5)
+    with pytest.raises(ValueError):
+        parse_region("chr1:10-5")
 
 
 def test_parse_region_with_chromsizes():

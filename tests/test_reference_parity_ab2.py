@@ -1,0 +1,159 @@
+"""A/B parity vs the reference, part 2: derived operators, checks,
+string ops, and keyed (on=) variants. Shares the harness with part 1."""
+
+import random
+
+import pandas as pd
+import pytest
+
+import bioframe_spark as bfs
+from test_reference_parity_ab import (
+    assert_match, canon_pandas, canon_spark, load_reference, rand_frame,
+    to_spark,
+)
+
+VIEW = {"chr1": 100, "chr2": 100, "chr10": 100}
+
+
+def rand_stranded(rng, n, span=80):
+    pdf = rand_frame(rng, n, with_null=False, span=span)
+    pdf["strand"] = [rng.choice(["+", "-"]) for _ in range(len(pdf))]
+    return pdf
+
+
+def tiled_valued(rng, n):
+    """Non-overlapping tiled intervals with a repeating value column
+    (mark_runs/merge_runs input shape)."""
+    rows, pos = [], 0
+    for _ in range(n):
+        w = rng.randrange(1, 8)
+        rows.append(("chr1", pos, pos + w, rng.choice(["a", "b"])))
+        pos += w + rng.choice([0, 0, 3])
+    return pd.DataFrame(rows, columns=["chrom", "start", "end", "val"])
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_ab_keyed_ops(spark, seed):
+    ref = load_reference()
+    rng = random.Random(seed)
+    p1, p2 = rand_stranded(rng, 35), rand_stranded(rng, 20)
+    s1, s2 = to_spark(spark, p1), to_spark(spark, p2)
+    assert_match(
+        ref.overlap(p1, p2, how="inner", on=["strand"], suffixes=("", "_")),
+        bfs.overlap(s1, s2, how="inner", on=["strand"], suffixes=("", "_")),
+    )
+    assert_match(ref.merge(p1, min_dist=0, on=["strand"]),
+                 bfs.merge(s1, min_dist=0, on=["strand"]))
+    assert_match(ref.cluster(p1, min_dist=0, on=["strand"]),
+                 bfs.cluster(s1, min_dist=0, on=["strand"]))
+    assert_match(ref.count_overlaps(p1, p2, on=["strand"]),
+                 bfs.count_overlaps(s1, s2, on=["strand"]))
+    assert_match(ref.setdiff(p1, p2, on=["strand"]),
+                 bfs.setdiff(s1, s2, on=["strand"]))
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_ab_derived_ops(spark, seed):
+    ref = load_reference()
+    rng = random.Random(seed)
+    p1 = rand_frame(rng, 30, with_null=False)
+    s1 = to_spark(spark, p1)
+    assert_match(ref.expand(p1, pad=-4), bfs.expand(s1, pad=-4))
+    assert_match(ref.expand(p1, scale=2.0), bfs.expand(s1, scale=2.0))
+    assert_match(ref.expand(p1, pad=5, side="left"),
+                 bfs.expand(s1, pad=5, side="left"))
+    assert_match(ref.binnify(pd.Series(VIEW), binsize=17),
+                 bfs.binnify(VIEW, binsize=17))
+    assert_match(ref.binnify(pd.Series(VIEW), binsize=17, rel_ids=True),
+                 bfs.binnify(VIEW, binsize=17, rel_ids=True))
+    mids = {"chr1": 40, "chr2": 50, "chr10": 10}
+    assert_match(ref.make_chromarms(pd.Series(VIEW), mids),
+                 bfs.make_chromarms(VIEW, mids))
+    tv = tiled_valued(rng, 20)
+    sv = to_spark(spark, tv)
+    assert_match(ref.mark_runs(tv, "val"), bfs.mark_runs(sv, "val"))
+    assert_match(ref.merge_runs(tv, "val"), bfs.merge_runs(sv, "val"))
+    # pair_by_distance (BEDPE output)
+    pp = rand_frame(rng, 15, with_null=False).drop_duplicates(
+        ["chrom", "start", "end"]).reset_index(drop=True)
+    sp = to_spark(spark, pp)
+    assert_match(ref.pair_by_distance(pp, min_sep=1, max_sep=30),
+                 bfs.pair_by_distance(sp, min_sep=1, max_sep=30))
+    assert_match(
+        ref.pair_by_distance(pp, min_sep=1, max_sep=30, max_intervening=1),
+        bfs.pair_by_distance(sp, min_sep=1, max_sep=30, max_intervening=1),
+    )
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_ab_checks(spark, seed):
+    ref = load_reference()
+    rng = random.Random(seed)
+    p1 = rand_frame(rng, 25, with_null=False)
+    s1 = to_spark(spark, p1)
+    from bioframe_spark.core import checks
+
+    assert ref.is_overlapping(p1) == checks.is_overlapping(s1)
+    assert ref.is_bedframe(p1) == checks.is_bedframe(s1)
+    viewdf = pd.DataFrame(
+        [("chr1", 0, 100, "r1"), ("chr2", 0, 100, "r2"), ("chr10", 0, 100, "r3")],
+        columns=["chrom", "start", "end", "name"],
+    )
+    sview = to_spark(spark, viewdf)
+    assert ref.is_viewframe(viewdf) == checks.is_viewframe(sview)
+    assert (ref.is_contained(p1, viewdf)
+            == checks.is_contained(s1, sview))
+    assert (ref.is_covering(p1, viewdf)
+            == checks.is_covering(s1, sview))
+    assert (ref.is_cataloged(p1.assign(view_region="r1"), viewdf)
+            == checks.is_cataloged(
+                s1.withColumn("view_region", to_spark(spark, p1).sparkSession
+                              .createDataFrame([("r1",)], "x string")
+                              .collect()[0] and __import__("pyspark.sql.functions",
+                                                           fromlist=["lit"]).lit("r1")),
+                sview))
+
+
+def test_ab_stringops_and_sort(spark):
+    ref = load_reference()
+    # region-string grammar
+    for s in ["chr1:10-20", "chr1:10,000-20,000", "chr1", "chr1:5k-1M",
+              "chrX:1000-", "chr1:10-20-30", "chr1:30-10"]:
+        assert ref.parse_region_string(s) == bfs.parse_region_string(s), s
+    for s in ["chr1:10", "chr1:", "chr1:-20"]:
+        with pytest.raises(ValueError):
+            ref.parse_region_string(s)
+        with pytest.raises(ValueError):
+            bfs.parse_region_string(s)
+    for s in ["chr1:10-20", "chr1", "chrX:100-"]:
+        assert (ref.parse_region(s, {"chr1": 500, "chrX": 900})
+                == bfs.parse_region(s, {"chr1": 500, "chrX": 900})), s
+    assert ref.to_ucsc_colorstring("red") in ("255,0,0", "0,0,0")
+    # sort_bedframe: content AND order (natural chromosome order)
+    pdf = pd.DataFrame(
+        [("chr10", 5, 9), ("chr2", 1, 4), ("chr1", 7, 8), ("chr1", 2, 3)],
+        columns=["chrom", "start", "end"],
+    )
+    sdf = to_spark(spark, pdf)
+    ref_sorted = ref.sort_bedframe(pdf).reset_index(drop=True)
+    got = bfs.sort_bedframe(sdf).collect()
+    got_rows = [(r["chrom"], r["start"], r["end"]) for r in got]
+    assert got_rows == [tuple(r) for r in ref_sorted.values.tolist()]
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_ab_assign_view_and_sort_view(spark, seed):
+    ref = load_reference()
+    rng = random.Random(seed)
+    p1 = rand_frame(rng, 25, with_null=False)
+    s1 = to_spark(spark, p1)
+    viewdf = pd.DataFrame(
+        [("chr1", 0, 50, "rA"), ("chr1", 50, 100, "rB"),
+         ("chr2", 0, 100, "rC"), ("chr10", 0, 100, "rD")],
+        columns=["chrom", "start", "end", "name"],
+    )
+    assert_match(ref.assign_view(p1, viewdf),
+                 bfs.assign_view(s1, viewdf.values.tolist()))
+    assert_match(ref.assign_view(p1, viewdf, drop_unassigned=True),
+                 bfs.assign_view(s1, viewdf.values.tolist(),
+                                 drop_unassigned=True))
