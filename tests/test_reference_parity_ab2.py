@@ -105,13 +105,11 @@ def test_ab_checks(spark, seed):
             == checks.is_contained(s1, sview))
     assert (ref.is_covering(p1, viewdf)
             == checks.is_covering(s1, sview))
+    from pyspark.sql import functions as F
+
     assert (ref.is_cataloged(p1.assign(view_region="r1"), viewdf)
             == checks.is_cataloged(
-                s1.withColumn("view_region", to_spark(spark, p1).sparkSession
-                              .createDataFrame([("r1",)], "x string")
-                              .collect()[0] and __import__("pyspark.sql.functions",
-                                                           fromlist=["lit"]).lit("r1")),
-                sview))
+                s1.withColumn("view_region", F.lit("r1")), sview))
 
 
 def test_ab_stringops_and_sort(spark):
