@@ -166,6 +166,11 @@ def sanitize_bedframe(
     - nulls the whole triple if any member is null
     - ``start_exceed_end_action``: 'drop' removes inverted intervals,
       'flip' swaps their coordinates
+
+    Deviation (documented): in 'drop' mode null triples are always kept;
+    the reference drops them too, but only when at least one inverted
+    row exists (its masking branch is gated on ``.any()`` —
+    ``construction.py:316-326``), a data-dependent quirk not replicated.
     """
     ck, sk, ek = _resolve_cols(cols)
     out = df

@@ -155,3 +155,63 @@ def test_ab_assign_view_and_sort_view(spark, seed):
     assert_match(ref.assign_view(p1, viewdf, drop_unassigned=True),
                  bfs.assign_view(s1, viewdf.values.tolist(),
                                  drop_unassigned=True))
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_ab_select_and_sanitize(spark, seed):
+    ref = load_reference()
+    rng = random.Random(seed)
+    p1 = rand_frame(rng, 30, with_null=False)
+    s1 = to_spark(spark, p1)
+    for region in ["chr1", "chr1:10-40", "chr2:0-5", ("chr10", 20, 60)]:
+        assert_match(ref.select(p1, region), bfs.select(s1, region))
+    # sanitize: inverted intervals dropped / flipped. Known reference
+    # quirk (construction.py:316-326): 'drop' removes NULL rows too, but
+    # ONLY when at least one inverted row exists (the masking branch is
+    # gated on `.any()`); this engine always keeps null triples in drop
+    # mode — so the drop A/B runs null-free, flip A/B with nulls.
+    bad = pd.DataFrame(
+        [("chr1", 10, 5), ("chr1", 3, 9), (None, 1, 2)],
+        columns=["chrom", "start", "end"],
+    )
+    sbad = to_spark(spark, bad)
+    nn = bad.dropna().reset_index(drop=True)
+    assert_match(
+        ref.sanitize_bedframe(nn, start_exceed_end_action="drop"),
+        bfs.sanitize_bedframe(to_spark(spark, nn),
+                              start_exceed_end_action="drop"),
+    )
+    assert_match(
+        ref.sanitize_bedframe(bad, start_exceed_end_action="flip"),
+        bfs.sanitize_bedframe(sbad, start_exceed_end_action="flip"),
+    )
+
+
+def test_ab_remaining_checks(spark):
+    ref = load_reference()
+    from bioframe_spark.core import checks
+
+    # tiling frame: complete, non-overlapping cover of the view
+    tiles = pd.DataFrame(
+        [("chr1", 0, 50, "r1"), ("chr1", 50, 100, "r1")],
+        columns=["chrom", "start", "end", "view_region"],
+    )
+    viewdf = pd.DataFrame([("chr1", 0, 100, "r1")],
+                          columns=["chrom", "start", "end", "name"])
+    stiles, sview = to_spark(spark, tiles), to_spark(spark, viewdf)
+    assert ref.is_tiling(tiles, viewdf) == checks.is_tiling(stiles, sview) == True  # noqa: E712
+    holey = tiles.iloc[:1]
+    assert (ref.is_tiling(holey, viewdf)
+            == checks.is_tiling(to_spark(spark, holey), sview) == False)  # noqa: E712
+    sorted_df = pd.DataFrame(
+        [("chr1", 1, 5), ("chr1", 3, 9), ("chr2", 0, 4)],
+        columns=["chrom", "start", "end"],
+    )
+    unsorted_df = sorted_df.iloc[[1, 0, 2]].reset_index(drop=True)
+    assert ref.is_sorted(sorted_df) is True
+    assert checks.is_sorted(to_spark(spark, sorted_df)) is True
+    # NOTE: a Spark DataFrame has no row order, so is_sorted here checks
+    # sortability of the FRAME's natural collect order — pin only the
+    # sorted case for A/B; the reference's unsorted case is meaningful
+    # only for pandas
+    assert ref.is_sorted(unsorted_df) is False
