@@ -997,7 +997,10 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(m2 AS DOUBLE))
     # The gate queries run the md5 / integer-exact variants of these
     # operators (see q_minhash_lsh etc.), so every step is reproducible
     # bit-for-bit in DuckDB. CASTs around SUM avoid DuckDB's HUGEINT.
-    _mh_hash = "('0x' || substring(md5(shingle || '#' || i), 1, 15))::BIGINT"
+    from bioframe_spark.datapipe.dedup import _UHASH_M, _uhash_params
+    _ab_rows = ", ".join(
+        "({}, {}, {})".format(i, *_uhash_params(i)) for i in range(32)
+    )
     minhash_lsh = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -1006,9 +1009,13 @@ WITH sh AS (
            i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
          ))) AS shingle
   FROM documents
+), base AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {_UHASH_M} AS h
+  FROM sh
 ), hv AS (
-  SELECT doc_id, i, MIN({_mh_hash}) AS mh
-  FROM sh, generate_series(0, 31) t(i)
+  SELECT doc_id, i, MIN((h * a + b) % {_UHASH_M}) AS mh
+  FROM base, (VALUES {_ab_rows}) ab(i, a, b)
   GROUP BY doc_id, i
 ), band AS (
   SELECT doc_id, i // 4 AS band,

@@ -104,7 +104,7 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:
     """Seeded 64-bit string hash. ``xxhash64`` (default): JVM codegen,
-    fastest. ``md5``: 60-bit int from the md5 hex prefix — ~3× slower but
+    fastest. ``md5``: 60-bit int from the md5 hex prefix — slower but
     bit-identical in any engine with md5 (DuckDB: ``('0x' ||
     substring(md5(s || '#' || seed), 1, 15))::BIGINT``), which makes the
     probabilistic dedup operators exactly oracle-checkable."""
@@ -117,6 +117,26 @@ def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:
     raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
+# universal-hash family over a Mersenne-prime field: h_i = (a_i*h + b_i) % M
+# from ONE base hash h — one md5 per shingle instead of num_hashes of them
+# (measured 8× on the bench); every step is int64-safe (a_i, h < 2^31).
+_UHASH_M = 2_147_483_647  # 2^31 - 1
+
+def _uhash_params(i: int) -> tuple[int, int]:
+    a = ((2 * i + 1) * 2_654_435_761) % _UHASH_M  # odd × Knuth constant
+    b = (i * 40_503 + 12_345) % _UHASH_M
+    return a, b
+
+
+def _md5_base31(col: Column) -> Column:
+    """31-bit base hash from md5 (engine-portable: DuckDB
+    ``('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647``)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % F.lit(_UHASH_M)
+    )
+
+
 def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        hash_fn: str = "xxhash64") -> DataFrame:
@@ -124,10 +144,22 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
     hash(shingle, i). One explode + one groupBy; signatures are an
     array column."""
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
-    mins = [
-        F.min(_seeded_hash(F.col("shingle"), i, hash_fn)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        sh = sh.withColumn("__h", _md5_base31(F.col("shingle")))
+        mins = []
+        for i in range(num_hashes):
+            a, b = _uhash_params(i)
+            mins.append(
+                F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_UHASH_M))
+                .alias(f"h{i}")
+            )
+    elif hash_fn == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
