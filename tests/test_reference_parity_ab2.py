@@ -215,3 +215,65 @@ def test_ab_remaining_checks(spark):
     # sorted case for A/B; the reference's unsorted case is meaningful
     # only for pandas
     assert ref.is_sorted(unsorted_df) is False
+
+
+def test_ab_read_chromsizes_and_table(spark, tmp_path):
+    ref = load_reference()
+    from bioframe_spark.sources import fileops
+
+    cs = tmp_path / "test.chrom.sizes"
+    cs.write_text(
+        "chr2\t1000\nchr10\t800\nchr1\t2000\nchrX\t900\nchrM\t100\n"
+        "chr1_gl0001_random\t5\nchrUn_gl0002\t7\n"
+    )
+    ref_cs = ref.read_chromsizes(str(cs))
+    got_cs = fileops.read_chromsizes(str(cs)).collect()
+    assert list(ref_cs.index) == [r["chrom"] for r in got_cs]
+    assert [int(v) for v in ref_cs.values] == [r["length"] for r in got_cs]
+    ref_all = ref.read_chromsizes(str(cs), filter_chroms=False, natsort=False)
+    got_all = fileops.read_chromsizes(str(cs), filter_chroms=False,
+                                      natsort=False).collect()
+    assert set(ref_all.index) == {r["chrom"] for r in got_all}
+
+    bed = tmp_path / "x.bed"
+    bed.write_text(
+        "chr1\t10\t20\tfeatA\t5\t+\nchr2\t3\t9\tfeatB\t2\t-\n"
+    )
+    ref_t = ref.read_table(str(bed), schema="bed6")
+    got_t = fileops.read_table(str(bed), schema="bed6").toPandas()
+    assert list(ref_t.columns) == list(got_t.columns)
+    assert ref_t["chrom"].tolist() == got_t["chrom"].tolist()
+    assert ref_t["start"].tolist() == [int(x) for x in got_t["start"]]
+    assert ref_t["name"].tolist() == got_t["name"].tolist()
+
+
+def test_ab_to_bed_bytes(spark, tmp_path):
+    """Byte-identical BED output vs the reference writer."""
+    ref = load_reference()
+    import pandas as pd
+
+    from bioframe_spark.sources import bed as bedmod
+
+    pdf = pd.DataFrame(
+        [("chr1", 5, 20, "a", 100, "+"),
+         ("chr1", 30, 42, "b", 0, "-"),
+         ("chr2", 1, 8, "c", 1000, ".")],
+        columns=["chrom", "start", "end", "name", "score", "strand"],
+    )
+    ref_path = tmp_path / "ref.bed"
+    ref.to_bed(pdf, str(ref_path))
+    sdf = to_spark_mixed(spark, pdf)
+    got_path = tmp_path / "got.bed"
+    bedmod.to_bed(sdf, str(got_path), single_file=True)
+    assert ref_path.read_bytes() == got_path.read_bytes()
+
+
+def to_spark_mixed(spark, pdf):
+    import pandas as pd
+
+    cv = lambda v: None if pd.isna(v) else (int(v) if isinstance(v, (int, float)) and not isinstance(v, str) else v)
+    rows = [tuple(cv(r[c]) for c in pdf.columns) for _, r in pdf.iterrows()]
+    ddl = ", ".join(
+        f"{c} {'string' if pdf[c].dtype == object else 'long'}" for c in pdf.columns
+    )
+    return spark.createDataFrame(rows, ddl)
