@@ -61,7 +61,8 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        cache: bool = True) -> DataFrame:
+                        cache: bool = True,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id1 < id2).
 
     shingle-inverted-index self-join: explode → join on shingle → count
@@ -79,6 +80,18 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     has been materialized.
     """
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        # 100 TB skew guard: a stopword shingle occurring in d documents
+        # contributes d^2 join candidates — one hot key can dominate the
+        # whole stage. Drop shingles with document frequency > cutoff
+        # BEFORE everything (join sides AND per-doc counts): the result
+        # is exact Jaccard over the informative-shingle space — the
+        # standard IR df-cutoff. A shingle that common carries ~no
+        # similarity signal; identical documents still score 1.0.
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > max_doc_freq)
+               .select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     if cache:
         sh = sh.cache()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

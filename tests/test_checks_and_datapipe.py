@@ -335,3 +335,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     part_pairs = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
     recall = len(part_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.6, recall
+
+
+def test_jaccard_max_doc_freq_cutoff(spark):
+    """The df-cutoff restricts Jaccard to the informative-shingle space:
+    identical docs still score 1.0 (their pairs survive); docs whose
+    similarity was carried ONLY by corpus-wide hot shingles stop
+    pairing."""
+    from bioframe_spark.datapipe import dedup as D
+
+    rows = [(i, "the quick brown fox jumps over dog %d" % (i % 3))
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["id1"], r["id2"])
+            for r in D.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()}
+    cut = {(r["id1"], r["id2"]): r["n_union"]
+           for r in D.ngram_jaccard_pairs(df, n=3, threshold=0.5,
+                                          max_doc_freq=5).collect()}
+    # identical docs (same %3 suffix) pair in BOTH modes; only their one
+    # rare shingle survives the cutoff (n_union = 1)
+    ident = {(a, b) for a in range(9) for b in range(9)
+             if a < b and a % 3 == b % 3}
+    assert ident <= full
+    assert set(cut) == ident
+    assert all(v == 1 for v in cut.values())
+    # cross-group pairs shared only hot shingles → gone under the cutoff
+    assert all((a, b) in ident or (a, b) not in cut for a, b in full)
