@@ -138,3 +138,38 @@ def test_stream_drop_exact_duplicates_live(spark):
         assert sorted(texts) == [f"doc text {i}" for i in range(5)], texts
     finally:
         q.stop()
+
+
+def test_stream_text_pipeline_live(spark):
+    """Text quality features + language-ID are pure projections, so they
+    run unchanged under Structured Streaming — prove it live."""
+    from bioframe_spark.datapipe import text as T
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.when(F.col("value") % 2 == 0,
+                   F.lit("the cat and the dog sat on the mat"))
+            .otherwise(F.lit("der hund und die katze auf dem tisch"))
+            .alias("text"),
+        )
+    )
+    out = T.language_id(T.quality_features(stream)).select(
+        "doc_id", "n_tokens", "lang_pred")
+    q = (
+        out.writeStream.format("memory").queryName("textpipe_live")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 30
+        langs = set()
+        while time.time() < deadline:
+            langs = {r["lang_pred"] for r in
+                     spark.sql("select distinct lang_pred from textpipe_live").collect()}
+            if {"en", "de"} <= langs:
+                break
+            time.sleep(1)
+        assert {"en", "de"} <= langs, langs
+    finally:
+        q.stop()
