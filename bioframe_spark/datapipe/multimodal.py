@@ -98,3 +98,63 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                                             .cast("long") - 1, F.lit(0)))
         ).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize (stands in for PIL/opencv): deterministic payload
+    rescale to width*height bytes by repeat/truncate — keeps batch shape,
+    size accounting, and meta propagation real while the codec is fake."""
+    if payload is None:
+        payload = b""
+    target = max(width * height, 1)
+    if len(payload) == 0:
+        return bytes(target)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  use_fake: bool = True) -> DataFrame:
+    """Arrow-batched image resize via ``mapInPandas``: binary in, binary
+    out with the meta struct updated to the new dimensions — exactly the
+    plumbing a PIL/opencv stage needs (per-batch library init, payload
+    size change mid-plan). Non-image rows pass through untouched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake:
+                raise DecodeUnavailable("real image codecs not installed")
+            out_payload, out_meta = [], []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                if r["media_type"] == "image":
+                    out_payload.append(_fake_resize(r["payload"], width, height))
+                    meta = dict(meta or {})
+                    meta["width"], meta["height"] = width, height
+                else:
+                    out_payload.append(r["payload"])
+                out_meta.append(meta)
+            pdf = pdf.assign(payload=out_payload, meta=out_meta)
+            yield pdf
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def audio_chunk_plan(df: DataFrame, window_ms: int = 5000) -> DataFrame:
+    """Audio chunking *plan*: one row per (media, window) without
+    decoding — chunk boundaries from metadata only; per-chunk decode
+    attaches via ``extract_features`` on the chunk rows."""
+    n_chunks = F.greatest(
+        F.ceil(F.col("meta.duration_ms") / F.lit(window_ms)).cast("long"),
+        F.lit(1),
+    )
+    return df.filter(F.col("media_type") == "audio").select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "meta",
+    ).select(
+        "media_id", "chunk_idx",
+        (F.col("chunk_idx") * window_ms).alias("chunk_start_ms"),
+        F.least((F.col("chunk_idx") + 1) * window_ms,
+                F.col("meta.duration_ms")).alias("chunk_end_ms"),
+    )

@@ -361,3 +361,22 @@ def test_jaccard_max_doc_freq_cutoff(spark):
     assert all(v == 1 for v in cut.values())
     # cross-group pairs shared only hot shingles → gone under the cutoff
     assert all((a, b) in ident or (a, b) not in cut for a, b in full)
+
+
+def test_multimodal_resize_and_audio_chunks(spark):
+    rows_ = [
+        (1, "image", b"\x01\x02\x03", (4, 2, None, "png")),
+        (2, "audio", b"\xff" * 10, (None, None, 12_500, "wav")),
+        (3, "video", b"\x00" * 5, (8, 8, 3_000, "h264")),
+    ]
+    df = spark.createDataFrame(rows_, multimodal.MEDIA_SCHEMA)
+    resized = {r["media_id"]: r for r in
+               multimodal.resize_images(df, width=3, height=2).collect()}
+    assert len(resized[1]["payload"]) == 6          # image resized to 3*2
+    assert resized[1]["meta"]["width"] == 3
+    assert resized[2]["payload"] == b"\xff" * 10     # audio untouched
+    assert resized[3]["meta"]["width"] == 8          # video meta untouched
+    chunks = multimodal.audio_chunk_plan(df, window_ms=5000).collect()
+    assert [(c["chunk_idx"], c["chunk_start_ms"], c["chunk_end_ms"])
+            for c in sorted(chunks, key=lambda c: c["chunk_idx"])] == [
+        (0, 0, 5000), (1, 5000, 10000), (2, 10000, 12500)]
