@@ -308,6 +308,13 @@ def q_text_fingerprints(spark, sf_dir):
     )
 
 
+def q_jaccard_cutoff(spark, sf_dir):
+    """Skew-guard variant: exact Jaccard over shingles with document
+    frequency <= 3 (the hot-shingle d^2 join blowup removed)."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     n=3, threshold=0.5, max_doc_freq=3)
+
+
 def q_language_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     hit_cols = [f"{lg}_hits" for lg in text.LANG_PROFILES]
@@ -626,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "language_id": q_language_id,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_cutoff": q_jaccard_cutoff,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -963,6 +971,30 @@ WITH sh AS (
            i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
          ))) AS shingle
   FROM documents
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT x.doc_id AS id1, y.doc_id AS id2, COUNT(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_common, c1.n + c2.n - n_common AS n_union
+FROM common JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+WHERE CAST(n_common AS DOUBLE) >= 0.5 * (c1.n + c2.n - n_common)
+"""
+    # df-cutoff variant: Jaccard over the informative-shingle space only
+    jaccard_cutoff = """
+WITH sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         ))) AS shingle
+  FROM documents
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                    HAVING COUNT(*) <= 3)
 ), cnt AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ), common AS (
@@ -1424,6 +1456,7 @@ FROM m
         "text_fingerprints": text_fingerprints,
         "language_id": language_id,
         "jaccard_pairs": jaccard_pairs,
+        "jaccard_cutoff": jaccard_cutoff,
         "minhash_lsh": minhash_lsh,
         "simhash_pairs": simhash_pairs,
         "embedding_dups": embedding_dups,
