@@ -189,6 +189,17 @@ def test_ab_closest(spark, seed):
                  bfs.closest(sq1, sq2, ignore_overlaps=True, suffixes=("", "_")))
     assert_match(ref.closest(q1, q2, ignore_upstream=True, suffixes=("", "_")),
                  bfs.closest(sq1, sq2, ignore_upstream=True, suffixes=("", "_")))
+    # strand-aware direction: up/downstream swap on '-' rows
+    qs = q1.assign(strand=[("+", "-")[i % 2] for i in range(len(q1))])
+    sqs = to_spark(spark, qs)
+    assert_match(
+        ref.closest(qs, q2, direction_col="strand", suffixes=("", "_")),
+        bfs.closest(sqs, sq2, direction_col="strand", suffixes=("", "_")))
+    assert_match(
+        ref.closest(qs, q2, direction_col="strand", ignore_upstream=True,
+                    suffixes=("", "_")),
+        bfs.closest(sqs, sq2, direction_col="strand", ignore_upstream=True,
+                    suffixes=("", "_")))
 
 
 def test_ab_reference_tie_breaking_col_is_broken(spark):
