@@ -36,3 +36,25 @@ def sessionize_batch(events: DataFrame, gap_ms: int,
         F.max(ts_ms_col).alias("session_end"),
         F.sum("__mult").alias("n_events"),
     ).drop("__session")
+
+
+def sessionize_native(events: DataFrame, gap: str = "30 seconds",
+                      ts_col: str = "ts", key_col: str = "user_id") -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` (a TIMESTAMP
+    column, not ms ints) — the one-liner plan for both batch frames and
+    streams (with a watermark). Semantics differ from
+    ``sessionize_batch`` at the boundary: ``session_window`` closes a
+    session when the NEXT event is >= gap later (window end =
+    last_event + gap), while the gaps-and-islands form keeps events
+    exactly ``gap`` apart in one session and reports the last event time
+    as the end."""
+    return (
+        events.groupBy(key_col, F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -380,3 +380,17 @@ def test_multimodal_resize_and_audio_chunks(spark):
     assert [(c["chunk_idx"], c["chunk_start_ms"], c["chunk_end_ms"])
             for c in sorted(chunks, key=lambda c: c["chunk_idx"])] == [
         (0, 0, 5000), (1, 5000, 10000), (2, 10000, 12500)]
+
+
+def test_sessionize_native(spark):
+    from datetime import datetime
+
+    from bioframe_spark.datapipe import events as ev_ops
+
+    base = datetime(2026, 1, 1, 0, 0, 0)
+    rows_ = [(1, base), (1, base.replace(second=10)),
+             (1, base.replace(minute=5)), (2, base)]
+    ev = spark.createDataFrame(rows_, "user_id long, ts timestamp")
+    out = ev_ops.sessionize_native(ev, gap="30 seconds")
+    got = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]
