@@ -598,6 +598,52 @@ def q_media_pipeline(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# sequence-family queries over a DETERMINISTIC synthetic genome: the base at
+# (chrom cid, position p) is 'N' when p % 17 == 0 else "ACGT"[(7p + 13·cid) % 4]
+# — pure integer arithmetic, so DuckDB can regenerate the exact genome
+# per-position and the GC/digest results are value-hash comparable.
+# --------------------------------------------------------------------------
+
+def _synth_fasta_provider():
+    def fetch(chrom: str, start: int, end: int) -> str:
+        cid = int(chrom[3:])
+        return "".join(
+            "N" if p % 17 == 0 else "ACGT"[(7 * p + 13 * cid) % 4]
+            for p in range(max(start, 0), max(end, 0))
+        )
+    return fetch
+
+
+def seq_ivals(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    start = (F.col("p_partkey") * 37) % 100000
+    return p.select(
+        F.col("p_partkey").cast("long").alias("pid"),
+        F.concat(F.lit("chr"), (F.col("p_partkey") % 3).cast("string")).alias("chrom"),
+        start.cast("long").alias("start"),
+        (start + 20 + (F.col("p_partkey") % 60)).cast("long").alias("end"),
+    )
+
+
+def q_frac_gc(spark, sf_dir):
+    """frac_gc + frac_mapped over the synthetic genome (mapInPandas with a
+    per-executor provider; GC over non-N bases, frac_mapped = non-N/len)."""
+    iv = seq_ivals(spark, sf_dir)
+    prov = _synth_fasta_provider()
+    return bf.frac_mapped(bf.frac_gc(iv, prov, mapped_only=True), prov)
+
+
+DIGEST_CHROMS = {"chr0": 30000, "chr1": 27001}
+
+
+def q_digest(spark, sf_dir):
+    """Restriction digest of the synthetic genome at site 'ATGC' (the only
+    4-mer the 7-step base cycle can produce from index 0), cut offset 0."""
+    prov = _synth_fasta_provider()
+    return bf.digest(DIGEST_CHROMS, prov, "ATGC")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "overlap_inner": q_overlap_inner,
@@ -657,6 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_labels": q_select_labels,
         "sort_view_rank": q_sort_view_rank,
         "checks": q_checks,
+        "frac_gc": q_frac_gc,
+        "digest": q_digest,
         "media_pipeline": q_media_pipeline,
     }
 
@@ -1422,6 +1470,54 @@ SELECT media_id, payload_md5, n_bytes,
        GREATEST(CAST(FLOOR(duration_ms / 500.0) AS BIGINT) - 1, 0) * 500 AS last_ts
 FROM m
 """
+    frac_gc = """
+WITH iv AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pid,
+         'chr' || CAST(p_partkey % 3 AS VARCHAR) AS chrom,
+         CAST((p_partkey * 37) % 100000 AS BIGINT) AS start,
+         CAST((p_partkey * 37) % 100000 + 20 + (p_partkey % 60) AS BIGINT) AS "end",
+         CAST(p_partkey % 3 AS BIGINT) AS cid
+  FROM part),
+pos AS (
+  SELECT pid, chrom, start, "end", cid, unnest(range(start, "end")) AS p
+  FROM iv),
+stats AS (
+  SELECT pid, chrom, start, "end",
+         SUM(CASE WHEN p % 17 <> 0 THEN 1 ELSE 0 END) AS mapped,
+         SUM(CASE WHEN p % 17 <> 0 AND (7*p + 13*cid) % 4 IN (1, 2)
+                  THEN 1 ELSE 0 END) AS gc,
+         COUNT(*) AS n
+  FROM pos GROUP BY pid, chrom, start, "end")
+SELECT pid, chrom, start, "end",
+       CASE WHEN mapped > 0
+            THEN CAST(gc AS DOUBLE) / CAST(mapped AS DOUBLE) END AS GC,
+       CAST(mapped AS DOUBLE) / CAST(n AS DOUBLE) AS frac_mapped
+FROM stats
+"""
+
+    digest_sql = """
+WITH chroms(chrom, cid, len) AS (VALUES ('chr0', 0, 30000), ('chr1', 1, 27001)),
+pos AS (SELECT chrom, cid, len, unnest(range(0, len - 3)) AS p FROM chroms),
+cuts AS (
+  SELECT chrom, len, p FROM pos
+  WHERE p % 17 <> 0 AND (p+1) % 17 <> 0 AND (p+2) % 17 <> 0 AND (p+3) % 17 <> 0
+    AND (7*p     + 13*cid) % 4 = 0
+    AND (7*(p+1) + 13*cid) % 4 = 3
+    AND (7*(p+2) + 13*cid) % 4 = 2
+    AND (7*(p+3) + 13*cid) % 4 = 1
+    AND p > 0),
+bounds AS (
+  SELECT chrom, p FROM cuts
+  UNION ALL SELECT chrom, CAST(len AS BIGINT) AS p FROM chroms)
+SELECT chrom,
+       CAST(COALESCE(LAG(p) OVER (PARTITION BY chrom ORDER BY p), 0) AS BIGINT)
+         AS start,
+       CAST(p AS BIGINT) AS "end",
+       CAST(ROW_NUMBER() OVER (PARTITION BY chrom ORDER BY p) - 1 AS BIGINT)
+         AS n_fragment
+FROM bounds
+"""
+
     return {
         "overlap_inner": overlap_inner,
         "overlap_left": overlap_left,
@@ -1484,6 +1580,8 @@ FROM m
         "sort_view_rank": sort_view_rank,
         "checks": checks_sql,
         "media_pipeline": media_pipeline,
+        "frac_gc": frac_gc,
+        "digest": digest_sql,
         # minhash_lsh / simhash_pairs / ann_lsh: intentionally no oracle
         # (hash-based randomized algorithms) → rows-only check
     }
