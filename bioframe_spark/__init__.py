@@ -82,6 +82,7 @@ from .sources.fileops import (
 )
 from .sources.bed import to_bed
 from .sources.resources import UCSCClient, fetch_centromeres
+from .sources.clients import EncodeClient, FDNClient
 from .core.specs import is_chrom_dtype
 from .core.construction import from_series
 from .core.checks import (

@@ -164,3 +164,78 @@ def test_to_bigwig_raises_cleanly_without_encoder(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="prepped bedGraph left at"):
         fileops.to_bigwig(df, {"chr1": 100}, str(tmp_path / "o.bw"))
+
+
+# --------------------------------------------------------------------------
+# portal clients (reference sandbox/clients.py) — injectable transport
+# --------------------------------------------------------------------------
+
+def _encode_meta(spark):
+    return spark.createDataFrame(
+        [("ENCFF001", "hg19", "https://files.example/f1.bed.gz"),
+         ("ENCFF002", "GRCh38", "https://files.example/f2.bed.gz"),
+         ("ENCFF003", "GRCh38", "https://files.example/f3.bigWig")],
+        "`File accession` string, `File assembly` string, "
+        "`File download URL` string",
+    )
+
+
+def test_encode_client_fetch_and_cache(spark, tmp_path):
+    calls = []
+
+    def transport(url, headers):
+        calls.append((url, headers))
+        return b"payload:" + url.encode()
+
+    c = bf.EncodeClient(str(tmp_path), "GRCh38",
+                        metadata=_encode_meta(spark), transport=transport)
+    # catalog filtered to the assembly, still a DataFrame
+    assert c.meta.count() == 2
+    p = c.fetch("ENCFF002")
+    assert open(p, "rb").read() == b"payload:https://files.example/f2.bed.gz"
+    assert p.endswith("GRCh38/f2.bed.gz")
+    # second fetch is served from the cache — no new transport call
+    assert c.fetch("ENCFF002") == p and len(calls) == 1
+    # hg19 accession is outside the filtered catalog
+    with pytest.raises(KeyError):
+        c.fetch("ENCFF001")
+    assert c.info_url("ENCSR000AAA").startswith(
+        "https://www.encodeproject.org/experiments/")
+
+
+def test_encode_client_rejects_unknown_assembly(spark, tmp_path):
+    with pytest.raises(ValueError):
+        bf.EncodeClient(str(tmp_path), "hg38-oops",
+                        metadata=_encode_meta(spark))
+
+
+def test_encode_client_default_transport_raises(spark, tmp_path):
+    from bioframe_spark.sources.resources import NetworkDisabled
+
+    c = bf.EncodeClient(str(tmp_path), "GRCh38", metadata=_encode_meta(spark))
+    with pytest.raises(NetworkDisabled):
+        c.fetch("ENCFF002")
+
+
+def test_fdn_client_auth_header_and_organism_filter(spark, tmp_path):
+    meta = spark.createDataFrame(
+        [("4DNF1", "human", "https://files.example/a.pairs.gz"),
+         ("4DNF2", "mouse", "https://files.example/b.pairs.gz")],
+        "`File Accession` string, Organism string, "
+        "`File Download URL` string",
+    )
+    seen = {}
+
+    def transport(url, headers):
+        seen["headers"] = headers
+        return b"x"
+
+    c = bf.FDNClient(str(tmp_path), "GRCh38", metadata=meta,
+                     key_id="id", key_secret="sec", transport=transport)
+    assert c.meta.count() == 1  # GRCh38 -> human-only catalog
+    c.fetch("4DNF1")
+    import base64
+    assert seen["headers"]["Authorization"] == (
+        b"Basic " + base64.b64encode(b"id:sec"))
+    with pytest.raises(KeyError):
+        c.fetch("4DNF2")

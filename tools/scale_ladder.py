@@ -1,0 +1,97 @@
+"""Scale ladder: how do the headline plans scale with input size?
+
+Replicates the sf0.1 derived interval tables k x (k = 1, 4, 16) by
+coordinate-shifting each copy one genome-span right — per-chromosome
+density, join selectivity, and output-per-input stay CONSTANT, the
+workload grows exactly k x. AQE stays ON (the production default;
+the small-sf bench disables it, so this is also the AQE sanity run).
+
+For each operator the interesting number is the scaling exponent
+log(t16/t1)/log(16): ~1.0 = linear (what a shuffle-bound distributed
+plan should show), <1 = fixed-cost amortization, >>1 = a plan that
+would not survive 100 TB.
+
+Run: python tools/scale_ladder.py [reps]
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bioframe_spark.session import get_spark  # noqa: E402
+import bioframe_spark as bf  # noqa: E402
+import __spark_entry__ as em  # noqa: E402
+
+SPAN = 500300  # CLEN from the entry module — one genome span per copy
+
+
+def replicate(df, k: int):
+    if k == 1:
+        return df
+    copies = [
+        df.withColumn("start", F.col("start") + F.lit(i * SPAN))
+          .withColumn("end", F.col("end") + F.lit(i * SPAN))
+        for i in range(k)
+    ]
+    return reduce(lambda x, y: x.unionByName(y), copies)
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    a0 = em.ivals_a(spark, sf_dir).select("chrom", "start", "end")
+    b0 = em.ivals_b(spark, sf_dir).select("chrom", "start", "end")
+
+    results: dict[str, dict[int, float]] = {}
+    rows_at: dict[int, tuple[int, int]] = {}
+    for k in (1, 4, 16):
+        a = replicate(a0, k).cache()
+        b = replicate(b0, k).cache()
+        rows_at[k] = (a.count(), b.count())
+
+        qs = {
+            "overlap(auto)": lambda: bf.overlap(a, b, how="inner"),
+            "count_overlaps": lambda: bf.count_overlaps(a, b),
+            "coverage": lambda: bf.coverage(a, b),
+            "merge(auto)": lambda: bf.merge(a),
+            "cluster": lambda: bf.cluster(a),
+            "complement(auto)": lambda: bf.complement(
+                a, view_df={f"chr{i}": k * SPAN for i in range(8)}),
+            "closest(auto)": lambda: bf.closest(b, a),
+            "pileup(auto)": lambda: bf.pileup(a),
+        }
+        for name, thunk in qs.items():
+            samples = []
+            n = 0
+            for _ in range(reps):
+                t0 = time.time()
+                n = thunk().count()
+                samples.append(time.time() - t0)
+            med = sorted(samples)[len(samples) // 2]
+            results.setdefault(name, {})[k] = med
+            print(f"k={k:2d} {name:18s} median {med:7.2f}s  ({n} rows)",
+                  flush=True)
+        a.unpersist()
+        b.unpersist()
+
+    print("\n| op | 1x | 4x | 16x | exponent log16(t16/t1) |")
+    print("|---|---|---|---|---|")
+    for name, t in results.items():
+        exp = math.log(t[16] / t[1]) / math.log(16)
+        print(f"| {name} | {t[1]:.2f} | {t[4]:.2f} | {t[16]:.2f} | {exp:.2f} |")
+    print(f"\nrows: {rows_at}")
+
+
+if __name__ == "__main__":
+    main()
