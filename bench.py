@@ -73,10 +73,25 @@ def main():
     # timing the parquet scan + derivation inside every query would charge
     # this engine an input tax the baseline doesn't pay. Raw-table queries
     # (documents/embeddings/events) still read parquet directly.
+    pinned = []
     for fn_name in ("ivals_a", "ivals_b", "ivals_s", "ivals_p"):
         cached = getattr(em, fn_name)(spark, sf_dir).cache()
         cached.count()
+        pinned.append(cached)
         setattr(em, fn_name, lambda spark, sf_dir, _df=cached: _df)
+
+    def _n_persistent() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    def _reset_extra_caches():
+        # Ops with internal persists (the eager closest-binned ladder)
+        # leave cached intermediates behind; Spark's CacheManager matches
+        # an identical re-run's plan against them, so rep 2+ would time
+        # the cache, not the plan. Drop everything and re-pin the inputs
+        # (outside the timer) so every rep pays the full plan.
+        spark.catalog.clearCache()
+        for df in pinned:
+            df.cache().count()
 
     # Single-shot timings on a cold 32-core local JVM swing up to 5x
     # (JIT, codegen compilation, shuffle-file page cache). Run each query
@@ -92,10 +107,13 @@ def main():
         fn = qs[name]
         samples = []
         n = 0
+        base_cached = _n_persistent()
         for rep in range(reps):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
+            if _n_persistent() > base_cached:
+                _reset_extra_caches()
         cold[name] = round(samples[0], 3)
         med = sorted(samples)[len(samples) // 2]
         times[name] = round(med, 3)

@@ -304,9 +304,13 @@ def closest_within(
     return out
 
 
-_CLOSEST_COGROUP_BYTES = 512 << 20  # above this combined scan size the
-# cogrouped kernel risks a single-chrom group exceeding one task's memory;
-# strategy='auto' switches to the binned cap-escalation plan
+_CLOSEST_COGROUP_BYTES = 128 << 20  # above this combined scan size the
+# cogrouped kernel's one-task-per-chromosome ceiling dominates (and a
+# single-chrom group risks exceeding one task's memory); strategy='auto'
+# switches to the binned cap-escalation plan. Crossover measured on a
+# coordinate-shifted replication of the sf0.1 workload (8 chroms):
+# 72 MB combined -> cogroup 7.6 s vs binned 11.6 s; 288 MB -> cogroup
+# 66 s vs binned 24 s (tools/scale_ladder.py)
 
 
 def _big_inputs(df1: DataFrame, df2: DataFrame) -> bool:
@@ -353,13 +357,21 @@ def _closest_binned(
         .withColumn("__cb_rid", F.struct(*[F.col(c) for c in names1]))
     )
 
-    # cap ladder bound: global coordinate span (one tiny agg job)
+    # cap ladder bound: global coordinate span (one tiny agg job). The
+    # FIRST rung is density-scaled, not span-scaled: span/1024 blows up on
+    # dense inputs (the round-1 candidate join is probes x cap-window x
+    # density — measured 28x wall at a 4x-replicated sf0.1 where the
+    # span-scaled cap admitted ~340 candidates/probe for a k=1 query).
+    # Expected k-NN spacing is ~ k x span / |df2| (an overestimate when
+    # the span covers many chromosomes — that only makes round 1 safer);
+    # 16x covers clustering, the 8x ladder escalates the sparse tail.
     b1 = df1.agg(F.min(sk1).alias("lo"), F.max(ek1).alias("hi")).collect()[0]
-    b2 = df2.agg(F.min(sk2).alias("lo"), F.max(ek2).alias("hi")).collect()[0]
+    b2 = df2.agg(F.min(sk2).alias("lo"), F.max(ek2).alias("hi"),
+                 F.count(F.lit(1)).alias("n")).collect()[0]
     los = [v for v in (b1["lo"], b2["lo"]) if v is not None]
     his = [v for v in (b1["hi"], b2["hi"]) if v is not None]
     bound = (max(his) - min(los) + 2) if los and his else 2
-    cap = max(bound // 1024, 1024)
+    cap = min(max(16 * k * bound // max(b2["n"] or 1, 1), 64), bound)
     caps = []
     while cap < bound:
         caps.append(cap)
