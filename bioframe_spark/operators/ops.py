@@ -682,6 +682,9 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     return dd.drop("__rng", "__M", "__b", "__local_isl", "__ofs")
 
 
+_RANGED_PILEUP_BYTES = 64 << 20  # pileup's two-phase ranged scan-sum
+# overtakes the classic window earlier than merge/cluster (16x-ladder
+# measurement: 5.7 s vs 9.0 s at ~144 MB, a wash below ~40 MB)
 _RANGED_WINDOW_BYTES = 256 << 20  # above this scan size a per-chromosome
 # window partition risks stragglers and task-memory pressure; the
 # window-family ops (merge/cluster/complement/pileup) auto-switch to
@@ -689,15 +692,21 @@ _RANGED_WINDOW_BYTES = 256 << 20  # above this scan size a per-chromosome
 # groups × ranges) — mirroring closest(strategy='auto')
 
 
-def _auto_range_width(df: DataFrame, sk: str, ek: str, range_width):
+def _auto_range_width(df: DataFrame, sk: str, ek: str, range_width,
+                      default_bytes: int | None = None):
     """Resolve a ``range_width`` parameter: the default ``"auto"`` selects
     the ranged construction by input size with a width splitting the
     coordinate span into ~8 ranges per core; ``None`` forces the classic
-    per-group window; an int is explicit."""
+    per-group window; an int is explicit. ``default_bytes`` lets an op
+    override the shared crossover (measured per-op on the 16x scale
+    ladder: pileup's ranged scan-sum wins from ~64 MB, while merge's
+    border-row window and cluster's join-back keep the classic path
+    ahead to at least 256 MB)."""
     if range_width != "auto":
         return range_width
     if _plan_size_bytes(df) <= _threshold(df, "rangedWindowBytes",
-                                          _RANGED_WINDOW_BYTES):
+                                          default_bytes
+                                          or _RANGED_WINDOW_BYTES):
         return None
     row = df.agg(F.min(sk).alias("lo"), F.max(ek).alias("hi")).collect()[0]
     if row["lo"] is None:
@@ -1457,7 +1466,8 @@ def pileup(df: DataFrame, weight_col: str | None = None, cols=None,
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "pileup")
-    range_width = _auto_range_width(df, sk, ek, range_width)
+    range_width = _auto_range_width(df, sk, ek, range_width,
+                                    default_bytes=_RANGED_PILEUP_BYTES)
     wcol = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     valid = df.filter(F.col(ck).isNotNull() & F.col(sk).isNotNull() & F.col(ek).isNotNull())
     starts = valid.select(F.col(ck), F.col(sk).alias("__pos"), wcol.alias("__d"))
