@@ -119,23 +119,27 @@ def embedding_dup_pairs(
              F.lit(1).alias("role"))
     tagged = lo_side.unionByName(hi_side)
 
+    # output ids keep the input id dtype (string doc ids are as valid as
+    # numeric ones; the pair orientation id1 < id2 uses the natural order
+    # of that dtype)
+    id_type = df.schema[id_col].dataType
     schema = T.StructType([
-        T.StructField("id1", T.LongType()),
-        T.StructField("id2", T.LongType()),
+        T.StructField("id1", id_type),
+        T.StructField("id2", id_type),
         T.StructField("cos", T.DoubleType()),
     ])
 
     def run(key, pdf):
-        empty = pd.DataFrame({"id1": pd.Series(dtype="int64"),
-                              "id2": pd.Series(dtype="int64"),
+        empty = pd.DataFrame({"id1": pdf["id"].iloc[:0],
+                              "id2": pdf["id"].iloc[:0],
                               "cos": pd.Series(dtype="float64")})
         lo, hi = key
         a = pdf[pdf["role"] == 0]
         b = a if lo == hi else pdf[pdf["role"] == 1]
         if not len(a) or not len(b):
             return empty
-        ids1 = a["id"].to_numpy(np.int64)
-        ids2 = b["id"].to_numpy(np.int64)
+        ids1 = a["id"].to_numpy()
+        ids2 = b["id"].to_numpy()
         m1 = np.stack(a["v"].to_numpy()).astype(np.int64)
         m2 = m1 if lo == hi else np.stack(b["v"].to_numpy()).astype(np.int64)
         n1 = np.sqrt((m1 * m1).sum(axis=1).astype(np.float64))

@@ -394,3 +394,21 @@ def test_sessionize_native(spark):
     out = ev_ops.sessionize_native(ev, gap="30 seconds")
     got = sorted((r["user_id"], r["n_events"]) for r in out.collect())
     assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_embedding_dup_pairs_string_ids(spark):
+    """String doc ids work end-to-end (the kernel must not assume int64);
+    orientation id1 < id2 uses the string's natural order."""
+    from bioframe_spark.datapipe import similarity
+
+    rows = [
+        ("doc/a", [1.0, 0.0, 0.0]),
+        ("doc/b", [1.0, 0.001, 0.0]),   # near-dup of doc/a
+        ("doc/c", [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    for nb in (1, 4):
+        got = [(r["id1"], r["id2"]) for r in similarity.embedding_dup_pairs(
+            df, threshold=0.99, num_blocks=nb).collect()]
+        assert got == [("doc/a", "doc/b")], got
+

@@ -1,0 +1,116 @@
+"""Datapipe scale ladder: dedup / similarity mechanisms at 1x/4x/16x.
+
+Replication must NOT create cross-copy duplicates (that would multiply
+join selectivity instead of holding it constant), so each copy gets a
+deterministic per-copy perturbation: a copy-tag token prepended to the
+text (shifts every shingle) and doc_ids suffixed per copy. Near-dup
+structure then stays WITHIN each copy — output pairs scale exactly k x
+for the shingle/minhash family.
+
+Two contrasts this ladder is designed to show honestly:
+- minhash-LSH / exact-jaccard-with-cutoff: banded bucket joins, expected
+  ~linear — the 100 TB dedup path;
+- embedding_dup_pairs: EXACT all-pairs block self-join, O(n^2/blocks)
+  candidate work BY CONSTRUCTION — expected quadratic; the scale story
+  for embeddings is the LSH/IVF approximate path (lsh_bucketed_topk),
+  measured alongside.
+
+Run: python tools/datapipe_ladder.py [reps]
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bioframe_spark.session import get_spark  # noqa: E402
+from bioframe_spark.datapipe import dedup, similarity, text  # noqa: E402
+
+
+def rep_docs(docs, k: int):
+    copies = [
+        docs.select(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f"#c{i}"))
+             .alias("doc_id"),
+            F.concat(F.lit(f"copytag{i} "), F.col("text")).alias("text"),
+        )
+        for i in range(k)
+    ]
+    return reduce(lambda x, y: x.unionByName(y), copies)
+
+
+def rep_emb(emb, k: int):
+    # perturb the first component per copy so cross-copy cosine drops
+    # below any near-dup threshold while within-copy structure is intact
+    copies = [
+        emb.select(
+            F.concat(F.col("vec_id").cast("string"), F.lit(f"#c{i}"))
+             .alias("vec_id"),
+            F.concat(
+                F.array(F.col("embedding")[0] + (i * 37.0)),
+                F.slice(F.col("embedding"), 2, 10**6),
+            ).alias("embedding"),
+        )
+        for i in range(k)
+    ]
+    return reduce(lambda x, y: x.unionByName(y), copies)
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("datapipe-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    results: dict[str, dict[int, float]] = {}
+    for k in (1, 4, 16):
+        docs = rep_docs(docs0, k).cache()
+        emb = rep_emb(emb0, k).cache()
+        nd, ne = docs.count(), emb.count()
+        print(f"k={k}: {nd} docs, {ne} embeddings", flush=True)
+
+        qs = {
+            "exact_dedup": lambda: dedup.exact_duplicates(docs),
+            "jaccard_cutoff": lambda: dedup.ngram_jaccard_pairs(
+                docs, threshold=0.4, max_doc_freq=100 * k),
+            "minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs),
+            "simhash_pairs": lambda: dedup.simhash_dup_pairs(docs),
+            "quality_feats": lambda: text.quality_features(docs),
+            "embedding_exact(all-pairs)": lambda: similarity.embedding_dup_pairs(
+                emb, threshold=0.98),
+            "ann_lsh(bucketed)": lambda: similarity.lsh_bucketed_topk(
+                emb.limit(50), emb, k=5),
+        }
+        for name, thunk in qs.items():
+            samples = []
+            n = 0
+            for _ in range(reps):
+                spark.catalog.clearCache()
+                docs.cache().count(); emb.cache().count()
+                t0 = time.time()
+                n = thunk().count()
+                samples.append(time.time() - t0)
+            med = sorted(samples)[len(samples) // 2]
+            results.setdefault(name, {})[k] = med
+            print(f"k={k:2d} {name:26s} median {med:7.2f}s ({n} rows)",
+                  flush=True)
+        docs.unpersist(); emb.unpersist()
+
+    print("\n| op | 1x | 4x | 16x | exponent log16(t16/t1) |")
+    print("|---|---|---|---|---|")
+    for name, t in results.items():
+        exp = math.log(t[16] / t[1]) / math.log(16)
+        print(f"| {name} | {t[1]:.2f} | {t[4]:.2f} | {t[16]:.2f} | {exp:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

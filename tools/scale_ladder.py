@@ -71,13 +71,25 @@ def main():
             "closest(auto)": lambda: bf.closest(b, a),
             "pileup(auto)": lambda: bf.pileup(a),
         }
+        def _n_persistent():
+            return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
         for name, thunk in qs.items():
             samples = []
             n = 0
+            base_cached = _n_persistent()
             for _ in range(reps):
                 t0 = time.time()
                 n = thunk().count()
                 samples.append(time.time() - t0)
+                if _n_persistent() > base_cached:
+                    # ops with internal persists (closest-binned ladder)
+                    # would hand rep 2+ a CacheManager hit — drop and
+                    # re-pin the inputs so every rep times the plan
+                    spark.catalog.clearCache()
+                    a.cache().count()
+                    b.cache().count()
+                    base_cached = _n_persistent()
             med = sorted(samples)[len(samples) // 2]
             results.setdefault(name, {})[k] = med
             print(f"k={k:2d} {name:18s} median {med:7.2f}s  ({n} rows)",
