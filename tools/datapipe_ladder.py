@@ -33,29 +33,39 @@ from bioframe_spark.session import get_spark  # noqa: E402
 from bioframe_spark.datapipe import dedup, similarity, text  # noqa: E402
 
 
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
 def rep_docs(docs, k: int):
+    # per-copy Caesar rotation of the letters: EVERY shingle differs
+    # across copies (a single prepended tag token would leave the copies
+    # ~identical and multiply near-dup pairs k^2-fold), while within-copy
+    # shingle structure — and therefore near-dup pairs per copy — is
+    # preserved exactly (rotation is a bijection on tokens)
     copies = [
         docs.select(
             F.concat(F.col("doc_id").cast("string"), F.lit(f"#c{i}"))
              .alias("doc_id"),
-            F.concat(F.lit(f"copytag{i} "), F.col("text")).alias("text"),
+            F.translate(F.col("text"), ALPHA, ALPHA[i:] + ALPHA[:i])
+             .alias("text"),
         )
         for i in range(k)
     ]
     return reduce(lambda x, y: x.unionByName(y), copies)
 
 
-def rep_emb(emb, k: int):
-    # perturb the first component per copy so cross-copy cosine drops
-    # below any near-dup threshold while within-copy structure is intact
+def rep_emb(emb, k: int, dim: int = 64):
+    # per-copy circular roll of the components: within-copy dot products
+    # and norms are EXACTLY preserved (same permutation on both sides),
+    # cross-copy cosines decorrelate — pair counts scale k x
     copies = [
         emb.select(
             F.concat(F.col("vec_id").cast("string"), F.lit(f"#c{i}"))
              .alias("vec_id"),
-            F.concat(
-                F.array(F.col("embedding")[0] + (i * 37.0)),
-                F.slice(F.col("embedding"), 2, 10**6),
-            ).alias("embedding"),
+            (F.col("embedding") if i == 0 else F.concat(
+                F.slice(F.col("embedding"), i + 1, dim - i),
+                F.slice(F.col("embedding"), 1, i),
+            )).alias("embedding"),
         )
         for i in range(k)
     ]
