@@ -323,48 +323,64 @@ def lsh_bucketed_topk(
         first = corpus.select(F.size(vec_col).alias("d")).first()
         dim = first["d"]
 
+    # Bucket bits as ONE vectorized pandas UDF (numpy matmul against the
+    # plane matrix): the previous pure-Catalyst formulation built
+    # n_planes x dim fold-expression trees whose ANALYSIS/CODEGEN cost
+    # alone was ~11 s per query regardless of data size (measured on the
+    # datapipe ladder — flat 11 s from 2k to 32k vectors).
     if hash_fn == "md5":
         plane = lsh_plane_components(n_planes, dim)
-
-        def bucket_int(vq):
-            out = F.lit(0)
-            for p in range(n_planes):
-                comps = F.array(*[F.lit(c) for c in plane[p]])
-                proj = F.aggregate(
-                    F.zip_with(vq, comps, lambda x, y: x * y),
-                    F.lit(0).cast("long"), lambda acc, v: acc + v,
-                )
-                out = out + F.when(proj >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-            return out
-    elif hash_fn != "xxhash64":
+    elif hash_fn == "xxhash64":
+        # component recipe xxhash64(p, j) % 2001 - 1000, fetched once as a
+        # n_planes*dim-ROW job with ONE hash expression over int columns
+        # (hash-by-value: identical to hashing int literals) — a 1-row job
+        # with one expression per component costs seconds of analysis
+        rows = (
+            corpus.sparkSession.range(n_planes * dim)
+            .select(
+                F.expr(f"CAST(id DIV {dim} AS INT)").alias("p"),
+                F.expr(f"CAST(id % {dim} AS INT)").alias("j"),
+            )
+            .select(
+                "p", "j",
+                (F.xxhash64(F.col("p"), F.col("j")) % 2001 - 1000).alias("c"),
+            )
+            .collect()
+        )
+        plane = [[0] * dim for _ in range(n_planes)]
+        for r in rows:
+            plane[r["p"]][r["j"]] = r["c"]
+    else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
-    def bucket(vcol):
-        bits = []
-        for p in range(n_planes):
-            comps = F.array(*[
-                (F.xxhash64(F.lit(p), F.lit(j)) % 2001 - 1000).cast("double") / 1000.0
-                for j in range(dim)
-            ])
-            proj = F.aggregate(
-                F.zip_with(vcol, comps, lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
-        return out
+    import numpy as np
+    import pandas as pd
 
-    def quant_expr(col):
-        return F.transform(
-            col, lambda x: F.round(x.cast("double") * QUANT).cast("long")
-        )
+    P = np.asarray(plane, dtype=np.int64)
+    Pf = P.astype(np.float64) / 1000.0
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    integer_mode = hash_fn == "md5"
 
-    mk_bucket = (
-        (lambda col: bucket_int(quant_expr(col))) if hash_fn == "md5"
-        else bucket
-    )
+    # no type hints on the kernel: this module uses
+    # `from __future__ import annotations`, which stringifies them and
+    # breaks pandas_udf's signature inspection — register explicitly
+    def _bucket_kernel(v):
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        if integer_mode:
+            # Spark round() is HALF_UP (away from zero); np.round is
+            # banker's — reproduce _quantized bit-exactly so the md5
+            # bucket stays integer-exact (and oracle-reproducible)
+            q = np.where(m >= 0, np.floor(m * QUANT + 0.5),
+                         np.ceil(m * QUANT - 0.5)).astype(np.int64)
+            proj = q @ P.T
+        else:
+            proj = m @ Pf.T
+        bits = (proj >= 0).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    mk_bucket = F.pandas_udf(_bucket_kernel, "long")
     q = queries.select(
         F.col(id_col).alias("query_id"), _quantized(F.col(vec_col), "qv"),
         mk_bucket(F.col(vec_col)).alias("bucket"),
