@@ -286,22 +286,69 @@ def ivf_topk(
         ).alias("cvec"),
     ).withColumn("cnorm", _norm2(F.col("cvec")))
 
+    # Assignment is MAP-ONLY: centroids (a handful of rows) collect to a
+    # numpy matrix captured by a mapInPandas kernel; nearest-centroid per
+    # vector is an int64-exact matmul + argmax. The previous formulation
+    # (crossJoin + row_number window) shuffled corpus x n_centroids rows
+    # just to pick each vector's top-1 — a full-corpus shuffle that a
+    # 100 TB scan cannot afford. Tie semantics preserved exactly: columns
+    # are ordered by cent_id asc and np.argmax returns the FIRST maximum,
+    # matching the window's (ccos desc, cent_id asc); integer dots and
+    # the same dot/(sqrt*sqrt) double chain make the cosines bit-equal.
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cent_rows = cents.orderBy("cent_id").collect()
+    cids = [r["cent_id"] for r in cent_rows]
+    C = np.stack([np.asarray(r["cvec"], dtype=np.int64) for r in cent_rows])
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    cid_type = cents.schema["cent_id"].dataType
+
     def assign(df, out_id, vname, nname, top):
         v = df.select(
             F.col(id_col).alias(out_id), _quantized(F.col(vec_col), vname)
-        ).withColumn(nname, _norm2(F.col(vname)))
-        j = v.crossJoin(F.broadcast(cents))
-        cos = (
-            _dot(F.col(vname), F.col("cvec")).cast("double")
-            / (F.sqrt(F.col(nname).cast("double")) * F.sqrt(F.col("cnorm").cast("double")))
         )
-        w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cent_id"))
-        return (
-            j.withColumn("ccos", cos)
-            .withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= top)
-            .select(out_id, vname, nname, "cent_id")
-        )
+        schema = T.StructType([
+            T.StructField(out_id, df.schema[id_col].dataType),
+            T.StructField(vname, T.ArrayType(T.LongType())),
+            T.StructField(nname, T.LongType()),
+            T.StructField("cent_id", cid_type),
+        ])
+
+        def kern(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf[vname].to_numpy()).astype(np.int64)
+                vn2 = (V * V).sum(axis=1)
+                cos = (V @ C.T).astype(np.float64) / (
+                    np.sqrt(vn2.astype(np.float64))[:, None] * cn[None, :]
+                )
+                if top == 1:
+                    pick = cos.argmax(axis=1)
+                    yield pd.DataFrame({
+                        out_id: pdf[out_id].to_numpy(),
+                        vname: pdf[vname].to_numpy(),
+                        nname: vn2,
+                        "cent_id": [cids[i] for i in pick],
+                    })
+                else:
+                    t = min(top, cos.shape[1])
+                    # per-row full order by (cos desc, cent_id asc) —
+                    # n_centroids is small, a stable argsort on -cos keeps
+                    # cent_id-ascending order among exact ties
+                    order = np.argsort(-cos, axis=1, kind="stable")[:, :t]
+                    ridx = np.repeat(np.arange(len(pdf)), t)
+                    yield pd.DataFrame({
+                        out_id: pdf[out_id].to_numpy()[ridx],
+                        vname: pdf[vname].to_numpy()[ridx],
+                        nname: vn2[ridx],
+                        "cent_id": [cids[i] for i in order.ravel()],
+                    })
+
+        return v.mapInPandas(kern, schema)
 
     c = assign(corpus, "neighbor_id", "cv", "cn", 1)
     q = assign(queries, "query_id", "qv", "qn", n_probe)
