@@ -211,50 +211,85 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic spherical-k-means centroids as pure DataFrame plans.
+    """Deterministic spherical-k-means centroids, map-side Lloyd steps.
 
     Init: the ``n_centroids`` smallest-id corpus vectors (reproducible —
-    no RNG state to ship). Each Lloyd iteration: broadcast centroids →
-    nearest-centroid assignment by cosine (crossJoin + top-1 window) →
-    component-wise mean via ``posexplode`` + groupBy + ``array_sort``
-    re-assembly. Every step is a bounded shuffle (assignment keys =
-    vectors × n_centroids fan-in, mean keys = n_centroids × dim), so the
-    training scales with the corpus scan, not with pairs.
+    no RNG state to ship). Each Lloyd iteration runs ONE corpus scan: the
+    centroid matrix (n_centroids × dim — a few KB) is collected and
+    captured by a ``mapInPandas`` kernel that does nearest-centroid
+    assignment (numpy matmul + first-max argmax = the (cos desc, cent_id
+    asc) tie rule) AND per-batch partial sums in the same pass, so the
+    only shuffle per iteration carries ``n_batches × n_centroids`` rows
+    of (cent_id, partial_sum, count) into a tiny final combine. The
+    previous formulation shuffled corpus × n_centroids rows through a
+    top-1 window and then corpus × dim posexploded rows into the mean —
+    two full-corpus shuffles per iteration that a 100 TB scan cannot
+    afford. Collecting centroids per iteration also bounds the plan: the
+    lazy loop nested each iteration's plan inside the next.
 
     Returns (cent_id, cvec: array<double>).
     """
-    cents = corpus.orderBy(id_col).limit(n_centroids).select(
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType
+    init = corpus.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("cent_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
     )
+    out_schema = init.schema
+    if n_iter <= 0:
+        return init
+
+    cent_rows = init.collect()
+    v = corpus.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    part_schema = T.StructType([
+        T.StructField("cent_id", id_type),
+        T.StructField("psum", T.ArrayType(T.DoubleType())),
+        T.StructField("n", T.LongType()),
+    ])
+
     for _ in range(n_iter):
-        v = corpus.select(
-            F.col(id_col).alias("vid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
-        j = v.crossJoin(F.broadcast(cents))
-        dot = F.aggregate(F.zip_with(F.col("v"), F.col("cvec"),
-                                     lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        n1 = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-        n2 = F.sqrt(F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x))
-        w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cent_id"))
-        assigned = (
-            j.withColumn("ccos", dot / (n1 * n2))
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("cent_id", "v")
-        )
-        means = (
-            assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cent_id", "pos").agg(F.avg("x").alias("m"))
-        )
-        cents = (
-            means.groupBy("cent_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cent_id", F.transform("pm", lambda s: s["m"]).alias("cvec"))
-        )
-    return cents
+        cids = [r["cent_id"] for r in cent_rows]
+        C = np.stack([np.asarray(r["cvec"], dtype=np.float64)
+                      for r in cent_rows])
+        cn = np.sqrt((C * C).sum(axis=1))
+
+        def partials(batches, _cids=cids, _C=C, _cn=cn):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                vn = np.sqrt((V * V).sum(axis=1))
+                # columns ordered by cent_id; argmax returns the FIRST
+                # maximum → ties break to the smallest cent_id, same as
+                # the reference (cos desc, cent_id asc) window rule
+                pick = ((V @ _C.T) / (vn[:, None] * _cn[None, :])).argmax(axis=1)
+                rows = []
+                for ci in np.unique(pick):
+                    sel = V[pick == ci]
+                    rows.append((_cids[ci], sel.sum(axis=0), len(sel)))
+                yield pd.DataFrame(rows, columns=["cent_id", "psum", "n"])
+
+        parts = v.mapInPandas(partials, part_schema).toPandas()
+        # combine partials per centroid; empty clusters drop (reference
+        # groupBy-over-assigned behavior)
+        cent_rows = []
+        # groupby(sort=True) orders keys ascending — the next iteration's
+        # argmax first-max tie rule needs columns in cent_id-asc order
+        for cid, grp in parts.groupby("cent_id", sort=True):
+            total = np.sum(np.stack(grp["psum"].to_numpy()), axis=0)
+            cent_rows.append(
+                {"cent_id": cid, "cvec": (total / grp["n"].sum()).tolist()}
+            )
+    return spark.createDataFrame(
+        [(r["cent_id"], r["cvec"]) for r in cent_rows], out_schema
+    )
 
 
 def ivf_topk(
