@@ -326,6 +326,23 @@ def q_jaccard_pairs(spark, sf_dir):
                                      n=3, threshold=0.5)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Fuzzy-dedup endgame part 1: exact-Jaccard pair graph → connected
+    components via hash-min label propagation (component = min doc_id)."""
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                      n=3, threshold=0.5)
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component")
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Fuzzy-dedup endgame part 2: keep one canonical (min-id) doc per
+    near-duplicate component plus all unclustered docs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dedup.drop_near_duplicates(docs, pairs).select("doc_id")
+
+
 def q_minhash_lsh(spark, sf_dir):
     # md5 hash mode: engine-portable seeded hashing → exact DuckDB oracle
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
@@ -680,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_cutoff": q_jaccard_cutoff,
+        "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -1053,6 +1072,34 @@ WITH sh0 AS (
 SELECT id1, id2, n_common, c1.n + c2.n - n_common AS n_union
 FROM common JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
 WHERE CAST(n_common AS DOUBLE) >= 0.5 * (c1.n + c2.n - n_common)
+"""
+    # fuzzy-dedup resolution: transitive closure over the (symmetrized)
+    # jaccard pair graph; MIN over everything reachable = component min,
+    # exactly the hash-min label propagation fixpoint
+    _cc_prefix = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id1, id2 FROM ({jaccard_pairs})
+), e2 AS (
+  SELECT id1 AS u, id2 AS v FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS id FROM e2
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e2.u, reach.r FROM reach JOIN e2 ON e2.v = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+)
+"""
+    dedup_components = _cc_prefix + """
+SELECT id AS doc_id, component FROM comp
+"""
+    dedup_canonical = _cc_prefix + """
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.id = d.doc_id AND comp.component <> comp.id)
 """
     embedding_dups = """
 WITH v AS (
@@ -1553,6 +1600,8 @@ FROM bounds
         "language_id": language_id,
         "jaccard_pairs": jaccard_pairs,
         "jaccard_cutoff": jaccard_cutoff,
+        "dedup_components": dedup_components,
+        "dedup_canonical": dedup_canonical,
         "minhash_lsh": minhash_lsh,
         "simhash_pairs": simhash_pairs,
         "embedding_dups": embedding_dups,

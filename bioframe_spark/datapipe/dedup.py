@@ -321,3 +321,80 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
         .select("id1", "id2", "hamming")
     )
     return pairs
+
+
+def connected_components(pairs: DataFrame, src_col: str = "id1",
+                         dst_col: str = "id2",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    ``(id, component)`` where component = the minimum node id in the
+    node's component. Only nodes that appear in ``pairs`` are returned
+    (singletons are their own trivial component and carry no information).
+
+    Algorithm: min-label propagation ("hash-min" of Rastogi et al.,
+    *Finding Connected Components in Map-Reduce in Logarithmic Rounds*,
+    ICDE 2013) — every round each node takes the min of its own label and
+    its neighbors' labels, so labels converge to the component min in
+    O(graph diameter) rounds. Near-dup graphs are unions of dense
+    clusters (diameter 2-3 in practice), so the loop exits after a
+    handful of rounds; ``max_iter`` is a safety bound, not the expected
+    cost.
+
+    Scale shape: one symmetrized edge table persisted across rounds;
+    each round is join(edges, labels) + groupBy-min — both shuffles keyed
+    and sized by the edge table, never all-pairs. ``localCheckpoint``
+    truncates the per-round lineage so the plan does not nest (on a real
+    cluster with executor loss concerns, swap for a reliable
+    ``checkpoint`` dir — same plan shape). The convergence probe is a
+    ``limit(1)`` existence job on the changed-label diff, not a full
+    count.
+    """
+    e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+           .distinct().persist()
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    try:
+        for _ in range(max_iter):
+            nmin = (
+                sym.join(labels.select(F.col("id").alias("v"),
+                                       F.col("label").alias("vlabel")), "v")
+                .groupBy("u").agg(F.min("vlabel").alias("nmin"))
+            )
+            stepped = (
+                labels.join(nmin.withColumnRenamed("u", "id"), "id", "left")
+                .select(
+                    "id", "label",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nmin"), F.col("label")))
+                    .alias("new_label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = stepped.filter(
+                F.col("label") != F.col("new_label")
+            ).limit(1).count()
+            labels = stepped.select("id", F.col("new_label").alias("label"))
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id", src_col: str = "id1",
+                         dst_col: str = "id2") -> DataFrame:
+    """Resolve a near-duplicate pair graph to one canonical doc per
+    duplicate cluster: keep the minimum-id member of each connected
+    component plus every document that appears in no pair. This is the
+    standard last stage of a fuzzy-dedup pipeline (pairs → components →
+    canonical pick); the anti-join side is one row per NON-canonical
+    clustered doc — tiny relative to the corpus, so AQE broadcasts it.
+    """
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    losers = comp.filter(F.col("component") != F.col("id")) \
+                 .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -412,3 +412,34 @@ def test_embedding_dup_pairs_string_ids(spark):
             df, threshold=0.99, num_blocks=nb).collect()]
         assert got == [("doc/a", "doc/b")], got
 
+
+
+def test_connected_components_chain(spark):
+    """Chain 1-2-3-4-5 (diameter 4 → multiple propagation rounds) plus an
+    isolated pair; labels converge to the component minimum."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11)], "id1 long, id2 long")
+    got = sorted((r["id"], r["component"])
+                 for r in dedup.connected_components(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10)]
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_drop_near_duplicates(spark):
+    """One canonical (min-id) doc per component; unclustered docs kept."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11)], "id1 long, id2 long")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.drop_near_duplicates(docs, pairs).collect())
+    assert kept == [1, 10, 99]
+    # empty pair graph → everything survives
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    assert dedup.drop_near_duplicates(docs, empty).count() == 8
