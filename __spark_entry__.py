@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import bioframe_spark as bf
-from bioframe_spark.datapipe import dedup, similarity, text
+from bioframe_spark.datapipe import dedup, sampling, similarity, text
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -324,6 +324,31 @@ def q_language_id(spark, sf_dir):
 def q_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                      n=3, threshold=0.5)
+
+
+def q_sample_users(spark, sf_dir):
+    """Group-stable deterministic sampling: keep ~30% of USERS (every
+    kept user's events survive intact) — map-only, retry-stable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sampling.deterministic_sample(
+        ev, 0.3, key_col="user_id", seed=7).select("event_id", "user_id")
+
+
+def q_sample_mix(spark, sf_dir):
+    """Data-mixing primitive: per-source sampling fractions as a literal
+    map (keep all of src0, half of src1, a tenth of the rest)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        strata_col="source", key_col="doc_id", seed=3,
+        default_fraction=0.1).select("doc_id", "source")
+
+
+def q_train_split(spark, sf_dir):
+    """Hash-disjoint train/val tagging, stable across retries/engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.train_val_split(
+        docs, 0.2, key_col="doc_id", seed=5).select("doc_id", "split")
 
 
 def q_dedup_components(spark, sf_dir):
@@ -699,6 +724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_cutoff": q_jaccard_cutoff,
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
+        "sample_users": q_sample_users,
+        "sample_mix": q_sample_mix,
+        "train_split": q_train_split,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -1072,6 +1100,32 @@ WITH sh0 AS (
 SELECT id1, id2, n_common, c1.n + c2.n - n_common AS n_union
 FROM common JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
 WHERE CAST(n_common AS DOUBLE) >= 0.5 * (c1.n + c2.n - n_common)
+"""
+    # deterministic sampling: 60-bit md5-prefix key hash vs an integer
+    # threshold floor(fraction * 2^60) — pure int64 compare, portable
+    from bioframe_spark.datapipe.sampling import _threshold
+
+    def _duck_hash60(key_expr, seed):
+        return ("('0x' || substring(md5(CAST(" + key_expr
+                + " AS VARCHAR) || '#" + str(seed) + "'), 1, 15))::BIGINT")
+
+    sample_users = f"""
+SELECT event_id, user_id FROM events
+WHERE {_duck_hash60('user_id', 7)} < {_threshold(0.3)}
+"""
+    sample_mix = f"""
+SELECT doc_id, source FROM documents
+WHERE {_duck_hash60('doc_id', 3)} <
+  CASE source WHEN 'src0' THEN {_threshold(1.0)}
+              WHEN 'src1' THEN {_threshold(0.5)}
+              WHEN 'src2' THEN {_threshold(0.25)}
+              ELSE {_threshold(0.1)} END
+"""
+    train_split = f"""
+SELECT doc_id,
+       CASE WHEN {_duck_hash60('doc_id', 5)} < {_threshold(0.2)}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
 """
     # fuzzy-dedup resolution: transitive closure over the (symmetrized)
     # jaccard pair graph; MIN over everything reachable = component min,
@@ -1602,6 +1656,9 @@ FROM bounds
         "jaccard_cutoff": jaccard_cutoff,
         "dedup_components": dedup_components,
         "dedup_canonical": dedup_canonical,
+        "sample_users": sample_users,
+        "sample_mix": sample_mix,
+        "train_split": train_split,
         "minhash_lsh": minhash_lsh,
         "simhash_pairs": simhash_pairs,
         "embedding_dups": embedding_dups,

@@ -443,3 +443,58 @@ def test_drop_near_duplicates(spark):
     # empty pair graph → everything survives
     empty = spark.createDataFrame([], "id1 long, id2 long")
     assert dedup.drop_near_duplicates(docs, empty).count() == 8
+
+
+def test_deterministic_sample_stability(spark):
+    """Same keys → same sample regardless of partitioning or row order;
+    sampling by a group key keeps groups whole."""
+    import pyspark.sql.functions as F
+
+    from bioframe_spark.datapipe import sampling
+
+    rows = [(i, i % 17, f"p{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, p string")
+    s1 = {r["event_id"] for r in
+          sampling.deterministic_sample(df, 0.4, key_col="event_id",
+                                        seed=1).collect()}
+    s2 = {r["event_id"] for r in
+          sampling.deterministic_sample(df.repartition(7).orderBy("p"), 0.4,
+                                        key_col="event_id", seed=1).collect()}
+    assert s1 == s2 and 0 < len(s1) < 500
+    # group-stable: every user's events all kept or all dropped
+    by_user = sampling.deterministic_sample(df, 0.5, key_col="user_id", seed=2)
+    per_user = {r["user_id"]: r["n"] for r in
+                by_user.groupBy("user_id").agg(
+                    F.count("*").alias("n")).collect()}
+    full = {r["user_id"]: r["n"] for r in
+            df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert all(per_user[u] == full[u] for u in per_user)
+    # different seed → different sample
+    s3 = {r["event_id"] for r in
+          sampling.deterministic_sample(df, 0.4, key_col="event_id",
+                                        seed=99).collect()}
+    assert s1 != s3
+
+
+def test_stratified_sample_and_split(spark):
+    import pyspark.sql.functions as F
+
+    from bioframe_spark.datapipe import sampling
+
+    rows = [(i, "a" if i < 400 else "b", "x") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sampling.stratified_sample(df, {"a": 1.0, "b": 0.0},
+                                     strata_col="source", key_col="doc_id")
+    got = out.groupBy("source").count().collect()
+    assert {(r["source"], r["count"]) for r in got} == {("a", 400)}
+    # default_fraction covers unknown strata
+    none_kept = sampling.stratified_sample(df, {}, strata_col="source",
+                                           key_col="doc_id",
+                                           default_fraction=0.0)
+    assert none_kept.count() == 0
+    # split: total partition, val fraction in a loose band, deterministic
+    sp = sampling.train_val_split(df, 0.25, key_col="doc_id", seed=4)
+    counts = {r["split"]: r["n"] for r in
+              sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("val", 0) + counts.get("train", 0) == 600
+    assert 0.15 * 600 < counts["val"] < 0.35 * 600
