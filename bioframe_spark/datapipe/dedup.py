@@ -323,9 +323,56 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     return pairs
 
 
+def _cc_local(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: all edges into ONE task, union-find with
+    path compression, labels = component min. Exact, one shuffle, no
+    iteration — the right plan whenever the EDGE set (not the corpus)
+    fits in a task, which for near-dup graphs is true far up the corpus
+    scale (pairs are the post-LSH survivors, orders of magnitude smaller
+    than the input)."""
+    import pandas as pd
+
+    out_schema = (
+        "id " + edges.schema["u"].dataType.simpleString()
+        + ", component " + edges.schema["u"].dataType.simpleString()
+    )
+
+    def kern(batches):
+        parent = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[rv] = ru
+        roots = {}
+        for node in parent:
+            r = find(node)
+            m = roots.get(r)
+            if m is None or node < m:
+                roots[r] = node
+        if parent:
+            yield pd.DataFrame(
+                {"id": list(parent), "component": [roots[find(n)] for n in parent]}
+            )
+
+    return edges.coalesce(1).mapInPandas(kern, out_schema)
+
+
 def connected_components(pairs: DataFrame, src_col: str = "id1",
                          dst_col: str = "id2",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         strategy: str = "auto") -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     ``(id, component)`` where component = the minimum node id in the
     node's component. Only nodes that appear in ``pairs`` are returned
@@ -348,8 +395,35 @@ def connected_components(pairs: DataFrame, src_col: str = "id1",
     ``checkpoint`` dir — same plan shape). The convergence probe is a
     ``limit(1)`` existence job on the changed-label diff, not a full
     count.
+
+    ``strategy='auto'`` (default) routes SMALL pair sets (≤
+    ``spark.bioframe.ccLocalEdges`` rows, default 2M) to a single-task
+    union-find — exact, one shuffle, no iteration. The decision keys on
+    the EDGE table, not the corpus: near-dup pairs are the post-blocking
+    survivors, so the fast path stays valid far up the corpus scale, and
+    the iterative plan is the fallback exactly when edges themselves
+    outgrow a task. Catalyst's size estimate is join-selectivity guesswork
+    for a derived pair plan, so auto persists the pairs and COUNTS them —
+    both paths consume the full pair table at least once anyway, so the
+    decision costs one cached-scan job, and the cache is released as soon
+    as the chosen path has materialized. ``'loop'``/``'local'`` force a
+    path (the equivalence test runs both).
     """
     e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    e_cached = False
+    if strategy == "auto":
+        from ..operators.ops import _threshold
+        e = e.persist()
+        e_cached = True
+        n_edges = e.count()
+        strategy = ("local" if n_edges <=
+                    _threshold(e, "ccLocalEdges", 2_000_000) else "loop")
+    if strategy == "local":
+        if not e_cached:
+            return _cc_local(e)
+        out = _cc_local(e).localCheckpoint(eager=True)
+        e.unpersist()
+        return out
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
            .distinct().persist()
     labels = (
@@ -376,6 +450,9 @@ def connected_components(pairs: DataFrame, src_col: str = "id1",
             changed = stepped.filter(
                 F.col("label") != F.col("new_label")
             ).limit(1).count()
+            if e_cached:  # sym materialized in this round's jobs
+                e.unpersist()
+                e_cached = False
             labels = stepped.select("id", F.col("new_label").alias("label"))
             if changed == 0:
                 break

@@ -419,10 +419,12 @@ def test_connected_components_chain(spark):
     isolated pair; labels converge to the component minimum."""
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11)], "id1 long, id2 long")
-    got = sorted((r["id"], r["component"])
-                 for r in dedup.connected_components(pairs).collect())
-    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
-                   (10, 10), (11, 10)]
+    want = [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)]
+    for strategy in ("auto", "local", "loop"):
+        got = sorted((r["id"], r["component"]) for r in
+                     dedup.connected_components(
+                         pairs, strategy=strategy).collect())
+        assert got == want, strategy
 
 
 def test_connected_components_empty(spark):
