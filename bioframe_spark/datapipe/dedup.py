@@ -37,16 +37,14 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
     return df.join(w_min, id_col, "left_semi")
 
 
-def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) pairs: distinct n-gram word shingles per document.
-
-    Built JVM-side: transform over a sequence of token offsets.
-    """
-    toks = tokens(F.col(text_col))
+def shingle_array(text_col: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles of a document as ONE array column —
+    a pure projection (JVM-side transform over token offsets), usable on
+    batch and streaming frames alike."""
+    toks = tokens(text_col)
     n_sh = F.size(toks) - (n - 1)
     # guard: Spark sequence(1, 0) counts DOWN — emit an empty array instead
-    shingles = F.when(n_sh < 1, F.array().cast("array<string>")).otherwise(
+    return F.when(n_sh < 1, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n_sh),
@@ -54,8 +52,14 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
             )
         )
     )
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: distinct n-gram word shingles per document."""
+    return df.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
     )
 
 
@@ -154,28 +158,46 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
-    hash(shingle, i). One explode + one groupBy; signatures are an
-    array column."""
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    hash(shingle, i). MAP-ONLY — the shingle set stays an array column
+    and each signature slot is an ``array_min`` over a per-seed
+    ``transform``, so there is no explode and NO SHUFFLE at all (and the
+    projection is streaming-safe: see
+    ``streaming.stream_near_dup_pairs``). Docs with no shingles (< n
+    tokens) emit no signature row, matching the old explode+groupBy
+    formulation."""
+    arr = shingle_array(F.col(text_col), n)
     if hash_fn == "md5":
-        sh = sh.withColumn("__h", _md5_base31(F.col("shingle")))
-        mins = []
-        for i in range(num_hashes):
-            a, b = _uhash_params(i)
-            mins.append(
-                F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_UHASH_M))
-                .alias(f"h{i}")
-            )
+        # hash each shingle ONCE into a named intermediate (an alias
+        # referenced 32× is not collapsed into the consumers), then the
+        # 31-bit universal family fans out over the cheap int column
+        base = df.select(F.col(id_col),
+                         F.transform(arr, lambda s: _md5_base31(s))
+                         .alias("__h"))
+
+        # factory closures: a default-arg lambda (h, _a=a, _b=b) reads as
+        # a 3-parameter HOF lambda to PySpark's arity introspection, and a
+        # 2-parameter one silently binds the ELEMENT INDEX to the second
+
+        def _uh(a, b):
+            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_UHASH_M)
+
+        slots = [F.array_min(F.transform(F.col("__h"), _uh(*_uhash_params(i))))
+                 for i in range(num_hashes)]
+        src = F.col("__h")
     elif hash_fn == "xxhash64":
-        mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        base = df.select(F.col(id_col), arr.alias("__sh"))
+
+        def _xx(i):
+            return lambda s: F.xxhash64(s, F.lit(i))
+
+        slots = [F.array_min(F.transform(F.col("__sh"), _xx(i)))
+                 for i in range(num_hashes)]
+        src = F.col("__sh")
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    sig = sh.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    return (
+        base.filter(F.size(src) > 0)
+        .select(F.col(id_col), F.array(*slots).alias("signature"))
     )
 
 

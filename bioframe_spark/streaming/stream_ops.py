@@ -178,3 +178,96 @@ def stream_drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
             .dropDuplicatesWithinWatermark(["__content_hash"]) \
             .drop("__content_hash")
     return hashed.dropDuplicates(["__content_hash"]).drop("__content_hash")
+
+
+def stream_near_dup_pairs(docs: DataFrame, num_hashes: int = 16,
+                          bands: int = 8, n: int = 3,
+                          threshold: float = 0.5,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          hash_fn: str = "xxhash64",
+                          max_bucket: int = 1024) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate pairs: each arriving doc is
+    checked against every doc already seen in any of its band buckets.
+
+    The signature is the batch ``dedup.minhash_signatures`` projection —
+    map-only (``array_min`` over per-seed transforms, no shuffle), hence
+    legal on a stream. Banding is a projection + explode. Candidate
+    matching is the only stateful stage: ``applyInPandasWithState``
+    keyed by ``(band, bucket)``, state = the bucket's (id, signature)
+    members; a new doc emits its verified pairs against the existing
+    members, then joins the bucket.
+
+    Semantics vs batch ``minhash_lsh_pairs``: same signatures, same
+    buckets, same ``n_match >= threshold*num_hashes`` verification; the
+    streaming output may emit one pair once per SHARED BAND (the batch
+    op's cross-band ``distinct`` has no bounded-state streaming analog)
+    — dedup downstream with ``dropDuplicatesWithinWatermark`` if exact
+    once-only pairs matter.
+
+    State per bucket is capped at ``max_bucket`` members (oldest
+    retained — a hot bucket stops absorbing new members but keeps
+    emitting pairs against the cap window; at 100 TB cap + band count
+    bound total state by ``bands × max_bucket × corpus-distinct
+    buckets``, and a TTL policy would bolt on via state timeouts).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..datapipe.dedup import minhash_signatures
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    need = int(__import__("math").ceil(threshold * num_hashes))
+
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n,
+                             text_col=text_col, id_col=id_col,
+                             hash_fn=hash_fn)
+    banded = sig.select(
+        id_col, "signature",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(",", F.transform(
+                    F.slice(F.col("signature"),
+                            b * F.lit(rows_per_band) + 1,
+                            F.lit(rows_per_band)),
+                    lambda x: x.cast("string")))).alias("bucket"),
+            ),
+        )).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bucket")
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"id1 {id_t}, id2 {id_t}, n_match int, band int"
+    state_schema = f"ids array<{id_t}>, sigs array<array<bigint>>"
+
+    def fn(key, pdfs, state):
+        ids, sigs = ([], []) if not state.exists else \
+            (list(state.get[0]), [list(s) for s in state.get[1]])
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                # pure-Python values: the state pickler rejects numpy scalars
+                sig_new = [int(x) for x in row["signature"]]
+                nid = row[id_col]
+                nid = nid.item() if hasattr(nid, "item") else nid
+                for oid, osig in zip(ids, sigs):
+                    if oid == nid:
+                        continue
+                    m = sum(1 for x, y in zip(sig_new, osig) if x == y)
+                    if m >= need:
+                        a, b = (oid, nid) if oid < nid else (nid, oid)
+                        out.append((a, b, m, key[0]))
+                if len(ids) < max_bucket:
+                    ids.append(nid)
+                    sigs.append(sig_new)
+        state.update((ids, sigs))
+        if out:
+            yield pd.DataFrame(out, columns=["id1", "id2", "n_match", "band"])
+
+    return (
+        banded.groupBy("band", "bucket")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )

@@ -500,3 +500,38 @@ def test_stratified_sample_and_split(spark):
               sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert counts.get("val", 0) + counts.get("train", 0) == 600
     assert 0.15 * 600 < counts["val"] < 0.35 * 600
+
+
+def test_minhash_signatures_match_explode_groupby(spark):
+    """The map-only signature projection (array_min over per-seed
+    transforms) is value-identical to the explode+groupBy formulation it
+    replaced, for BOTH hash modes — this pins the HOF lambda arity (a
+    2-param lambda would silently bind the element index as the seed)."""
+    import pyspark.sql.functions as F
+
+    from bioframe_spark.datapipe import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c x y z w"), (3, "q r"),
+         (4, "one two three four five")],
+        "doc_id long, text string")
+    for hash_fn in ("xxhash64", "md5"):
+        got = {r["doc_id"]: list(r["signature"])
+               for r in dedup.minhash_signatures(
+                   docs, num_hashes=8, n=3, hash_fn=hash_fn).collect()}
+        # reference formulation: explode shingles, per-seed min aggregates
+        sh = dedup.word_shingles(docs, n=3)
+        if hash_fn == "md5":
+            sh = sh.withColumn("__h", dedup._md5_base31(F.col("shingle")))
+            mins = []
+            for i in range(8):
+                a, b = dedup._uhash_params(i)
+                mins.append(F.min((F.col("__h") * F.lit(a) + F.lit(b))
+                                  % F.lit(dedup._UHASH_M)).alias(f"h{i}"))
+        else:
+            mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                    for i in range(8)]
+        want = {r["doc_id"]: [r[f"h{i}"] for i in range(8)]
+                for r in sh.groupBy("doc_id").agg(*mins).collect()}
+        assert got == want, hash_fn
+        assert 3 not in got  # "q r" has no 3-shingle → no signature row

@@ -173,3 +173,41 @@ def test_stream_text_pipeline_live(spark):
         assert {"en", "de"} <= langs, langs
     finally:
         q.stop()
+
+
+def test_stream_near_dup_pairs_live(spark):
+    """Streaming minhash-LSH: rate source where value%3 picks one of 3
+    fixed texts → every same-text pair is an exact near-dup; pairs must
+    flow out of the stateful bucket stage."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat(
+                F.lit("the quick brown fox jumps over the lazy dog variant "),
+                (F.col("value") % 3).cast("string"),
+            ).alias("text"),
+        )
+    )
+    out = stream_ops.stream_near_dup_pairs(
+        stream, num_hashes=16, bands=4, threshold=0.9)
+    q = (
+        out.writeStream.format("memory").queryName("neardup_live")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 40
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "select * from neardup_live limit 5").collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert rows, "no near-dup pairs within 40s"
+        for r in rows:
+            assert r["id1"] < r["id2"]
+            assert r["id1"] % 3 == r["id2"] % 3  # same variant text
+            assert r["n_match"] >= 15
+    finally:
+        q.stop()
