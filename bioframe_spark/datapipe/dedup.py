@@ -268,31 +268,34 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash per doc from token hashes — bit-majority over
-    hash(token). Expressed as an aggregate over exploded tokens with
-    per-bit counters packed via bitwise ops. ``hash_fn='md5'`` gives a
-    60-bit engine-portable hash (pass ``bits=60`` with it so every bit
-    carries signal)."""
-    tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    ).withColumn(
-        "h",
-        F.xxhash64("tok") if hash_fn == "xxhash64"
-        else _seeded_hash(F.col("tok"), 0, hash_fn),
-    )
-    # per-bit vote: sum(+1/-1 per bit) > 0 → bit set
-    votes = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                       ).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ]
-    )
+    hash(token). MAP-ONLY: distinct tokens stay an array column, each
+    bit's majority vote is ``2·|{h : bit set}| > n`` over the hashed
+    array (identical to the ±1 vote sum: sum = 2·count − n), so there is
+    no explode and no shuffle; docs with no tokens emit no row (the old
+    explode+groupBy behavior). ``hash_fn='md5'`` gives a 60-bit
+    engine-portable hash (pass ``bits=60`` with it so every bit carries
+    signal)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            toks,
+            (lambda t: F.xxhash64(t)) if hash_fn == "xxhash64"
+            else (lambda t: _seeded_hash(t, 0, hash_fn)),
+        ).alias("__h"),
+    ).filter(F.size(F.col("__h")) > 0)
+
+    def _bit_set(i):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    n_t = F.size(F.col("__h"))
     expr = F.lit(0).cast("long")
     for i in range(bits):
-        expr = expr + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-    return votes.select(id_col, expr.alias("simhash"))
+        expr = expr + F.when(
+            F.size(F.filter(F.col("__h"), _bit_set(i))) * 2 > n_t,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    return base.select(id_col, expr.alias("simhash"))
 
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,

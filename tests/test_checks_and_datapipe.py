@@ -535,3 +535,40 @@ def test_minhash_signatures_match_explode_groupby(spark):
                 for r in sh.groupBy("doc_id").agg(*mins).collect()}
         assert got == want, hash_fn
         assert 3 not in got  # "q r" has no 3-shingle → no signature row
+
+
+def test_simhash_matches_explode_groupby(spark):
+    """Map-only simhash == the ±1-vote explode+groupBy formulation it
+    replaced, for both hash modes."""
+    import pyspark.sql.functions as F
+
+    from bioframe_spark.datapipe import dedup
+    from bioframe_spark.datapipe.text import tokens
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    for hash_fn, bits in (("xxhash64", 64), ("md5", 60)):
+        got = {r["doc_id"]: r["simhash"] for r in
+               dedup.simhash(docs, bits=bits, hash_fn=hash_fn).collect()}
+        tok = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        ).withColumn(
+            "h",
+            F.xxhash64("tok") if hash_fn == "xxhash64"
+            else dedup._seeded_hash(F.col("tok"), 0, hash_fn),
+        )
+        votes = tok.groupBy("doc_id").agg(*[
+            F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                         1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ])
+        expr = F.lit(0).cast("long")
+        for i in range(bits):
+            expr = expr + F.when(
+                F.col(f"b{i}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long"))
+        want = {r["doc_id"]: r["s"] for r in
+                votes.select("doc_id", expr.alias("s")).collect()}
+        assert got == want, hash_fn
