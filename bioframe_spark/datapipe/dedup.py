@@ -37,6 +37,23 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
     return df.join(w_min, id_col, "left_semi")
 
 
+def _spread_if_underpartitioned(df: DataFrame) -> DataFrame:
+    """Map-only signature projections do ALL their hashing in the scan
+    stage, so their parallelism is the scan's: a small single-row-group
+    parquet arrives as ONE partition and serializes the whole corpus hash
+    onto one core (the explode+groupBy formulations they replaced were
+    accidentally rescued by their shuffle). Round-robin ONLY when the
+    scan is under-split — a well-split 100 TB scan keeps its partitioning
+    and this is a no-op. Streaming frames pass through (micro-batch
+    parallelism is the source's concern)."""
+    if df.isStreaming:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def shingle_array(text_col: Column, n: int = 3) -> Column:
     """Distinct n-gram word shingles of a document as ONE array column —
     a pure projection (JVM-side transform over token offsets), usable on
@@ -165,6 +182,7 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
     ``streaming.stream_near_dup_pairs``). Docs with no shingles (< n
     tokens) emit no signature row, matching the old explode+groupBy
     formulation."""
+    df = _spread_if_underpartitioned(df)
     arr = shingle_array(F.col(text_col), n)
     if hash_fn == "md5":
         # hash each shingle ONCE into a named intermediate (an alias
@@ -275,6 +293,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     explode+groupBy behavior). ``hash_fn='md5'`` gives a 60-bit
     engine-portable hash (pass ``bits=60`` with it so every bit carries
     signal)."""
+    df = _spread_if_underpartitioned(df)
     toks = F.array_distinct(tokens(F.col(text_col)))
     base = df.select(
         F.col(id_col),
