@@ -351,6 +351,15 @@ def q_train_split(spark, sf_dir):
         docs, 0.2, key_col="doc_id", seed=5).select("doc_id", "split")
 
 
+def q_curate(spark, sf_dir):
+    """The end-to-end curation pipeline: quality gate → exact dedup →
+    fuzzy dedup (components → canonical) → train/val split, one DAG."""
+    from bioframe_spark.datapipe.pipeline import curate_corpus
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(docs, min_tokens=30, jaccard_threshold=0.5,
+                         val_fraction=0.2, seed=5).select("doc_id", "split")
+
+
 def q_dedup_components(spark, sf_dir):
     """Fuzzy-dedup endgame part 1: exact-Jaccard pair graph → connected
     components via hash-min label propagation (component = min doc_id)."""
@@ -724,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_cutoff": q_jaccard_cutoff,
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
+        "curate": q_curate,
         "sample_users": q_sample_users,
         "sample_mix": q_sample_mix,
         "train_split": q_train_split,
@@ -1154,6 +1164,54 @@ SELECT id AS doc_id, component FROM comp
 SELECT d.doc_id FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM comp
                   WHERE comp.id = d.doc_id AND comp.component <> comp.id)
+"""
+    # the full curation pipeline: quality gate → exact dedup → fuzzy
+    # dedup (transitive closure over the jaccard graph of the SURVIVORS)
+    # → deterministic split; same CTE skeleton, staged inputs
+    curate = f"""
+WITH RECURSIVE d0 AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 30
+), reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY md5(text)
+), d1 AS (
+  SELECT d0.doc_id, d0.text FROM d0 JOIN reps USING (doc_id)
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         ))) AS shingle
+  FROM d1
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+  SELECT x.doc_id AS id1, y.doc_id AS id2, COUNT(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id1, id2
+  FROM common JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+  WHERE CAST(n_common AS DOUBLE) >= 0.5 * (c1.n + c2.n - n_common)
+), e2 AS (
+  SELECT id1 AS u, id2 AS v FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS id FROM e2
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e2.u, reach.r FROM reach JOIN e2 ON e2.v = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+)
+SELECT d1.doc_id,
+       CASE WHEN {_duck_hash60('d1.doc_id', 5)} < {_threshold(0.2)}
+            THEN 'val' ELSE 'train' END AS split
+FROM d1
+WHERE NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.id = d1.doc_id AND comp.component <> comp.id)
 """
     embedding_dups = """
 WITH v AS (
@@ -1656,6 +1714,7 @@ FROM bounds
         "jaccard_cutoff": jaccard_cutoff,
         "dedup_components": dedup_components,
         "dedup_canonical": dedup_canonical,
+        "curate": curate,
         "sample_users": sample_users,
         "sample_mix": sample_mix,
         "train_split": train_split,

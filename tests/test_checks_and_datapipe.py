@@ -572,3 +572,25 @@ def test_simhash_matches_explode_groupby(spark):
         want = {r["doc_id"]: r["s"] for r in
                 votes.select("doc_id", expr.alias("s")).collect()}
         assert got == want, hash_fn
+
+
+def test_curate_corpus(spark):
+    """Pipeline composition: quality gate drops short docs, exact dedup
+    keeps min-id, near-dups resolve to one canonical doc, every survivor
+    gets a split tag."""
+    from bioframe_spark.datapipe.pipeline import curate_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                         # canonical
+        (2, base),                         # exact dup of 1 → dropped
+        (3, base + " extra"),              # near dup of 1 → dropped
+        (4, "totally different words here all unique tokens appear once ok"),
+        (5, "too short"),                  # fails min_tokens → dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(docs, min_tokens=5, jaccard_threshold=0.5,
+                        val_fraction=0.5, seed=1)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(got) == {1, 4}
+    assert all(s in ("train", "val") for s in got.values())
