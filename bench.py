@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "text_stats",
     "jaccard_pairs",
-    "dedup_components",
+    "curate",
     "minhash_lsh",
     "embedding_dups",
     "ann_topk",

@@ -10,7 +10,10 @@ inherits their scale shapes: the quality gate is a scan-time filter
 is the banded/inverted-index pair join plus component resolution (local
 union-find under ``spark.bioframe.ccLocalEdges``, hash-min label
 propagation above it), and the split is a map-only deterministic hash.
-Nothing materializes until the caller acts; Catalyst sees one plan.
+The only eager step is the fuzzy stage's strategy probe: component
+resolution persists + counts the pair table once to pick local
+union-find vs the propagation loop (both paths then reuse that cache);
+everything else stays lazy until the caller acts.
 """
 
 from __future__ import annotations
