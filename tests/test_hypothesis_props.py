@@ -1,0 +1,293 @@
+"""Property-based tests (hypothesis): grammar differential fuzz + operator laws.
+
+Two layers:
+
+1. Pure-Python differential fuzzing of the region-string grammar against
+   the reference parser (``core/stringops.py:88-249``) — hypothesis
+   generates both well-formed and adversarial strings; for every input,
+   both parsers must either raise or agree on the parsed triple.
+2. Algebraic laws of the interval operators on hypothesis-generated
+   interval sets (low example counts — each example runs Spark jobs):
+   merge output is disjoint+sorted and preserves covered bases;
+   complement is an exact set complement within the view; the
+   count_overlaps total equals the inner-join cardinality.
+
+Shrinking gives minimal counterexamples, which the fixed-seed random
+suite (test_random_invariants.py) can't do.
+"""
+
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from bioframe_spark.core import stringops
+
+from tests.test_reference_parity_ab import load_reference
+
+
+# ---------------------------------------------------------------------------
+# 1. Region-string grammar: differential fuzz vs the reference parser
+# ---------------------------------------------------------------------------
+
+# chromosome names: any non-empty text without whitespace/colon, per the
+# reference grammar; include hyphens and dots deliberately (rpartition
+# on ':' must not be confused by '-' in the name)
+_name = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters=":\t\n\r\x0b\x0c ",
+        min_codepoint=33, max_codepoint=126),
+    min_size=1, max_size=12)
+
+_coord = st.integers(min_value=0, max_value=10**12)
+
+
+def _humanize(n, style):
+    if style == "plain":
+        return str(n)
+    if style == "comma":
+        return f"{n:,}"
+    for unit, mult in (("K", 10**3), ("Mb", 10**6), ("G", 10**9)):
+        if style == unit.lower()[0] and n % mult == 0:
+            return f"{n // mult}{unit}"
+    return str(n)
+
+
+_style = st.sampled_from(["plain", "comma", "k", "m", "g"])
+
+
+@st.composite
+def region_strings(draw):
+    """Well-formed-ish region strings, with occasional mutations."""
+    name = draw(_name)
+    form = draw(st.integers(0, 5))
+    if form == 0:
+        return name  # bare name
+    a = draw(_coord)
+    b = draw(_coord)
+    sa = _humanize(a, draw(_style))
+    sb = _humanize(b, draw(_style))
+    if form == 1:
+        return f"{name}:{sa}-{sb}"
+    if form == 2:
+        return f"{name}:{sa}-"          # open end
+    if form == 3:
+        return f"{name}:{sa}"           # missing hyphen → error in both
+    if form == 4:
+        return f"{name}:-{sb}"          # missing start → error in both
+    return f"{name}:{sa}-{sb}-{draw(_coord)}"  # trailing tokens ignored
+
+
+_adversarial = st.text(
+    alphabet=st.sampled_from(list("ch r1:-,0123456789kMGb.:")), max_size=20)
+
+
+def _run_both(ref, s):
+    try:
+        mine = stringops.parse_region_string(s)
+        mine_err = None
+    except (ValueError, TypeError) as e:
+        mine, mine_err = None, e
+    try:
+        theirs = ref.core.stringops.parse_region_string(s)
+        theirs_err = None
+    except (ValueError, TypeError) as e:
+        theirs, theirs_err = None, e
+    return mine, mine_err, theirs, theirs_err
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=region_strings())
+def test_grammar_differential_wellformed(ref, s):
+    mine, mine_err, theirs, theirs_err = _run_both(ref, s)
+    if theirs_err is not None:
+        assert mine_err is not None, (
+            f"reference raised on {s!r} ({theirs_err}) but we parsed {mine}")
+    else:
+        assert mine_err is None, (
+            f"reference parsed {s!r} -> {theirs} but we raised {mine_err}")
+        assert tuple(mine) == tuple(theirs), (s, mine, theirs)
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=_adversarial)
+def test_grammar_differential_adversarial(ref, s):
+    mine, mine_err, theirs, theirs_err = _run_both(ref, s)
+    if theirs_err is not None:
+        assert mine_err is not None, (
+            f"reference raised on {s!r} ({theirs_err}) but we parsed {mine}")
+    else:
+        assert mine_err is None and tuple(mine) == tuple(theirs), (
+            s, mine, mine_err, theirs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=_coord, style=_style)
+def test_humanized_roundtrip(n, style):
+    assert stringops.to_humanized_int(_humanize(n, style)) == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(name=_name, a=_coord, b=_coord)
+def test_parse_roundtrip(name, a, b):
+    chrom, start, end = stringops.parse_region_string(f"{name}:{a:,}-{b}")
+    assert (chrom, start, end) == (name, a, b)
+
+
+# ---------------------------------------------------------------------------
+# 2. Operator laws on generated interval sets (bounded Spark examples)
+# ---------------------------------------------------------------------------
+
+_iv = st.tuples(
+    st.sampled_from(["chr1", "chr2"]),
+    st.integers(0, 200),
+    st.integers(0, 40),
+)
+
+_frames = st.lists(_iv, min_size=0, max_size=25).map(
+    lambda rows: [(c, s, s + l) for c, s, l in rows])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "chrom string, start long, end long")
+
+
+def _covered(rows):
+    """Set of (chrom, base) covered by interval EXTENT (points cover
+    nothing — the length-1 point rewrite is an overlap-query semantic,
+    not a coverage one: reference complement of a lone point is the full
+    view)."""
+    out = set()
+    for c, s, e in rows:
+        for b in range(s, e):
+            out.add((c, b))
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_frames)
+def test_merge_laws(spark, rows):
+    if not rows:
+        return
+    merged = bf_merge_collect(spark, rows)
+    # disjoint (strictly: gap >= 1 after min_dist=0 merging) per chrom
+    per = {}
+    for c, s, e, n in merged:
+        per.setdefault(c, []).append((s, e, n))
+    for c, ivs in per.items():
+        ivs.sort()
+        for (s1, e1, _), (s2, e2, _) in zip(ivs, ivs[1:]):
+            assert s2 > e1, f"overlapping/adjacent islands {ivs} on {c}"
+    # covered bases preserved
+    assert _covered([(c, s, e) for c, s, e, _ in merged]) == _covered(rows)
+    # multiplicities add up
+    assert sum(n for *_, n in merged) == len(rows)
+
+
+def bf_merge_collect(spark, rows):
+    import bioframe_spark as bf
+    out = bf.merge(_df(spark, rows), min_dist=0)
+    return [(r["chrom"], r["start"], r["end"], r["n_intervals"])
+            for r in out.collect()]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_frames)
+def test_complement_is_exact_complement(spark, rows):
+    import bioframe_spark as bf
+    if not rows:
+        return
+    view = [("chr1", 0, 260), ("chr2", 0, 260)]
+    vdf = bf.make_viewframe({"chr1": 260, "chr2": 260})
+    comp = bf.complement(_df(spark, rows), view_df=vdf)
+    comp_rows = [(r["chrom"], r["start"], r["end"]) for r in comp.collect()]
+    got = _covered(comp_rows)
+    # complement covers exactly view-minus-input extent
+    want = _covered(view) - _covered(rows)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, b=_frames)
+def test_count_overlaps_matches_join_cardinality(spark, a, b):
+    import bioframe_spark as bf
+    from pyspark.sql import functions as F
+    if not a:
+        return
+    df1, df2 = _df(spark, a), _df(spark, b)
+    total = bf.count_overlaps(df1, df2).agg(F.sum("count")).collect()[0][0]
+    pairs = bf.overlap(df1, df2, how="inner").count()
+    assert total == pairs
+
+
+# ---------------------------------------------------------------------------
+# 3. Hypothesis differential fuzz vs the reference implementation
+# ---------------------------------------------------------------------------
+# The fixed-seed A/B suite (test_reference_parity_ab*.py) runs broad
+# operator matrices; here hypothesis explores the interval-geometry space
+# (points, duplicates, nested/adjacent intervals, empty chroms) and
+# SHRINKS any divergence to a minimal frame. Example counts are small —
+# every example runs reference pandas AND a Spark job.
+
+import pandas as pd
+
+from tests.test_reference_parity_ab import assert_match, to_spark
+
+
+def _pdf(rows):
+    return pd.DataFrame(rows, columns=["chrom", "start", "end"]).astype(
+        {"start": "Int64", "end": "Int64"})
+
+
+_VIEW = {"chr1": 300, "chr2": 300}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, b=_frames)
+def test_differential_join_family(spark, ref, a, b):
+    if not a or not b:
+        return
+    p1, p2 = _pdf(a), _pdf(b)
+    s1, s2 = to_spark(spark, p1), to_spark(spark, p2)
+    assert_match(ref.overlap(p1, p2, how="inner", suffixes=("", "_")),
+                 bfs_overlap(s1, s2, how="inner"))
+    assert_match(ref.overlap(p1, p2, how="outer", suffixes=("", "_")),
+                 bfs_overlap(s1, s2, how="outer"))
+    assert_match(ref.subtract(p1, p2), bfs_op("subtract")(s1, s2))
+    assert_match(ref.count_overlaps(p1, p2), bfs_op("count_overlaps")(s1, s2))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, min_dist=st.sampled_from([None, 0, 3]))
+def test_differential_window_family(spark, ref, a, min_dist):
+    if not a:
+        return
+    p1 = _pdf(a)
+    s1 = to_spark(spark, p1)
+    assert_match(ref.merge(p1, min_dist=min_dist),
+                 bfs_op("merge")(s1, min_dist=min_dist))
+    assert_match(ref.complement(p1, view_df=_VIEW),
+                 bfs_op("complement")(s1, view_df=_VIEW))
+    if min_dist is not None:
+        assert_match(ref.cluster(p1, min_dist=min_dist),
+                     bfs_op("cluster")(s1, min_dist=min_dist))
+
+
+def bfs_op(name):
+    import bioframe_spark as bfs
+    return getattr(bfs, name)
+
+
+def bfs_overlap(s1, s2, how):
+    import bioframe_spark as bfs
+    return bfs.overlap(s1, s2, how=how, suffixes=("", "_"))
