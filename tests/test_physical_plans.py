@@ -135,3 +135,57 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bucketed_a")
         spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
+# --- datapipe plan shapes -------------------------------------------------
+
+def _docs(spark, n=200):
+    rows = [(i, f"alpha beta gamma delta {i % 7} epsilon zeta") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_deterministic_sample_is_map_only(spark, tmp_path):
+    # hash sampling must be a pure filter over the scan: no Exchange, no
+    # aggregation — the property that makes it retry/repartition-stable
+    # AND zero-shuffle at 100 TB
+    from bioframe_spark.datapipe.sampling import deterministic_sample
+    p = str(tmp_path / "docs")
+    _docs(spark).write.parquet(p)
+    q = deterministic_sample(spark.read.parquet(p), fraction=0.25, key_col="doc_id")
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_train_val_split_is_map_only(spark, tmp_path):
+    from bioframe_spark.datapipe.sampling import train_val_split
+    p = str(tmp_path / "docs2")
+    _docs(spark).write.parquet(p)
+    tagged = train_val_split(spark.read.parquet(p), val_fraction=0.1,
+                             key_col="doc_id")
+    assert "Exchange" not in _plan(tagged)
+    assert "Exchange" not in _plan(tagged.filter("split = 'val'"))
+
+
+def test_exact_dedup_single_shuffle(spark, tmp_path):
+    # one Exchange (the digest groupBy) with map-side partial aggregation
+    from bioframe_spark.datapipe.dedup import exact_duplicates
+    p = str(tmp_path / "docs3")
+    _docs(spark).write.parquet(p)
+    plan = _plan(exact_duplicates(spark.read.parquet(p)))
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_minhash_signatures_no_shuffle(spark, tmp_path):
+    # signatures are per-row array transforms — no explode, no groupBy;
+    # the only allowed Exchange is the spread-guard round-robin when the
+    # scan arrives underpartitioned (single-row-group files), which is
+    # RoundRobinPartitioning, never a hash/range shuffle
+    from bioframe_spark.datapipe.dedup import minhash_signatures
+    p = str(tmp_path / "docs4")
+    _docs(spark).write.parquet(p)
+    plan = _plan(minhash_signatures(spark.read.parquet(p), num_hashes=8))
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    assert "HashAggregate" not in plan
