@@ -291,3 +291,33 @@ def bfs_op(name):
 def bfs_overlap(s1, s2, how):
     import bioframe_spark as bfs
     return bfs.overlap(s1, s2, how=how, suffixes=("", "_"))
+
+
+# payload-bearing frames with occasional null interval rows: exercises
+# null-triple propagation, payload carry-through, and suffixing under
+# shrinkage (the null row is the classic minimal counterexample)
+@st.composite
+def payload_frames(draw):
+    ivs = draw(st.lists(_iv, min_size=1, max_size=15))
+    rows = []
+    for i, (c, s, l) in enumerate(ivs):
+        if draw(st.booleans()) and draw(st.integers(0, 9)) == 0:
+            rows.append((None, pd.NA, pd.NA, "."))
+        else:
+            rows.append((c, s, s + l, draw(st.sampled_from("+-."))))
+    return pd.DataFrame(rows, columns=["chrom", "start", "end", "strand"]).astype(
+        {"start": "Int64", "end": "Int64"})
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(p1=payload_frames(), p2=payload_frames())
+def test_differential_payload_null_frames(spark, ref, p1, p2):
+    s1, s2 = to_spark(spark, p1), to_spark(spark, p2)
+    assert_match(ref.overlap(p1, p2, how="left", suffixes=("", "_")),
+                 bfs_overlap(s1, s2, how="left"))
+    assert_match(ref.merge(p1, min_dist=0, on=["strand"]),
+                 bfs_op("merge")(s1, min_dist=0, on=["strand"]))
+    assert_match(ref.expand(p1, pad=5), bfs_op("expand")(s1, pad=5))
+    assert_match(ref.count_overlaps(p1, p2, on=["strand"]),
+                 bfs_op("count_overlaps")(s1, s2, on=["strand"]))
