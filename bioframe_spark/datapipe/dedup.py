@@ -264,22 +264,24 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       "band", "bucket")
     b = banded.select(F.col(id_col).alias("id2"), F.col("signature").alias("sig2"),
                       "band", "bucket")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "sig1", "sig2")
-        .distinct()
-    )
     match = F.size(
         F.filter(
             F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
+    # score and threshold BEFORE the dedup distinct: a pair sharing k
+    # bands is scored k times (cheap integer compare of two in-memory
+    # arrays), but the distinct shuffle then carries only
+    # (id1, id2, n_match) — three small ints — instead of two
+    # num_hashes-long signature arrays per surviving candidate row
     return (
-        cands.withColumn("n_match", match)
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("n_match", match)
         .filter(F.col("n_match").cast("double") >= F.lit(threshold) * F.lit(num_hashes))
         .select("id1", "id2", "n_match")
+        .distinct()
     )
 
 
