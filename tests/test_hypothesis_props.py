@@ -321,3 +321,58 @@ def test_differential_payload_null_frames(spark, ref, p1, p2):
     assert_match(ref.expand(p1, pad=5), bfs_op("expand")(s1, pad=5))
     assert_match(ref.count_overlaps(p1, p2, on=["strand"]),
                  bfs_op("count_overlaps")(s1, s2, on=["strand"]))
+
+
+# ---------------------------------------------------------------------------
+# 4. closest: strategy equivalence + brute-force distance oracle
+# ---------------------------------------------------------------------------
+# The cogroup kernel (one vectorized task per chromosome) and the binned
+# cap-escalation plan (the huge-single-chrom 100 TB path) must return the
+# same rows. Coordinate-distinct df2 keeps tie-breaking well-defined
+# ((distance, start2, end2) canonical order). A pure-Python brute force
+# additionally pins the distance VALUES independent of both plans.
+
+def _distinct_frames():
+    return st.lists(
+        st.tuples(st.sampled_from(["chr1", "chr2"]),
+                  st.integers(0, 300), st.integers(1, 25)),
+        min_size=1, max_size=18,
+        unique_by=lambda t: (t[0], t[1]),      # distinct starts per draw
+    ).map(lambda rows: [(c, s, s + l) for c, s, l in rows])
+
+
+def _brute_min_dist(a_row, b_rows):
+    c, s, e = a_row
+    best = None
+    for c2, s2, e2 in b_rows:
+        if c2 != c:
+            continue
+        # genomic distance with the length-1 point rewrite on both sides
+        s1x, e1x = (s, e) if s != e else (s, e + 1)
+        s2x, e2x = (s2, e2) if s2 != e2 else (s2, e2 + 1)
+        d = max(0, max(s1x, s2x) - min(e1x, e2x))
+        if best is None or d < best:
+            best = d
+    return best
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_distinct_frames(), b=_distinct_frames(), k=st.sampled_from([1, 2]))
+def test_closest_strategy_equivalence(spark, a, b, k):
+    import bioframe_spark as bf
+    d1, d2 = _df(spark, a), _df(spark, b)
+    out = {}
+    for strat in ("cogroup", "binned"):
+        res = bf.closest(d1, d2, k=k, strategy=strat)
+        out[strat] = sorted(
+            tuple(None if v is None else v for v in r) for r in res.collect())
+    assert out["cogroup"] == out["binned"]
+    # distance values vs brute force (k=1: each unique df1 row gets
+    # exactly one output row; its distance must be the true minimum)
+    if k == 1:
+        got = {(r[0], r[1], r[2]): r[-1] for r in out["cogroup"]}
+        assert len(got) == len(a)
+        for row in a:
+            want = _brute_min_dist(row, b)
+            assert got[row] == want, (row, got[row], want)
