@@ -182,6 +182,17 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
     ``streaming.stream_near_dup_pairs``). Docs with no shingles (< n
     tokens) emit no signature row, matching the old explode+groupBy
     formulation."""
+    # no-shingle docs (< n tokens, or null text) are excluded by a RAW
+    # token-count predicate BEFORE the spread repartition — deliberately:
+    # a filter phrased on the derived hash array (size(__h) > 0) is
+    # deterministic, so Catalyst pushes it below the repartition and the
+    # entire shingle+hash expression tree gets evaluated in the
+    # single-task scan stage to decide row survival — serializing all
+    # the hashing the spread guard exists to parallelize (measured:
+    # 1.9 s -> 0.4 s for the signature projection at sf0.1). The token
+    # count is equivalent (n_shingles = n_tokens - (n-1)) and cheap in
+    # the scan stage, where pushdown correctly wants it.
+    df = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(n))
     df = _spread_if_underpartitioned(df)
     arr = shingle_array(F.col(text_col), n)
     if hash_fn == "md5":
@@ -213,10 +224,8 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
         src = F.col("__sh")
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    return (
-        base.filter(F.size(src) > 0)
-        .select(F.col(id_col), F.array(*slots).alias("signature"))
-    )
+    del src  # row survival already decided by the raw token-count filter
+    return base.select(F.col(id_col), F.array(*slots).alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
@@ -239,27 +248,30 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                              hash_fn=hash_fn)
     # bucket key per band: the concatenated band slice, hashed to a
     # fixed-width long in xxhash64 mode; left as the raw string in md5
-    # mode (equally valid LSH bucketing, and trivially engine-portable)
-    band_key = lambda b: F.concat_ws(
+    # mode (equally valid LSH bucketing, and trivially engine-portable).
+    # The band index is exploded FIRST and the bucket computed from the
+    # band COLUMN in one parameterized expression: spelling out one
+    # bucket expression per band re-references `signature` bands× inside
+    # a single projection, and Catalyst's projection collapse then
+    # re-derives the whole signature tree (shingling + seeded hashing)
+    # once per reference — measured 2.0 s -> 0.4 s for the banded frame
+    # at sf0.1.
+    band_key = F.concat_ws(
         ",",
         F.transform(
-            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+            F.slice(F.col("signature"),
+                    F.col("band") * rows_per_band + F.lit(1),
+                    F.lit(rows_per_band)),
             lambda x: x.cast("string"),
         ),
     )
-    mk_bucket = (
-        (lambda b: F.xxhash64(band_key(b))) if hash_fn == "xxhash64"
-        else band_key
-    )
     banded = sig.select(
         id_col, "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), mk_bucket(b).alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bucket")
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.xxhash64(band_key) if hash_fn == "xxhash64" else band_key,
+    )
     a = banded.select(F.col(id_col).alias("id1"), F.col("signature").alias("sig1"),
                       "band", "bucket")
     b = banded.select(F.col(id_col).alias("id2"), F.col("signature").alias("sig2"),
@@ -295,6 +307,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     explode+groupBy behavior). ``hash_fn='md5'`` gives a 60-bit
     engine-portable hash (pass ``bits=60`` with it so every bit carries
     signal)."""
+    # null-text exclusion phrased on the RAW column, before the spread
+    # repartition: a size(__h) > 0 filter on the derived hash array gets
+    # predicate-pushed below the repartition and evaluates the whole
+    # token-hash tree in the single-task scan stage (see
+    # minhash_signatures). split() of non-null text is never an empty
+    # array, so isNotNull is the exact same row set.
+    df = df.filter(F.col(text_col).isNotNull())
     df = _spread_if_underpartitioned(df)
     toks = F.array_distinct(tokens(F.col(text_col)))
     base = df.select(
@@ -304,7 +323,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             (lambda t: F.xxhash64(t)) if hash_fn == "xxhash64"
             else (lambda t: _seeded_hash(t, 0, hash_fn)),
         ).alias("__h"),
-    ).filter(F.size(F.col("__h")) > 0)
+    )
 
     def _bit_set(i):
         return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
