@@ -73,8 +73,14 @@ def shingle_array(text_col: Column, n: int = 3) -> Column:
 
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) pairs: distinct n-gram word shingles per document."""
-    return df.select(
+    """(id, shingle) pairs: distinct n-gram word shingles per document.
+
+    Spread-guarded: the explode runs in the scan stage, so an
+    under-split scan would shingle the whole corpus on one task — and
+    when the result is cached (ngram_jaccard_pairs), the cache would
+    materialize single-partition and hand every consumer a one-task
+    scan."""
+    return _spread_if_underpartitioned(df).select(
         F.col(id_col),
         F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
     )
