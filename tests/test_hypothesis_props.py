@@ -264,6 +264,7 @@ def test_differential_join_family(spark, ref, a, b):
                  bfs_overlap(s1, s2, how="outer"))
     assert_match(ref.subtract(p1, p2), bfs_op("subtract")(s1, s2))
     assert_match(ref.count_overlaps(p1, p2), bfs_op("count_overlaps")(s1, s2))
+    assert_match(ref.coverage(p1, p2), bfs_op("coverage")(s1, s2))
 
 
 @settings(max_examples=8, deadline=None,
