@@ -237,7 +237,8 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       n: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
-                      hash_fn: str = "xxhash64") -> DataFrame:
+                      hash_fn: str = "xxhash64",
+                      rejoin_signatures: bool = False) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified by signature
     similarity (id1 < id2, est_jaccard = matching minhashes / num_hashes).
 
@@ -245,6 +246,17 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
     candidates; candidate generation is a self-join on (band, bucket-hash)
     — linear in bucket sizes, never all-pairs. The estimate column is a
     ratio of small ints (engine-exact).
+
+    ``rejoin_signatures`` trades stages for shuffle bytes: False
+    (default, right at bench scale) carries both signature arrays
+    through the bucket join and scores in-flight; True keeps the bucket
+    join NARROW (ids + band + bucket only — ~10× fewer bytes per banded
+    row than a 32-slot array), dedups candidate id-pairs, then joins the
+    per-doc signature table back twice to score survivors. At 100 TB
+    corpus sizes the banded table is ``bands×`` the corpus and the
+    candidate set is far smaller, so two extra candidate-sized joins
+    beat shipping ``2·num_hashes`` longs per banded row. Both modes are
+    value-identical (equivalence-tested).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -278,16 +290,37 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
         "bucket",
         F.xxhash64(band_key) if hash_fn == "xxhash64" else band_key,
     )
-    a = banded.select(F.col(id_col).alias("id1"), F.col("signature").alias("sig1"),
-                      "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id2"), F.col("signature").alias("sig2"),
-                      "band", "bucket")
     match = F.size(
         F.filter(
             F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
+    passes = (F.col("n_match").cast("double")
+              >= F.lit(threshold) * F.lit(num_hashes))
+    if rejoin_signatures:
+        a = banded.select(F.col(id_col).alias("id1"), "band", "bucket")
+        b = banded.select(F.col(id_col).alias("id2"), "band", "bucket")
+        cands = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+        s1 = sig.select(F.col(id_col).alias("id1"),
+                        F.col("signature").alias("sig1"))
+        s2 = sig.select(F.col(id_col).alias("id2"),
+                        F.col("signature").alias("sig2"))
+        return (
+            cands.join(s1, "id1").join(s2, "id2")
+            .withColumn("n_match", match)
+            .filter(passes)
+            .select("id1", "id2", "n_match")
+        )
+    a = banded.select(F.col(id_col).alias("id1"), F.col("signature").alias("sig1"),
+                      "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id2"), F.col("signature").alias("sig2"),
+                      "band", "bucket")
     # score and threshold BEFORE the dedup distinct: a pair sharing k
     # bands is scored k times (cheap integer compare of two in-memory
     # arrays), but the distinct shuffle then carries only

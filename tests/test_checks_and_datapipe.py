@@ -86,6 +86,18 @@ def test_minhash_lsh(docs):
     assert (1, 2) in got       # exact dups always collide in every band
 
 
+def test_minhash_lsh_rejoin_mode_identical(docs):
+    # the narrow-bucket-join + signature-rejoin scale path must return
+    # the exact same scored pairs as the carry-signatures default
+    kw = dict(num_hashes=16, bands=4, threshold=0.3)
+    carry = {tuple(r) for r in
+             dedup.minhash_lsh_pairs(docs, **kw).collect()}
+    rejoin = {tuple(r) for r in
+              dedup.minhash_lsh_pairs(docs, rejoin_signatures=True,
+                                      **kw).collect()}
+    assert carry == rejoin and carry
+
+
 def test_simhash(docs):
     sig = dedup.simhash(docs)
     vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
