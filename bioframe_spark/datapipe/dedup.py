@@ -89,7 +89,8 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         cache: bool = True,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        hash_shingles: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id1 < id2).
 
     shingle-inverted-index self-join: explode → join on shingle → count
@@ -105,8 +106,18 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     — pinning an exploded ≫input-size frame is worse than recomputing —
     and unpersist via ``spark.catalog.clearCache()`` when the lazy result
     has been materialized.
+
+    ``hash_shingles``: replace the shingle STRING join key (tens of
+    bytes per exploded row, shuffled three ways) with its ``xxhash64``
+    — an 8-byte long. Distinct-per-doc shingles stay distinct unless
+    two shingles of the SAME document collide in 64 bits (~n_sh²/2⁶⁵
+    per doc), so counts — and therefore Jaccard — are exact with
+    overwhelming probability. The knob for 100 TB corpora; off by
+    default so the oracle-checked queries stay bit-exact portable.
     """
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if hash_shingles:
+        sh = sh.withColumn("shingle", F.xxhash64(F.col("shingle")))
     if max_doc_freq is not None:
         # 100 TB skew guard: a stopword shingle occurring in d documents
         # contributes d^2 join candidates — one hot key can dominate the

@@ -86,6 +86,16 @@ def test_minhash_lsh(docs):
     assert (1, 2) in got       # exact dups always collide in every band
 
 
+def test_jaccard_hash_shingles_identical(docs):
+    kw = dict(n=3, threshold=0.3, cache=False)
+    plain = {tuple(r) for r in
+             dedup.ngram_jaccard_pairs(docs, **kw).collect()}
+    hashed = {tuple(r) for r in
+              dedup.ngram_jaccard_pairs(docs, hash_shingles=True,
+                                        **kw).collect()}
+    assert plain == hashed and plain
+
+
 def test_minhash_lsh_rejoin_mode_identical(docs):
     # the narrow-bucket-join + signature-rejoin scale path must return
     # the exact same scored pairs as the carry-signatures default
