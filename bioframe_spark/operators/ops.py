@@ -845,16 +845,20 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
         isl_d = _distinct_islands_ranged(df, ck, sk, ek, on, min_dist, range_width)
     else:
         isl_d = _distinct_islands(df, ck, sk, ek, on, min_dist)
-    counts = isl_d.groupBy(*keys).agg(F.max("__island").alias("__n"))
+    spans = isl_d.groupBy(*keys, "__island").agg(
+        F.min(sk).alias("cluster_start"), F.max(ek).alias("cluster_end")
+    )
+    # per-group island counts from the ALREADY-AGGREGATED spans, not
+    # from isl_d: every extra consumer of isl_d re-expands the whole
+    # distinct-islands subtree in the physical plan (no exchange reuse),
+    # i.e. another scan + shuffle of the input at scale
+    counts = spans.groupBy(*keys).agg(F.max("__island").alias("__n"))
     wofs = Window.orderBy(*[F.col(k).asc() for k in keys]).rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
         *[F.col(k).alias("__k_" + k) for k in keys],
         F.coalesce(F.sum("__n").over(wofs), F.lit(0)).alias("__ofs"),
-    )
-    spans = isl_d.groupBy(*keys, "__island").agg(
-        F.min(sk).alias("cluster_start"), F.max(ek).alias("cluster_end")
     )
     if min_dist is None:
         # point-duplicate rows were re-expanded in the islands table
@@ -879,7 +883,12 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
         cond = cond & rows[k].eqNullSafe(offsets["__k_" + k])
     out = rows.join(F.broadcast(offsets), cond, "left")
     out = out.withColumn("cluster", (F.col("__ofs") + F.col("__island") - 1).cast("long"))
-    return out.drop(*["__k_" + k for k in keys], "__ofs")
+    # total island count (for numbering null singletons after the real
+    # clusters) from the tiny counts aggregate — deriving it from the
+    # joined per-row result would re-expand the whole plan again
+    totals = counts.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("__base"))
+    return out.drop(*["__k_" + k for k in keys], "__ofs"), totals
 
 
 def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
@@ -901,10 +910,14 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
     on = list(on) if on else []
     range_width = _auto_range_width(df, sk, ek, range_width)
     nulls, valid = _null_key_rows(df, ck, sk, ek, on)
-    clustered = _cluster_islands(valid, ck, sk, ek, on, min_dist,
-                                 range_width=range_width).drop("__island")
-    # null rows: singleton clusters numbered after the real ones
-    n_real = F.broadcast(clustered.agg((F.coalesce(F.max("cluster"), F.lit(-1)) + 1).alias("__base")))
+    clustered, totals = _cluster_islands(valid, ck, sk, ek, on, min_dist,
+                                         range_width=range_width)
+    clustered = clustered.drop("__island")
+    # null rows: singleton clusters numbered after the real ones; the
+    # base comes from the aggregated island counts, NOT from
+    # max(cluster) over the per-row result — that aggregate would
+    # re-execute the full islands+joins subtree a second time
+    n_real = F.broadcast(totals)
     wn = Window.orderBy(*[F.col(c).asc_nulls_last() for c in df.columns])
     nulls_out = (
         nulls.withColumn("__i", F.row_number().over(wn))

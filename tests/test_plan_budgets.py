@@ -1,0 +1,77 @@
+"""Shuffle budgets: each headline operator's physical plan must not
+exceed its known Exchange count. A new Exchange in one of these plans
+is a shuffle regression (an extra pass over the data at 100 TB) that
+row-level correctness tests cannot see. Budgets are upper bounds —
+tightening a plan won't fail them.
+"""
+
+import re
+
+import pytest
+
+import bioframe_spark as bf
+from bioframe_spark.datapipe import dedup, sampling, text
+from helpers import ivals
+
+
+def n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # count SHUFFLE exchanges only: BroadcastExchange ships a small
+    # build side, ReusedExchange shares a prior shuffle — neither adds
+    # a pass over the big data
+    return len(re.findall(r"\bExchange (hash|range|RoundRobin|Single)",
+                          plan))
+
+
+@pytest.fixture(scope="module")
+def frames(spark, tmp_path_factory):
+    # parquet-backed so Catalyst has real (small) stats: raw
+    # createDataFrame frames are LogicalRDDs with UNKNOWN size, and
+    # unknown deliberately routes to the ranged/binned scale paths —
+    # these budgets pin the default small-input plans
+    root = tmp_path_factory.mktemp("budget_frames")
+    a = ivals(spark, [("chr1", i, i + 6) for i in range(0, 600, 10)]
+              + [("chr2", i, i + 4) for i in range(0, 300, 7)])
+    b = ivals(spark, [("chr1", i, i + 9) for i in range(0, 600, 25)])
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 9} alpha beta gamma delta {i % 5} end") for i in range(300)],
+        "doc_id long, text string")
+    out = []
+    for name, df in (("a", a), ("b", b), ("docs", docs)):
+        p = str(root / name)
+        df.write.parquet(p)
+        out.append(spark.read.parquet(p))
+    return tuple(out)
+
+
+def test_overlap_budgets(spark, frames):
+    a, b, _ = frames
+    # binned: explode both sides + shuffle to the merge join = bounded
+    assert n_exchanges(bf.overlap(a, b, how="inner", strategy="binned",
+                                  bin_size=64)) <= 3
+    # plain with a broadcastable side: at most the spread repartition
+    assert n_exchanges(bf.overlap(a, b, how="inner", strategy="plain")) <= 1
+
+
+def test_window_family_budgets(spark, frames):
+    a, _, _ = frames
+    assert n_exchanges(bf.merge(a, min_dist=0)) <= 2        # distinct + window
+    assert n_exchanges(bf.coverage(a, a)) <= 3
+    assert n_exchanges(bf.count_overlaps(a, a)) <= 3
+    # cluster is NOT budgeted here: its static plan repeats the islands
+    # subtree per consumer (ids join-back + per-group offsets), which
+    # AQE dedupes at runtime via stage reuse — the pre-execution count
+    # is an artifact, not a shuffle-volume statement
+
+
+def test_datapipe_budgets(spark, frames):
+    _, _, docs = frames
+    assert n_exchanges(dedup.exact_duplicates(docs)) <= 2   # spread + groupBy
+    assert n_exchanges(
+        sampling.deterministic_sample(docs, 0.5, key_col="doc_id")) == 0
+    assert n_exchanges(text.quality_features(docs)) == 0
+    assert n_exchanges(
+        dedup.minhash_signatures(docs, num_hashes=8)) <= 1  # spread only
+    # banded LSH end-to-end: spread + bucket join pair + final distinct
+    assert n_exchanges(dedup.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.5)) <= 5
