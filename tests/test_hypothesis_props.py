@@ -377,3 +377,20 @@ def test_closest_strategy_equivalence(spark, a, b, k):
         for row in a:
             want = _brute_min_dist(row, b)
             assert got[row] == want, (row, got[row], want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, b=_frames, pad=st.sampled_from([-3, 2]))
+def test_differential_setdiff_trim_expand(spark, ref, a, b, pad):
+    if not a or not b:
+        return
+    p1, p2 = _pdf(a), _pdf(b)
+    s1, s2 = to_spark(spark, p1), to_spark(spark, p2)
+    assert_match(ref.setdiff(p1, p2), bfs_op("setdiff")(s1, s2))
+    # negative pad exercises the start/end inversion clamp in expand
+    assert_match(ref.expand(p1, pad=pad), bfs_op("expand")(s1, pad=pad))
+    # trim without a view clips negative starts at 0 per chromosome
+    shifted1 = ref.expand(p1, pad=-1)
+    shifted2 = bfs_op("expand")(s1, pad=-1)
+    assert_match(ref.trim(shifted1), bfs_op("trim")(shifted2))
