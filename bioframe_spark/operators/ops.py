@@ -845,14 +845,13 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
         isl_d = _distinct_islands_ranged(df, ck, sk, ek, on, min_dist, range_width)
     else:
         isl_d = _distinct_islands(df, ck, sk, ek, on, min_dist)
-    spans = isl_d.groupBy(*keys, "__island").agg(
-        F.min(sk).alias("cluster_start"), F.max(ek).alias("cluster_end")
-    )
-    # per-group island counts from the ALREADY-AGGREGATED spans, not
-    # from isl_d: every extra consumer of isl_d re-expands the whole
-    # distinct-islands subtree in the physical plan (no exchange reuse),
-    # i.e. another scan + shuffle of the input at scale
-    counts = spans.groupBy(*keys).agg(F.max("__island").alias("__n"))
+    # keep isl_d's consumer count minimal: every consumer re-expands the
+    # whole distinct-islands subtree in the physical plan (no exchange
+    # reuse), i.e. another scan + shuffle of the input at scale. Two
+    # consumers remain: the per-row island join below (unavoidable) and
+    # this tiny per-group aggregate; cluster SPANS are computed by a
+    # window over the joined rows instead of a third spans-join branch.
+    counts = isl_d.groupBy(*keys).agg(F.max("__island").alias("__n"))
     wofs = Window.orderBy(*[F.col(k).asc() for k in keys]).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -877,7 +876,14 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
         ).drop("__dup")
     else:
         rows = df.join(isl_d.select(*keys, sk, ek, "__island"), [*keys, sk, ek])
-    rows = rows.join(spans, [*keys, "__island"])
+    # cluster span via a window over the joined rows: min start / max end
+    # over an island's rows equals the span over its distinct intervals,
+    # and the (keys, __island) partitioning is high-cardinality (one
+    # group per island) — parallel, no per-chromosome ceiling
+    wspan = Window.partitionBy(*keys, "__island").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    rows = rows.withColumn("cluster_start", F.min(sk).over(wspan)) \
+               .withColumn("cluster_end", F.max(ek).over(wspan))
     cond = F.lit(True)
     for k in keys:
         cond = cond & rows[k].eqNullSafe(offsets["__k_" + k])
