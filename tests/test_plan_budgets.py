@@ -58,10 +58,15 @@ def test_window_family_budgets(spark, frames):
     assert n_exchanges(bf.merge(a, min_dist=0)) <= 2        # distinct + window
     assert n_exchanges(bf.coverage(a, a)) <= 3
     assert n_exchanges(bf.count_overlaps(a, a)) <= 3
-    # cluster is NOT budgeted here: its static plan repeats the islands
-    # subtree per consumer (ids join-back + per-group offsets), which
-    # AQE dedupes at runtime via stage reuse — the pre-execution count
-    # is an artifact, not a shuffle-volume statement
+    # cluster repeats the islands subtree once per consumer (exchange
+    # reuse does NOT fire across these branches, verified empirically) —
+    # its budget ratchets the consumer count: islands join-back + the
+    # tiny counts aggregate, spans via window, null numbering from
+    # counts. 9 shuffles / 5 scans as of the round-3 plan cuts.
+    cl = bf.cluster(a, min_dist=0)
+    assert n_exchanges(cl) <= 10
+    plan = cl._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 6
 
 
 def test_datapipe_budgets(spark, frames):
