@@ -426,14 +426,18 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
                       "chunk_id", "chunk")
     b = chunks.select(F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"),
                       "chunk_id", "chunk")
+    # hamming computed and filtered BEFORE the pair-dedup distinct (same
+    # rationale as minhash_lsh_pairs): a pair colliding in k slices is
+    # scored k times — one xor+popcount — and the distinct then carries
+    # only surviving (id1, id2, hamming) rows instead of every raw
+    # bucket collision with both hash columns
     pairs = (
         a.join(b, ["chunk_id", "chunk"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "sh1", "sh2")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
+        .distinct()
     )
     return pairs
 
