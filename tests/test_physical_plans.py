@@ -189,3 +189,24 @@ def test_minhash_signatures_no_shuffle(spark, tmp_path):
     assert "hashpartitioning" not in plan.lower()
     assert "rangepartitioning" not in plan.lower()
     assert "HashAggregate" not in plan
+
+
+def test_minhash_filter_not_pushed_below_spread(spark, tmp_path):
+    # regression: the no-shingle row filter used to be phrased on the
+    # derived hash array, and Catalyst pushed that deterministic
+    # predicate below the spread repartition — evaluating the whole
+    # shingle+hash tree in the single-task scan stage. The row filter
+    # must stay cheap (raw token count) below the exchange; everything
+    # hash-like must sit above it.
+    from bioframe_spark.datapipe.dedup import minhash_signatures
+    p = str(tmp_path / "docs_spread")
+    _docs(spark).coalesce(1).write.parquet(p)
+    plan = _plan(minhash_signatures(spark.read.parquet(p), num_hashes=8,
+                                    hash_fn="md5"))
+    import re
+    m = re.search(r"Exchange RoundRobinPartitioning", plan)
+    assert m, "spread repartition missing for a 1-partition scan"
+    below = plan[m.start():]  # printed subtree under the exchange
+    for needle in ("md5", "xxhash64", "array_min"):
+        assert needle not in below, (
+            f"hash expression {needle!r} below the spread exchange")
