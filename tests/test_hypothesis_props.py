@@ -394,3 +394,29 @@ def test_differential_setdiff_trim_expand(spark, ref, a, b, pad):
     shifted1 = ref.expand(p1, pad=-1)
     shifted2 = bfs_op("expand")(s1, pad=-1)
     assert_match(ref.trim(shifted1), bfs_op("trim")(shifted2))
+
+
+# non-overlapping sorted frames with a value column (mark_runs/merge_runs
+# require overlap-free input): built cumulatively from (gap, length, value)
+@st.composite
+def run_frames(draw):
+    rows = []
+    for chrom in ("chr1", "chr2"):
+        pos = 0
+        for gap, ln, val in draw(st.lists(
+                st.tuples(st.integers(0, 6), st.integers(1, 8),
+                          st.sampled_from("xy")), max_size=12)):
+            rows.append((chrom, pos + gap, pos + gap + ln, val))
+            pos += gap + ln
+    return pd.DataFrame(rows, columns=["chrom", "start", "end", "v"])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(p=run_frames())
+def test_differential_runs(spark, ref, p):
+    if p.empty:
+        return
+    s = to_spark(spark, p.astype({"start": "Int64", "end": "Int64"}))
+    assert_match(ref.mark_runs(p, "v"), bfs_op("mark_runs")(s, "v"))
+    assert_match(ref.merge_runs(p, "v"), bfs_op("merge_runs")(s, "v"))
