@@ -420,3 +420,33 @@ def test_differential_runs(spark, ref, p):
     s = to_spark(spark, p.astype({"start": "Int64", "end": "Int64"}))
     assert_match(ref.mark_runs(p, "v"), bfs_op("mark_runs")(s, "v"))
     assert_match(ref.merge_runs(p, "v"), bfs_op("merge_runs")(s, "v"))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, b=_frames)
+def test_subtract_is_extent_difference(spark, a, b):
+    import bioframe_spark as bf
+    if not a:
+        return
+    out = [(r["chrom"], r["start"], r["end"])
+           for r in bf.subtract(_df(spark, a), _df(spark, b)).collect()]
+    assert _covered(out) == _covered(a) - _covered(b)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, b=_frames)
+def test_setdiff_is_overlap_complement(spark, a, b):
+    import bioframe_spark as bf
+    if not a:
+        return
+    d1, d2 = _df(spark, a), _df(spark, b)
+    kept = {tuple(r) for r in bf.setdiff(d1, d2).collect()}
+    overlapping = {(r["chrom"], r["start"], r["end"])
+                   for r in bf.overlap(d1, d2, how="inner",
+                                       suffixes=("", "_"))
+                   .select("chrom", "start", "end").collect()}
+    # setdiff keeps exactly the df1 rows with no overlap in df2
+    for row in set(a):
+        assert (row in kept) == (row not in overlapping), row
