@@ -450,3 +450,34 @@ def test_setdiff_is_overlap_complement(spark, a, b):
     # setdiff keeps exactly the df1 rows with no overlap in df2
     for row in set(a):
         assert (row in kept) == (row not in overlapping), row
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, side=st.sampled_from(["both", "left", "right"]),
+       scale=st.sampled_from([0.5, 2.0]))
+def test_differential_expand_sides_scale(spark, ref, a, side, scale):
+    if not a:
+        return
+    p1 = _pdf(a)
+    s1 = to_spark(spark, p1)
+    assert_match(ref.expand(p1, pad=4, side=side),
+                 bfs_op("expand")(s1, pad=4, side=side))
+    assert_match(ref.expand(p1, scale=scale),
+                 bfs_op("expand")(s1, scale=scale))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, seps=st.tuples(st.integers(0, 10), st.integers(10, 60)),
+       rel=st.sampled_from(["midpoints", "endpoints"]))
+def test_differential_pair_by_distance(spark, ref, a, seps, rel):
+    if not a:
+        return
+    p1 = _pdf(a)
+    s1 = to_spark(spark, p1)
+    lo, hi = seps
+    assert_match(
+        ref.pair_by_distance(p1, min_sep=lo, max_sep=hi, relative_to=rel),
+        bfs_op("pair_by_distance")(s1, min_sep=lo, max_sep=hi,
+                                   relative_to=rel))
