@@ -211,3 +211,45 @@ def test_stream_near_dup_pairs_live(spark):
             assert r["n_match"] >= 15
     finally:
         q.stop()
+
+
+def test_stream_sampling_split_live(spark):
+    # the deterministic sampling family is map-only (no shuffle, no
+    # state), therefore stream-legal as-is: hash-sample + train/val tag
+    # a live stream and verify determinism (same key -> same verdicts a
+    # batch run produces)
+    from bioframe_spark.datapipe.sampling import (
+        deterministic_sample, train_val_split)
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "300").load()
+        .select((F.col("value") % 1000).alias("doc_id"))
+    )
+    out = train_val_split(
+        deterministic_sample(stream, fraction=0.5, key_col="doc_id"),
+        val_fraction=0.2, key_col="doc_id")
+    q = (
+        out.writeStream.format("memory").queryName("sampling_live")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "select distinct doc_id, split from sampling_live").collect()
+            if len(rows) >= 100:
+                break
+            time.sleep(1)
+        assert len(rows) >= 100, "stream produced too few sampled rows"
+        got = {r["doc_id"]: r["split"] for r in rows}
+        # batch replay over the same key domain must agree exactly
+        batch = spark.range(1000).select(F.col("id").alias("doc_id"))
+        want_df = train_val_split(
+            deterministic_sample(batch, fraction=0.5, key_col="doc_id"),
+            val_fraction=0.2, key_col="doc_id")
+        want = {r["doc_id"]: r["split"] for r in want_df.collect()}
+        for k, v in got.items():
+            assert want.get(k) == v, (k, v, want.get(k))
+    finally:
+        q.stop()
