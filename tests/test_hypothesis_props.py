@@ -481,3 +481,18 @@ def test_differential_pair_by_distance(spark, ref, a, seps, rel):
         ref.pair_by_distance(p1, min_sep=lo, max_sep=hi, relative_to=rel),
         bfs_op("pair_by_distance")(s1, min_sep=lo, max_sep=hi,
                                    relative_to=rel))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, q=st.tuples(st.sampled_from(["chr1", "chr2", "chr9"]),
+                              st.integers(0, 250), st.integers(0, 60)))
+def test_differential_select(spark, ref, a, q):
+    if not a:
+        return
+    chrom, s, l = q
+    region = f"{chrom}:{s}-{s + l}"
+    p1 = _pdf(a)
+    s1 = to_spark(spark, p1)
+    assert_match(ref.select(p1, region), bfs_op("select")(s1, region))
+    assert_match(ref.select(p1, chrom), bfs_op("select")(s1, chrom))
