@@ -495,6 +495,45 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
     for a, b in on_pairs:
         cond = cond & (F.col(a) == F.col(b))
     cond = cond & overlap_predicate(F.col(s1), F.col(e1), F.col(s2), F.col(e2))
+
+    if jt == "left_outer" and lrow_ok:
+        # SINGLE-PASS left join: the anti-join reconstruction below
+        # consumes `pairs` twice, and Catalyst re-executes the whole
+        # binned-join subtree per consumer (no exchange reuse across the
+        # union branches) — at scale that doubles the keystone join.
+        # Instead run the bin join LEFT OUTER once and derive both
+        # outputs from it:
+        #  - matched pairs: right side non-null + kept-once bin filter;
+        #  - lonely rows: matching is a function of the row VALUE, so
+        #    grouping the (narrowed) join output by the full left row
+        #    decides loneliness per distinct value (max(hit) == false),
+        #    and the count of first-bin rows in a lonely group IS the
+        #    row's multiplicity — re-expanded with explode(sequence).
+        # Null-chrom left rows never enter the bin explode and are
+        # appended from a pushdown-cheap isNull scan.
+        j = lb.join(rb, cond, "left_outer")
+        # one whole-partition window keyed by the left row VALUE tells
+        # every row whether its value matched anywhere; the filter then
+        # keeps matched pairs (kept-once bin rule) and, for never-matched
+        # values, exactly one row per duplicate copy (its first-bin row,
+        # whose right-side columns are already all null from the outer
+        # join). ONE consumer of the join subtree — no re-execution.
+        w_val = Window.partitionBy(*[F.col(c) for c in L.columns])
+        hit = F.col(c2).isNotNull()
+        out = (
+            j.withColumn("__any", F.max(hit.cast("int")).over(w_val) == 1)
+            .filter(
+                (hit & (F.col("__bin") == F.greatest(F.col("__fb1"),
+                                                     F.col("__fb2"))))
+                | (~F.col("__any") & (F.col("__bin") == F.col("__fb1")))
+            )
+            .drop("__bin", "__bin2", "__fb1", "__fb2", "__any")
+        )
+        nulls = L.filter(F.col(c1).isNull())
+        for c in R.columns:
+            nulls = nulls.withColumn(c, F.lit(None).cast(R.schema[c].dataType))
+        return out.unionByName(nulls, allowMissingColumns=True)
+
     pairs = (
         lb.join(rb, cond, "inner")
         .filter(F.col("__bin") == F.greatest(F.col("__fb1"), F.col("__fb2")))
