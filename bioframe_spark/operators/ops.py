@@ -534,6 +534,57 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
             nulls = nulls.withColumn(c, F.lit(None).cast(R.schema[c].dataType))
         return out.unionByName(nulls, allowMissingColumns=True)
 
+    if jt == "right_outer" and rrow_ok:
+        # mirror of the single-pass left join above
+        j = lb.join(rb, cond, "right_outer")
+        w_val = Window.partitionBy(*[F.col(c) for c in R.columns])
+        hit = F.col(c1).isNotNull()
+        out = (
+            j.withColumn("__any", F.max(hit.cast("int")).over(w_val) == 1)
+            .filter(
+                (hit & (F.col("__bin") == F.greatest(F.col("__fb1"),
+                                                     F.col("__fb2"))))
+                | (~F.col("__any") & (F.col("__bin2") == F.col("__fb2")))
+            )
+            .drop("__bin", "__bin2", "__fb1", "__fb2", "__any")
+        )
+        nulls = R.filter(F.col(c2).isNull())
+        for c in L.columns:
+            nulls = nulls.withColumn(c, F.lit(None).cast(L.schema[c].dataType))
+        return out.unionByName(nulls, allowMissingColumns=True)
+
+    if jt == "full_outer" and lrow_ok and rrow_ok:
+        # both reconstructions from ONE full-outer bin join: two chained
+        # whole-partition windows (one per side's row value) replace the
+        # two anti-join consumers that re-executed the join subtree
+        j = lb.join(rb, cond, "full_outer")
+        hitL = F.col(c1).isNotNull()
+        hitR = F.col(c2).isNotNull()
+        pair_hit = hitL & hitR
+        w_l = Window.partitionBy(*[F.col(c) for c in L.columns])
+        w_r = Window.partitionBy(*[F.col(c) for c in R.columns])
+        out = (
+            j.withColumn("__anyl", F.max(pair_hit.cast("int")).over(w_l) == 1)
+            .withColumn("__anyr", F.max(pair_hit.cast("int")).over(w_r) == 1)
+            .filter(
+                (pair_hit & (F.col("__bin") == F.greatest(F.col("__fb1"),
+                                                          F.col("__fb2"))))
+                | (hitL & ~hitR & ~F.col("__anyl")
+                   & (F.col("__bin") == F.col("__fb1")))
+                | (hitR & ~hitL & ~F.col("__anyr")
+                   & (F.col("__bin2") == F.col("__fb2")))
+            )
+            .drop("__bin", "__bin2", "__fb1", "__fb2", "__anyl", "__anyr")
+        )
+        nl = L.filter(F.col(c1).isNull())
+        for c in R.columns:
+            nl = nl.withColumn(c, F.lit(None).cast(R.schema[c].dataType))
+        nr = R.filter(F.col(c2).isNull())
+        for c in L.columns:
+            nr = nr.withColumn(c, F.lit(None).cast(L.schema[c].dataType))
+        return (out.unionByName(nl, allowMissingColumns=True)
+                .unionByName(nr, allowMissingColumns=True))
+
     pairs = (
         lb.join(rb, cond, "inner")
         .filter(F.col("__bin") == F.greatest(F.col("__fb1"), F.col("__fb2")))
