@@ -51,6 +51,19 @@ def test_overlap_budgets(spark, frames):
                                   bin_size=64)) <= 3
     # plain with a broadcastable side: at most the spread repartition
     assert n_exchanges(bf.overlap(a, b, how="inner", strategy="plain")) <= 1
+    # outer variants are single-pass: the bin join must execute ONCE —
+    # one extra window exchange per outer side, never a re-executed join
+    left = bf.overlap(a, b, how="left", strategy="binned", bin_size=64)
+    assert n_exchanges(left) <= 4
+    assert _scans(left) <= 3
+    outer = bf.overlap(a, b, how="outer", strategy="binned", bin_size=64)
+    assert n_exchanges(outer) <= 5
+    assert _scans(outer) <= 4
+
+
+def _scans(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("FileScan parquet")
 
 
 def test_window_family_budgets(spark, frames):
