@@ -696,57 +696,14 @@ def q_digest(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver's correctness gate records only the first
+    # 50 entries.  Rows 1-16 are the queries that had no driver row in
+    # CORRECTNESS_r03 (registry positions 51-66 then); rows 17-50 are the most
+    # informative one-per-operator keepers; positions 51+ are long-stable
+    # duplicates (same oracle shape as an in-gate sibling, green since r1/r2)
+    # rotated past the cap — still runnable via tools/check_oracle.py.
     return {
-        "overlap_inner": q_overlap_inner,
-        "overlap_left": q_overlap_left,
-        "overlap_binned": q_overlap_binned,
-        "overlap_on": q_overlap_on,
-        "overlap_outer": q_overlap_outer,
-        "make_chromarms": q_make_chromarms,
-        "cluster_on": q_cluster_on,
-        "natsort_key": q_natsort_key,
-        "count_overlaps": q_count_overlaps,
-        "coverage": q_coverage,
-        "setdiff": q_setdiff,
-        "merge": q_merge,
-        "merge_strict": q_merge_strict,
-        "cluster": q_cluster,
-        "complement": q_complement,
-        "closest": q_closest,
-        "closest_k2": q_closest_k2,
-        "subtract": q_subtract,
-        "trim_expand": q_trim_expand,
-        "expand_scale": q_expand_scale,
-        "select_region": q_select_region,
-        "assign_view": q_assign_view,
-        "binnify": q_binnify,
-        "pair_by_distance": q_pair_by_distance,
-        "pileup": q_pileup,
-        "mark_runs": q_mark_runs,
-        "merge_runs": q_merge_runs,
-        "gene_coverage": q_gene_coverage,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "text_fingerprints": q_text_fingerprints,
-        "language_id": q_language_id,
-        "jaccard_pairs": q_jaccard_pairs,
-        "jaccard_cutoff": q_jaccard_cutoff,
-        "dedup_components": q_dedup_components,
-        "dedup_canonical": q_dedup_canonical,
-        "curate": q_curate,
-        "sample_users": q_sample_users,
-        "sample_mix": q_sample_mix,
-        "train_split": q_train_split,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_dups": q_embedding_dups,
-        "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "events_hourly": q_events_hourly,
-        "sessions": q_sessions,
-        "events_json": q_events_json,
-        "closest_binned": q_closest_binned,
+        # -- previously uncovered (hard gate rows needed this round) --
         "merge_ranged": q_merge_ranged,
         "complement_ranged": q_complement_ranged,
         "pileup_ranged": q_pileup_ranged,
@@ -763,6 +720,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frac_gc": q_frac_gc,
         "digest": q_digest,
         "media_pipeline": q_media_pipeline,
+        # -- keepers: one per operator family, including every plan touched
+        # this round (outer joins, merge auto path) --
+        "overlap_inner": q_overlap_inner,
+        "overlap_left": q_overlap_left,
+        "overlap_on": q_overlap_on,
+        "overlap_outer": q_overlap_outer,
+        "count_overlaps": q_count_overlaps,
+        "coverage": q_coverage,
+        "setdiff": q_setdiff,
+        "merge": q_merge,
+        "cluster": q_cluster,
+        "complement": q_complement,
+        "closest": q_closest,
+        "closest_binned": q_closest_binned,
+        "subtract": q_subtract,
+        "trim_expand": q_trim_expand,
+        "assign_view": q_assign_view,
+        "pair_by_distance": q_pair_by_distance,
+        "pileup": q_pileup,
+        "gene_coverage": q_gene_coverage,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
+        "curate": q_curate,
+        "sample_users": q_sample_users,
+        "train_split": q_train_split,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
+        # -- rotated past the 50-row cap (stable duplicates; green in r03's
+        # driver gate or equivalent-oracle to an in-gate sibling) --
+        "overlap_binned": q_overlap_binned,
+        "cluster_on": q_cluster_on,
+        "merge_strict": q_merge_strict,
+        "closest_k2": q_closest_k2,
+        "expand_scale": q_expand_scale,
+        "select_region": q_select_region,
+        "natsort_key": q_natsort_key,
+        "make_chromarms": q_make_chromarms,
+        "binnify": q_binnify,
+        "mark_runs": q_mark_runs,
+        "merge_runs": q_merge_runs,
+        "text_fingerprints": q_text_fingerprints,
+        "language_id": q_language_id,
+        "jaccard_cutoff": q_jaccard_cutoff,
+        "sample_mix": q_sample_mix,
+        "events_json": q_events_json,
     }
 
 
