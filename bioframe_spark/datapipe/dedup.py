@@ -88,7 +88,7 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        cache: bool = True,
+                        cache: bool | str = "auto",
                         max_doc_freq: int | None = None,
                         hash_shingles: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id1 < id2).
@@ -102,19 +102,28 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 
     ``cache``: the shingle table has THREE consumers (two self-join sides
     + the per-doc counts); caching it trades executor memory for a 3×
-    explode recompute (~2× wall locally). At 100 TB pass ``cache=False``
-    — pinning an exploded ≫input-size frame is worse than recomputing —
-    and unpersist via ``spark.catalog.clearCache()`` when the lazy result
-    has been materialized.
+    explode recompute (~2× wall locally). Default ``"auto"`` caches only
+    while the INPUT is small (``spark.bioframe.shingleCacheBytes``,
+    64 MB) — at 100 TB pinning an exploded ≫input-size frame is worse
+    than recomputing. When cached, the handle rides on the result
+    (``release_cache(out)`` unpersists it deterministically once the
+    result is materialized — never ``clearCache()``, which would evict
+    unrelated frames).
 
     ``hash_shingles``: replace the shingle STRING join key (tens of
     bytes per exploded row, shuffled three ways) with its ``xxhash64``
-    — an 8-byte long. Distinct-per-doc shingles stay distinct unless
-    two shingles of the SAME document collide in 64 bits (~n_sh²/2⁶⁵
-    per doc), so counts — and therefore Jaccard — are exact with
-    overwhelming probability. The knob for 100 TB corpora; off by
+    — an 8-byte long. Per-doc shingle counts are exact unless two
+    distinct shingles of the SAME document collide in 64 bits
+    (~n_sh²/2⁶⁵ per doc); a CROSS-document collision (doc1's shingle X
+    = doc2's different shingle Y, ~n1·n2/2⁶⁴ per pair) can also inflate
+    ``n_common`` by one — both vanishingly rare, so Jaccard is exact
+    with overwhelming probability. The knob for 100 TB corpora; off by
     default so the oracle-checked queries stay bit-exact portable.
     """
+    if cache == "auto":
+        from ..operators.ops import _plan_size_bytes, _threshold
+        cache = _plan_size_bytes(df) <= _threshold(
+            df, "shingleCacheBytes", 64 << 20)
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     if hash_shingles:
         sh = sh.withColumn("shingle", F.xxhash64(F.col("shingle")))
@@ -150,7 +159,19 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         .filter(F.col("n_common").cast("double") >= F.lit(threshold) * F.col("n_union"))
         .select("id1", "id2", "n_common", "n_union")
     )
+    if cache:
+        out._bioframe_cache = [sh]
     return out
+
+
+def release_cache(df: DataFrame) -> None:
+    """Unpersist the internal frames an operator cached for
+    multi-consumer reuse (the handles ride on the result DataFrame).
+    Call once the result has been materialized — a deterministic
+    lifecycle, unlike ``spark.catalog.clearCache()`` which evicts every
+    cached frame in the session."""
+    for h in getattr(df, "_bioframe_cache", None) or []:
+        h.unpersist()
 
 
 def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:

@@ -142,6 +142,23 @@ def _threshold(df: DataFrame, key: str, default: int) -> int:
         return default
 
 
+class _BinStats(tuple):
+    """(lo, hi, auto_bin) — unpacks like the bare 3-tuple hint — plus the
+    sizing fields the outer-path choice needs (row counts, mean/max
+    lengths per side). Hints passed as plain tuples leave the extras None
+    (sizing unknown)."""
+
+    n1 = n2 = len1 = len2 = max1 = max2 = None
+
+    def __new__(cls, lo, hi, bin_size, n1=None, n2=None,
+                len1=None, len2=None, max1=None, max2=None):
+        self = super().__new__(cls, (lo, hi, bin_size))
+        self.n1, self.n2 = n1, n2
+        self.len1, self.len2 = len1, len2
+        self.max1, self.max2 = max1, max2
+        return self
+
+
 def _bin_stats(df1, sk1, ek1, df2, sk2, ek2) -> tuple:
     """(lo, hi, auto_bin): global coordinate span across both sides and an
     auto bin width — wide enough that interval duplication stays ~1×
@@ -171,10 +188,12 @@ def _bin_stats(df1, sk1, ek1, df2, sk2, ek2) -> tuple:
         for r in u.groupBy("__side").agg(
             F.min("__s").alias("lo"), F.max("__e").alias("hi"),
             F.avg(F.col("__e") - F.col("__s")).alias("len"),
+            F.max(F.col("__e") - F.col("__s")).alias("maxlen"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()
     }
     if 1 not in rows or 2 not in rows or rows[1]["lo"] is None or rows[2]["lo"] is None:
-        return (0, 1, 10_000_000)
+        return _BinStats(0, 1, 10_000_000)
     lo1, hi1, len1 = rows[1]["lo"], rows[1]["hi"], rows[1]["len"]
     lo2, hi2, len2 = rows[2]["lo"], rows[2]["hi"], rows[2]["len"]
     lo = min(lo1, lo2)
@@ -182,7 +201,9 @@ def _bin_stats(df1, sk1, ek1, df2, sk2, ek2) -> tuple:
     span = max(hi - lo, 1)
     avg_len = min(max(len1 or 1.0, len2 or 1.0), float(span))
     bin_size = int(min(max(avg_len * 16, span / 4096, 1024), span))
-    return (lo, hi, bin_size)
+    return _BinStats(lo, hi, bin_size, n1=rows[1]["n"], n2=rows[2]["n"],
+                     len1=len1, len2=len2,
+                     max1=rows[1]["maxlen"], max2=rows[2]["maxlen"])
 
 
 def _choose_strategy(df1, df2, strategy: str) -> str:
@@ -391,12 +412,13 @@ def overlap(
         # _bin_hint (lo, hi, bin) lets composite operators (subtract) skip
         # the stats jobs when the inputs' span is already known — avoids
         # re-executing an expensive upstream plan just to measure it
-        lo, hi, auto_bin = _bin_hint or _bin_stats(d1, sk1, ek1, d2, sk2, ek2)
+        stats = _bin_hint or _bin_stats(d1, sk1, ek1, d2, sk2, ek2)
+        lo, hi, auto_bin = stats
         if bin_size is None:
             bin_size = auto_bin
         joined = _binned_overlap_join(L, R, (c1, s1, e1), (c2, s2, e2),
                                       [(c + sfx1, c + sfx2) for c in on],
-                                      jt, bin_size, lo, hi)
+                                      jt, bin_size, lo, hi, stats=stats)
     else:
         # plain path = broadcast-hash on the small side; spread the probe
         # ONLY when its scan arrives under-partitioned (e.g. a single
@@ -428,7 +450,52 @@ def overlap(
     return joined
 
 
-def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
+def _outer_path(L, jt, stats, bin_size, lo, hi) -> str:
+    """'window' or 'anti': how a binned outer join reconstructs its lonely
+    rows.
+
+    The single-pass window (r3) is scan/shuffle-minimal — one outer bin
+    join, one window exchange — but partitions the join output by the full
+    row VALUE, so one hot value (a whole-chromosome interval over a dense
+    region) concentrates copies x bins x matches rows into a single window
+    task that AQE cannot split. The semi/anti path costs two extra
+    column-pruned input passes but never shuffles the fanout-sized join
+    output and has no single-task stage (see ``anti_lonely``).
+
+    Auto rule: estimate the worst per-value window partition under uniform
+    density — (bins the longest probe row spans) x (mean build rows per
+    bin); a row that fully covers a bin overlaps EVERY row binned there,
+    so this is a genuine lower bound for long rows — and switch to 'anti'
+    above ``spark.bioframe.outerHotRows`` (default 1M; the estimate ran
+    ~4x under the measured hot-row partition in tools/skew_bench.py, so
+    1M estimated ~ 4M actual ~ tens of seconds of one straggler task).
+    Density hotspots are invisible to these global aggregates; clusters
+    with known hot regions should set ``spark.bioframe.outerPath=anti``.
+    """
+    mode = "auto"
+    try:
+        mode = L.sparkSession.conf.get("spark.bioframe.outerPath", "auto")
+    except Exception:
+        pass
+    if mode in ("window", "anti"):
+        return mode
+    n1 = getattr(stats, "n1", None)
+    if not n1:  # sizing unknown (bare-tuple hint / empty input): status quo
+        return "window"
+    n_bins = max(1.0, float(hi - lo) / bin_size)
+    r_per_bin = stats.n2 * ((stats.len2 or 0.0) / bin_size + 1.0) / n_bins
+    l_per_bin = stats.n1 * ((stats.len1 or 0.0) / bin_size + 1.0) / n_bins
+    hot = 0.0
+    if jt in ("left_outer", "full_outer"):
+        hot = max(hot, ((stats.max1 or 0) / bin_size + 1.0) * r_per_bin)
+    if jt in ("right_outer", "full_outer"):
+        hot = max(hot, ((stats.max2 or 0) / bin_size + 1.0) * l_per_bin)
+    bar = _threshold(L, "outerHotRows", 1_000_000)
+    return "anti" if hot > bar else "window"
+
+
+def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi,
+                         stats=None):
     """Binned interval join: explode each interval over the fixed-size bins
     it touches (clipped to the observed global span [lo, hi] — lossless for
     pair generation, bounds the explode), equi-join on (chrom, bin, *on),
@@ -437,12 +504,12 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
     no dedup shuffle.
 
     Distributes a single huge chromosome across many tasks; shuffle keys
-    gain cardinality chrom×bins. Inner pairs are exact; outer variants are
-    reconstructed with full-row anti-joins (no row ids, no per-chromosome
-    id window — identical full rows are interchangeable, and an anti join
-    keeps each unmatched duplicate copy independently). Only frames with
-    unorderable columns (maps can't join on a row struct) fall back to
-    the per-chrom ``_with_rid`` construction.
+    gain cardinality chrom×bins. Inner pairs are exact; outer variants
+    append their lonely rows via a SEMI-join hit set + full-row-value anti
+    join (no row ids, no per-chromosome id window — identical full rows
+    are interchangeable, and an anti join keeps each unmatched duplicate
+    copy independently). Only frames with unorderable columns (maps can't
+    join on a row struct) fall back to minted ``_with_rid`` identities.
     """
     from pyspark.sql import types as _T
 
@@ -496,28 +563,21 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
         cond = cond & (F.col(a) == F.col(b))
     cond = cond & overlap_predicate(F.col(s1), F.col(e1), F.col(s2), F.col(e2))
 
-    if jt == "left_outer" and lrow_ok:
-        # SINGLE-PASS left join: the anti-join reconstruction below
-        # consumes `pairs` twice, and Catalyst re-executes the whole
-        # binned-join subtree per consumer (no exchange reuse across the
-        # union branches) — at scale that doubles the keystone join.
-        # Instead run the bin join LEFT OUTER once and derive both
-        # outputs from it:
-        #  - matched pairs: right side non-null + kept-once bin filter;
-        #  - lonely rows: matching is a function of the row VALUE, so
-        #    grouping the (narrowed) join output by the full left row
-        #    decides loneliness per distinct value (max(hit) == false),
-        #    and the count of first-bin rows in a lonely group IS the
-        #    row's multiplicity — re-expanded with explode(sequence).
-        # Null-chrom left rows never enter the bin explode and are
-        # appended from a pushdown-cheap isNull scan.
+    path = "window"
+    if jt != "inner":
+        path = _outer_path(L, jt, stats, bin_size, lo, hi)
+
+    if path == "window" and jt == "left_outer" and lrow_ok:
+        # SINGLE-PASS left join: run the bin join LEFT OUTER once; one
+        # whole-partition window keyed by the left row VALUE tells every
+        # row whether its value matched anywhere; the filter keeps matched
+        # pairs (kept-once bin rule) and, for never-matched values, one
+        # row per duplicate copy (its first-bin row, right side already
+        # null from the outer join). ONE consumer of the join subtree —
+        # no re-execution. Hot-value concentration is the documented
+        # trade; _outer_path switches to the anti path when the estimate
+        # crosses spark.bioframe.outerHotRows.
         j = lb.join(rb, cond, "left_outer")
-        # one whole-partition window keyed by the left row VALUE tells
-        # every row whether its value matched anywhere; the filter then
-        # keeps matched pairs (kept-once bin rule) and, for never-matched
-        # values, exactly one row per duplicate copy (its first-bin row,
-        # whose right-side columns are already all null from the outer
-        # join). ONE consumer of the join subtree — no re-execution.
         w_val = Window.partitionBy(*[F.col(c) for c in L.columns])
         hit = F.col(c2).isNotNull()
         out = (
@@ -534,7 +594,7 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
             nulls = nulls.withColumn(c, F.lit(None).cast(R.schema[c].dataType))
         return out.unionByName(nulls, allowMissingColumns=True)
 
-    if jt == "right_outer" and rrow_ok:
+    if path == "window" and jt == "right_outer" and rrow_ok:
         # mirror of the single-pass left join above
         j = lb.join(rb, cond, "right_outer")
         w_val = Window.partitionBy(*[F.col(c) for c in R.columns])
@@ -553,16 +613,28 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
             nulls = nulls.withColumn(c, F.lit(None).cast(L.schema[c].dataType))
         return out.unionByName(nulls, allowMissingColumns=True)
 
-    if jt == "full_outer" and lrow_ok and rrow_ok:
+    if path == "window" and jt == "full_outer" and lrow_ok and rrow_ok:
         # both reconstructions from ONE full-outer bin join: two chained
-        # whole-partition windows (one per side's row value) replace the
-        # two anti-join consumers that re-executed the join subtree
+        # whole-partition windows (one per side's row value). The window
+        # keys are SALTED for rows whose flag is never consulted: every
+        # unmatched right-only row has all L columns null, so an unsalted
+        # w_l funnels the entire right-only output through ONE all-null
+        # window partition (and w_r symmetrically) — for largely-disjoint
+        # inputs that is most of the data on a single task. Rows with a
+        # genuine left value keep a constant salt (their __anyl is real);
+        # null-left rows spread by the hash of the right row, and their
+        # __anyl is garbage that the filter never reads (the lonely-left
+        # term requires hitL).
         j = lb.join(rb, cond, "full_outer")
         hitL = F.col(c1).isNotNull()
         hitR = F.col(c2).isNotNull()
         pair_hit = hitL & hitR
-        w_l = Window.partitionBy(*[F.col(c) for c in L.columns])
-        w_r = Window.partitionBy(*[F.col(c) for c in R.columns])
+        salt_l = F.when(hitL, F.lit(0)).otherwise(
+            F.xxhash64(*[F.col(c) for c in R.columns]))
+        salt_r = F.when(hitR, F.lit(0)).otherwise(
+            F.xxhash64(*[F.col(c) for c in L.columns]))
+        w_l = Window.partitionBy(salt_l, *[F.col(c) for c in L.columns])
+        w_r = Window.partitionBy(salt_r, *[F.col(c) for c in R.columns])
         out = (
             j.withColumn("__anyl", F.max(pair_hit.cast("int")).over(w_l) == 1)
             .withColumn("__anyr", F.max(pair_hit.cast("int")).over(w_r) == 1)
@@ -593,28 +665,56 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi):
     if jt == "inner":
         return pairs
 
-    def anti_lonely(side_df, side_cols, key_col, row_ok):
-        """Rows of side_df with no pair: anti join on the full row struct
-        (or on the minted rid when the row has unorderable columns)."""
+    def anti_lonely(side_df, side_cols, probe, build, key_col, row_ok):
+        """Rows of side_df whose value overlaps nothing on the other side.
+
+        The hit set comes from a SEMI join of the binned frames — not from
+        the pair output and not from a whole-partition window:
+
+        * r2 anti-joined against ``pairs``, and Catalyst re-executed the
+          whole keystone join per consumer (no exchange reuse across the
+          union branches) — 2x the binned join at scale.
+        * r3 derived loneliness with ``max(hit) over
+          Window.partitionBy(*side_cols)`` on a single outer bin join —
+          one consumer, but every join-output row of one hot value
+          (copies x bins x matches) funnels through ONE window task that
+          AQE cannot split, and the full_outer variant sent every
+          unmatched opposite-side row (all side_cols null) into a single
+          all-null partition.  It also re-shuffled the entire fanout-sized
+          join output by row value just to tag it.
+
+        A left_semi of the binned probe against the binned build emits at
+        most |probe| rows (no pair fanout; SMJ semi stops at the first
+        match per row) and its two input exchanges are the SAME exchanges
+        the inner pair join reads — ReusedExchange makes the extra pass
+        scan-free and shuffle-free.  The anti join on the full row value
+        (null-safe struct comparison; duplicates on the build side are
+        harmless to anti semantics so no distinct) is a plain equi join:
+        hash-spread, AQE-skew-splittable, and it keeps each never-matched
+        duplicate copy independently plus the null-chrom rows (a null
+        field never equals a hit value) with no separate isNull scan.
+        """
         if row_ok:
-            matched = pairs.select(
-                F.struct(*[F.col(c) for c in side_cols]).alias("__mrow")
-            ).distinct()
+            hitvals = probe.join(build, cond, "left_semi").select(
+                F.struct(*[F.col(c) for c in side_cols]).alias("__mrow"))
             return side_df.join(
-                matched,
+                hitvals,
                 F.struct(*[F.col(c) for c in side_cols]) == F.col("__mrow"),
                 "left_anti",
             )
-        return side_df.join(pairs.select(key_col).distinct(), key_col, "left_anti")
+        hits = probe.join(build, cond, "left_semi").select(key_col)
+        return side_df.join(hits, key_col, "left_anti")
 
     out = pairs
     if jt in ("left_outer", "full_outer"):
-        lonely = anti_lonely(Lr, L.columns, "__rid1", lrow_ok)
+        lonely = anti_lonely(Lr if not lrow_ok else L, L.columns,
+                             lb, rb, "__rid1", lrow_ok)
         for c in R.columns:
             lonely = lonely.withColumn(c, F.lit(None).cast(R.schema[c].dataType))
         out = out.unionByName(lonely, allowMissingColumns=True)
     if jt in ("right_outer", "full_outer"):
-        lonely = anti_lonely(Rr, R.columns, "__rid2", rrow_ok)
+        lonely = anti_lonely(Rr if not rrow_ok else R, R.columns,
+                             rb, lb, "__rid2", rrow_ok)
         for c in L.columns:
             lonely = lonely.withColumn(c, F.lit(None).cast(L.schema[c].dataType))
         out = out.unionByName(lonely, allowMissingColumns=True)
@@ -1012,7 +1112,14 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
     # null rows: singleton clusters numbered after the real ones; the
     # base comes from the aggregated island counts, NOT from
     # max(cluster) over the per-row result — that aggregate would
-    # re-execute the full islands+joins subtree a second time
+    # re-execute the full islands+joins subtree a second time.
+    # BOUNDED single-partition sort (documented): the global orderBy
+    # window below sees ONLY null-triple rows, whose ids must be dense,
+    # deterministic, and oracle-reproducible (ordered by all columns
+    # after the real clusters). Under the bedframe null rule these rows
+    # are rare annotations, so the one-task sort is O(nulls), not
+    # O(table); an adversarial mostly-null input serializes here —
+    # filter null triples out first if that is your data shape.
     n_real = F.broadcast(totals)
     wn = Window.orderBy(*[F.col(c).asc_nulls_last() for c in df.columns])
     nulls_out = (

@@ -120,8 +120,49 @@ class UCSCClient:
     def fetch_centromeres(self):
         return fetch_centromeres(self._db, provider="local")
 
-    def fetch_gaps(self):
-        self._no("fetch_gaps")
+    def fetch_gaps(self, path: str | None = None):
+        """Assembly gap track (reference ``resources.py:273-281`` reads
+        UCSC ``gap.txt.gz`` with schema='gap' and keeps
+        chrom/start/end/length/type/bridge).
+
+        ``path=``: a local ``gap.txt(.gz)`` — full track, no network.
+        Default: the DERIVED packaged subset — the telomere gaps (the
+        UCSC convention of 10 kb at each chromosome end, clipped for
+        short chromosomes) and the centromere gap (the packaged acen-band
+        span) for assemblies with packaged chromsizes. A labeled sample
+        of the real track's dominant rows, not the full gap set."""
+        cols = ["chrom", "start", "end", "length", "type", "bridge"]
+        if path is not None:
+            from .fileops import read_table
+
+            return read_table(path, schema="gap").select(*cols)
+        from pyspark.sql import types as T
+
+        from ..core.construction import local_df
+        from ._assembly_data import ACEN_BANDS, ALIASES, CHROMSIZES
+
+        db = ALIASES.get(self._db, self._db)
+        if db not in CHROMSIZES:
+            self._no("fetch_gaps (no packaged chromsizes for "
+                     f"{db!r}; pass path=)")
+        rows = []
+        for chrom, clen in CHROMSIZES[db].items():
+            tel = min(10_000, clen // 2)
+            if tel:
+                rows.append((chrom, 0, tel, tel, "telomere", "no"))
+                rows.append((chrom, clen - tel, clen, tel, "telomere", "no"))
+        acen = {}
+        for chrom, s, e, _name in ACEN_BANDS.get(db, []):
+            lo, hi = acen.get(chrom, (s, e))
+            acen[chrom] = (min(lo, s), max(hi, e))
+        for chrom, (s, e) in acen.items():
+            rows.append((chrom, s, e, e - s, "centromere", "no"))
+        return local_df(
+            sorted(rows),
+            T.StructType.fromDDL(
+                "chrom string, start long, end long, length long, "
+                "type string, bridge string"),
+        )
 
     def fetch_cytoband(self):
         """Packaged acen bands only (the full track needs HTTP)."""
@@ -140,5 +181,20 @@ class UCSCClient:
                 "name string, gieStain string"),
         )
 
-    def fetch_mrna(self):
-        self._no("fetch_mrna")
+    def fetch_mrna(self, path: str | None = None):
+        """mRNA alignment table (reference ``resources.py:289-296`` reads
+        UCSC ``all_mrna.txt.gz`` with the all_mrna schema).
+
+        ``path=``: a local ``all_mrna.txt(.gz)``. Default: an EMPTY,
+        correctly-typed frame — mRNA alignments are per-accession
+        experimental data with no derivable packaged form, so offline
+        the honest answer is zero rows with the right schema (callers'
+        plans compile and run; nothing is fabricated)."""
+        from .fileops import read_table
+        from .schemas import SCHEMAS
+
+        if path is not None:
+            return read_table(path, schema="all_mrna")
+        from pyspark.sql import SparkSession
+
+        return SparkSession.active().createDataFrame([], SCHEMAS["all_mrna"])

@@ -267,6 +267,32 @@ def test_differential_join_family(spark, ref, a, b):
     assert_match(ref.coverage(p1, p2), bfs_op("coverage")(s1, s2))
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, b=_frames,
+       how=st.sampled_from(["left", "right", "outer"]))
+def test_binned_outer_path_equivalence(spark, ref, a, b, how):
+    """The two lonely-row reconstructions of the binned outer join — the
+    single-pass value window and the semi/anti hit set — must agree with
+    each other AND the reference, over geometry that stresses duplicates,
+    points, and disjoint chroms (the all-null window-partition case the
+    full_outer salt addresses)."""
+    import bioframe_spark as bfs
+    if not a or not b:
+        return
+    p1, p2 = _pdf(a), _pdf(b)
+    s1, s2 = to_spark(spark, p1), to_spark(spark, p2)
+    want = ref.overlap(p1, p2, how=how, suffixes=("", "_"))
+    try:
+        for path in ("window", "anti"):
+            spark.conf.set("spark.bioframe.outerPath", path)
+            assert_match(want, bfs.overlap(s1, s2, how=how,
+                                           suffixes=("", "_"),
+                                           strategy="binned", bin_size=16))
+    finally:
+        spark.conf.unset("spark.bioframe.outerPath")
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(a=_frames, min_dist=st.sampled_from([None, 0, 3]))

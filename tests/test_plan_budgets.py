@@ -51,14 +51,35 @@ def test_overlap_budgets(spark, frames):
                                   bin_size=64)) <= 3
     # plain with a broadcastable side: at most the spread repartition
     assert n_exchanges(bf.overlap(a, b, how="inner", strategy="plain")) <= 1
-    # outer variants are single-pass: the bin join must execute ONCE —
-    # one extra window exchange per outer side, never a re-executed join
+    # outer variants, default window path: the bin join must execute
+    # ONCE — one extra window exchange per outer side, never a
+    # re-executed join
     left = bf.overlap(a, b, how="left", strategy="binned", bin_size=64)
     assert n_exchanges(left) <= 4
     assert _scans(left) <= 3
     outer = bf.overlap(a, b, how="outer", strategy="binned", bin_size=64)
     assert n_exchanges(outer) <= 5
     assert _scans(outer) <= 4
+
+
+def test_overlap_outer_anti_path_budgets(spark, frames):
+    # the skew-safe semi/anti reconstruction pays two extra column-pruned
+    # input passes (the semi's exchanges don't canonicalize equal to the
+    # pair join's — different pruned schemas — so no ReusedExchange) but
+    # must NEVER re-execute the fanout pair join: budget = pair join
+    # (2 ex / 2 scans) + semi (2 ex / 2 scans, narrow) + anti (1-2 ex,
+    # 1 scan) per outer side
+    a, b, _ = frames
+    spark.conf.set("spark.bioframe.outerPath", "anti")
+    try:
+        left = bf.overlap(a, b, how="left", strategy="binned", bin_size=64)
+        assert n_exchanges(left) <= 6
+        assert _scans(left) <= 5
+        outer = bf.overlap(a, b, how="outer", strategy="binned", bin_size=64)
+        assert n_exchanges(outer) <= 9
+        assert _scans(outer) <= 8
+    finally:
+        spark.conf.unset("spark.bioframe.outerPath")
 
 
 def _scans(df) -> int:

@@ -1,0 +1,235 @@
+"""Round-4 additions: outer-path auto selection (hot-value skew guard),
+full_outer window salting, real/injectable multimodal codec engines,
+shingle-cache lifecycle, packaged gap track, cluster null-row cap."""
+
+import io
+import math
+import struct
+import wave
+
+import pytest
+from pyspark.sql import functions as F
+
+import bioframe_spark as bf
+from bioframe_spark.datapipe import dedup, multimodal
+from bioframe_spark.operators import ops
+
+from helpers import ivals, rows
+
+
+# --------------------------------------------------------------------------
+# outer-path selection
+# --------------------------------------------------------------------------
+
+def _mk(spark, tmp_path, name, data):
+    df = ivals(spark, data)
+    p = str(tmp_path / name)
+    df.write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_outer_path_auto_rule(spark, tmp_path):
+    """Small/uniform inputs keep the single-pass window; a hot probe row
+    (whole-span interval) over a dense build side crosses the estimate
+    and flips to the semi/anti path; both are conf-overridable."""
+    a = _mk(spark, tmp_path, "a", [("chr1", i, i + 5) for i in range(0, 400, 10)])
+    stats = ops._bin_stats(a, "start", "end", a, "start", "end")
+    assert ops._outer_path(a, "left_outer", stats, stats[2],
+                           stats[0], stats[1]) == "window"
+    # force a tiny bar: the same stats must now select anti
+    spark.conf.set("spark.bioframe.outerHotRows", "1")
+    try:
+        assert ops._outer_path(a, "left_outer", stats, stats[2],
+                               stats[0], stats[1]) == "anti"
+    finally:
+        spark.conf.unset("spark.bioframe.outerHotRows")
+    # explicit pin wins over any estimate
+    spark.conf.set("spark.bioframe.outerPath", "anti")
+    try:
+        assert ops._outer_path(a, "left_outer", stats, stats[2],
+                               stats[0], stats[1]) == "anti"
+    finally:
+        spark.conf.unset("spark.bioframe.outerPath")
+    # bare-tuple hint (sizing unknown) keeps the status quo
+    assert ops._outer_path(a, "left_outer", (0, 1000, 100), 100, 0,
+                           1000) == "window"
+
+
+@pytest.mark.parametrize("how", ["left", "right", "outer"])
+def test_outer_paths_value_identical_with_dups_and_nulls(spark, how):
+    """Window and anti reconstructions agree on the hard cases: duplicate
+    row values (each copy must emit its own lonely row), null-triple
+    rows, and payload columns."""
+    data1 = [("chr1", 0, 5, "x"), ("chr1", 0, 5, "x"), ("chr1", 100, 110, "y"),
+             (None, None, None, "z")]
+    data2 = [("chr1", 3, 8, 1.0), ("chr2", 0, 50, 2.0), (None, None, None, 3.0)]
+    d1 = spark.createDataFrame(data1, "chrom string, start long, end long, tag string")
+    d2 = spark.createDataFrame(data2, "chrom string, start long, end long, score double")
+    out = {}
+    for path in ("window", "anti"):
+        spark.conf.set("spark.bioframe.outerPath", path)
+        try:
+            out[path] = rows(bf.overlap(d1, d2, how=how, suffixes=("", "_b"),
+                                        strategy="binned", bin_size=4))
+        finally:
+            spark.conf.unset("spark.bioframe.outerPath")
+    assert out["window"] == out["anti"]
+    # and the lonely duplicates both appear
+    vals, cols = out["window"]
+    if how in ("left", "outer"):
+        lonely_x = [t for t in vals if "x" in t]
+        assert len(lonely_x) == 2
+
+
+# --------------------------------------------------------------------------
+# multimodal codec engines
+# --------------------------------------------------------------------------
+
+def _wav_bytes(samples, framerate=8000, nch=1):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_wav_feature_engine_real_decode(spark):
+    """The stdlib WAV engine is a REAL codec: constant-amplitude audio
+    must come back as its exact normalized RMS in every slice."""
+    amp = 16384  # -6 dBFS square-ish constant
+    payload = _wav_bytes([amp] * 8000)
+    silent = _wav_bytes([0] * 4000)
+    data = [(1, "audio", bytearray(payload), (None, None, 1000, "wav")),
+            (2, "audio", bytearray(silent), (None, None, 500, "wav"))]
+    df = spark.createDataFrame(data, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in multimodal.extract_features(
+        df, engine=multimodal.wav_feature_engine(dim=4)).collect()}
+    for v in feats[1]:
+        assert math.isclose(v, amp / 32768.0, rel_tol=1e-6)
+    assert feats[2] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_wav_engine_stereo_and_garbage(spark):
+    eng = multimodal.wav_feature_engine(dim=2)
+    # stereo mixdown: L=1000, R=3000 -> mean 2000 per frame
+    st = _wav_bytes([1000, 3000] * 100, nch=2)
+    got = eng(st, "audio", None)
+    assert all(math.isclose(v, 2000 / 32768.0, rel_tol=1e-6) for v in got)
+    with pytest.raises(multimodal.DecodeUnavailable):
+        eng(b"not a wav at all", "audio", None)
+
+
+def test_engine_parameterized_features(spark):
+    """Same Spark plumbing, two engines: the fake and the real WAV
+    codec — engine choice changes only the vector values."""
+    payload = _wav_bytes([100] * 1000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), (None, None, 125, "wav"))],
+        multimodal.MEDIA_SCHEMA)
+    for engine in (multimodal.fake_feature_engine(),
+                   multimodal.wav_feature_engine()):
+        out = multimodal.extract_features(df, engine=engine).collect()
+        assert len(out) == 1 and len(out[0]["feature"]) == 8
+        assert out[0]["n_bytes"] == len(payload)
+
+
+def test_pil_engines_gate_cleanly():
+    """In a container without Pillow the PIL engines must fail fast at
+    construction with DecodeUnavailable (when Pillow IS present, they
+    construct and this test just exercises that path)."""
+    import importlib.util
+
+    has_pil = importlib.util.find_spec("PIL") is not None
+    for ctor in (multimodal.pil_image_engine, multimodal.pil_resize_engine):
+        if has_pil:
+            assert callable(ctor())
+        else:
+            with pytest.raises(multimodal.DecodeUnavailable):
+                ctor()
+
+
+def test_resize_engine_injectable(spark):
+    """resize_images with a custom engine: meta updates + pass-through of
+    non-image rows stay the operator's job, payload bytes the engine's."""
+    def tag_engine(payload, width, height):
+        return bytes([width, height])
+
+    data = [(1, "image", bytearray(b"abc"), (4, 4, None, "png")),
+            (2, "audio", bytearray(b"xyz"), (None, None, 9, "wav"))]
+    df = spark.createDataFrame(data, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           multimodal.resize_images(df, 7, 9, engine=tag_engine).collect()}
+    assert bytes(out[1]["payload"]) == bytes([7, 9])
+    assert out[1]["meta"]["width"] == 7 and out[1]["meta"]["height"] == 9
+    assert bytes(out[2]["payload"]) == b"xyz"  # untouched
+
+
+# --------------------------------------------------------------------------
+# adversarial guards
+# --------------------------------------------------------------------------
+
+def test_cluster_many_null_rows(spark):
+    """Adversarial null-heavy input: 3000 all-null triples + a handful of
+    real intervals. Ids must be dense, unique, and numbered after the
+    real clusters (the documented bounded single-partition sort)."""
+    valid = [("chr1", 0, 5, f"v{i}") for i in range(3)]
+    nulls = [(None, None, None, f"n{i}") for i in range(3000)]
+    df = spark.createDataFrame(
+        valid + nulls, "chrom string, start long, end long, tag string")
+    out = bf.cluster(df, min_dist=0)
+    got = out.select("cluster", "tag").collect()
+    ids = sorted(r["cluster"] for r in got)
+    # 3 valid rows collapse into cluster 0; nulls follow densely
+    assert ids == [0, 0, 0] + list(range(1, 3001))
+    null_ids = {r["cluster"] for r in got if r["tag"].startswith("n")}
+    assert min(null_ids) == 1 and len(null_ids) == 3000
+
+
+def test_select_mask_column_deviation(spark):
+    """Pinned deviation: the reference returns a positional boolean
+    ARRAY (ops.py:29-67); Spark rows have no positions, so select_mask
+    yields a boolean COLUMN with identical per-row truth values."""
+    df = spark.createDataFrame(
+        [("chr1", 0, 10), ("chr1", 50, 60), ("chr2", 0, 10)],
+        "chrom string, start long, end long")
+    out = bf.select_mask(df, "chr1:0-20").collect()
+    got = {(r["chrom"], r["start"]): r["mask"] for r in out}
+    assert got == {("chr1", 0): True, ("chr1", 50): False,
+                   ("chr2", 0): False}
+    assert len(out) == 3  # every input row kept, no filtering
+
+
+# --------------------------------------------------------------------------
+# shingle cache lifecycle
+# --------------------------------------------------------------------------
+
+def test_jaccard_cache_auto_and_release(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3} end") for i in range(40)],
+        "doc_id long, text string")
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    # small input -> auto caches, and the handle rides on the result
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    out.count()
+    handles = getattr(out, "_bioframe_cache", None)
+    assert handles and handles[0].storageLevel.useMemory
+    dedup.release_cache(out)
+    assert not handles[0].storageLevel.useMemory
+
+    # forced-off path never attaches a handle
+    out2 = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1, cache=False)
+    assert getattr(out2, "_bioframe_cache", None) is None
+    dedup.release_cache(out2)  # no-op, must not raise
+
+    # "big input" via a tiny conf bar -> auto resolves to off
+    spark.conf.set("spark.bioframe.shingleCacheBytes", "1")
+    try:
+        out3 = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+        assert getattr(out3, "_bioframe_cache", None) is None
+    finally:
+        spark.conf.unset("spark.bioframe.shingleCacheBytes")

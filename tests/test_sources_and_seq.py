@@ -107,8 +107,6 @@ def test_resources_no_network(spark):
     assert resources.fetch_chromsizes("hg38")["chr1"] == 248956422
     client = resources.UCSCClient("hg38")
     assert client.fetch_chromsizes()["chrM"] == 16569
-    with pytest.raises(resources.NetworkDisabled):
-        client.fetch_mrna()
     # ucsc provider needs HTTP; local provider uses packaged acen facts
     # for hg19/hg38/hs1 and needs a cytoband file elsewhere
     with pytest.raises(resources.NetworkDisabled):
@@ -116,6 +114,50 @@ def test_resources_no_network(spark):
     assert resources.fetch_centromeres("hg38", provider="local").count() == 24
     with pytest.raises(ValueError, match="cytoband_path"):
         resources.fetch_centromeres("mm39", provider="local")
+
+
+def test_fetch_gaps_packaged(spark):
+    """Offline gap track: derived telomere + centromere subset with the
+    reference's kept columns (chrom/start/end/length/type/bridge)."""
+    from bioframe_spark.sources import resources
+
+    gaps = resources.UCSCClient("hg38").fetch_gaps()
+    assert gaps.columns == ["chrom", "start", "end", "length", "type",
+                            "bridge"]
+    rows = {(r["chrom"], r["type"]): r for r in gaps.collect()}
+    # chr1 telomeres at both ends + its centromere gap
+    assert rows[("chr1", "telomere")] is not None
+    cen = rows[("chr1", "centromere")]
+    assert cen["start"] < cen["end"] and cen["length"] == cen["end"] - cen["start"]
+    tel_left = [r for r in gaps.filter("chrom='chr1' and start=0").collect()]
+    assert tel_left and tel_left[0]["end"] == 10_000
+    # the derived track is a valid bedframe input: every length positive
+    assert gaps.filter("length <= 0 or start < 0").count() == 0
+    # assemblies without packaged acen bands still get their telomere rows
+    assert resources.UCSCClient("dm6").fetch_gaps() \
+        .filter("type='centromere'").count() == 0
+    # unpackaged assembly raises, with a pointer to path=
+    with pytest.raises(resources.NetworkDisabled):
+        resources.UCSCClient("xenTro10").fetch_gaps()
+
+
+def test_fetch_mrna_offline(spark, tmp_path):
+    """Offline mRNA: empty but correctly typed; path= reads a local
+    all_mrna table."""
+    from bioframe_spark.sources import resources
+
+    client = resources.UCSCClient("hg38")
+    empty = client.fetch_mrna()
+    assert empty.count() == 0
+    assert "qName" in empty.columns and "tStart" in empty.columns
+    p = tmp_path / "all_mrna.txt"
+    row = "\t".join(map(str, [
+        585, 95, 5, 0, 0, 0, 0, 0, 0, "+", "NM_000001", 100, 0, 100,
+        "chr1", 248956422, 1000, 1100, 1, "100,", "0,", "1000,"]))
+    p.write_text(row + "\n")
+    got = client.fetch_mrna(path=str(p))
+    r = got.collect()[0]
+    assert r["qName"] == "NM_000001" and r["tStart"] == 1000
 
 
 def test_write_bedgraph_golden(spark, tmp_path):

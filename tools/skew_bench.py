@@ -64,10 +64,37 @@ def main():
     t("overlap_binned_skew", lambda: bf.overlap(
         a, b, how="inner", suffixes=("", "_b"), strategy="binned"), r)
 
+    # hot-VALUE outer join: ONE whole-span interval on the left matches
+    # every chr0 right row. The single-pass window path partitions the
+    # join output by the full left row value, so all of that interval's
+    # pairs funnel through one window task; the semi/anti path has no
+    # per-value stage. (auto switches at spark.bioframe.outerHotRows —
+    # ~4M estimated hot rows — which small-sf inputs stay under; the
+    # explicit conf isolates the two physical paths.)
+    a3 = a.select("chrom", "start", "end").cache()
+    b3 = b.select("chrom", "start", "end").cache()
+    span = a3.agg(F.max("end")).collect()[0][0]
+    hot_a = a3.unionByName(
+        a3.sparkSession.createDataFrame([("chr0", 0, span)], a3.schema)
+    ).cache()
+    hot_a.count()
+    for path in ("window", "anti"):
+        spark.conf.set("spark.bioframe.outerPath", path)
+        t(f"overlap_left_hotrow_{path}", lambda: bf.overlap(
+            hot_a, b3, how="left", suffixes=("", "_b"), strategy="binned"), r)
+    # largely-disjoint full outer: every row lonely. Unsalted r3 windows
+    # sent all right-only rows into ONE all-null partition; the salted
+    # window and the anti path both stay parallel.
+    b_far = b3.withColumn("start", F.col("start") + F.lit(1_000_000_000)) \
+              .withColumn("end", F.col("end") + F.lit(1_000_000_000))
+    for path in ("window", "anti"):
+        spark.conf.set("spark.bioframe.outerPath", path)
+        t(f"overlap_outer_disjoint_{path}", lambda: bf.overlap(
+            a3, b_far, how="outer", suffixes=("", "_b"), strategy="binned"), r)
+    spark.conf.unset("spark.bioframe.outerPath")
+
     # window-family under skew: classic one-window-partition-per-chrom vs
     # range-partitioned islands / scan-sum
-    a3 = a.select("chrom", "start", "end").cache()
-    a3.count()
     t("merge_classic_skew", lambda: bf.merge(a3, min_dist=0, range_width=None), r)
     t("merge_ranged_skew", lambda: bf.merge(a3, min_dist=0, range_width=20_000), r)
     t("complement_classic_skew", lambda: bf.complement(a3, range_width=None), r)
