@@ -39,15 +39,21 @@ BENCH_QUERIES = [
     "closest_binned",
     "merge_ranged",
     "complement_ranged",
+    "pileup_ranged",
     # datapipe ops
     "dedup_exact",
     "text_stats",
     "jaccard_pairs",
     "curate",
     "minhash_lsh",
+    "simhash_pairs",
+    "dedup_components",
+    "sample_users",
+    "train_split",
     "embedding_dups",
     "ann_topk",
     "events_hourly",
+    "sessions",
 ]
 
 

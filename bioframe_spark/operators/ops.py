@@ -782,7 +782,8 @@ def _distinct_islands(df: DataFrame, ck: str, sk: str, ek: str, on: list,
 
 
 def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
-                             min_dist: int | None, range_width: int) -> DataFrame:
+                             min_dist: int | None, range_width: int,
+                             weight: str | None = None) -> DataFrame:
     """Gaps-and-islands WITHOUT the per-chromosome window ceiling.
 
     The classic formulation (``_distinct_islands``) sorts each (chrom,*on)
@@ -810,7 +811,14 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     keys = [ck] + on
     if min_dist is not None and min_dist < 0:
         raise ValueError("min_dist>=0 or None required")
-    dd = df.groupBy(*keys, sk, ek).agg(F.count(F.lit(1)).alias("__mult"))
+    # ``weight``: rows are pre-aggregated islands carrying a count (the
+    # pre-merge path) — multiplicity is the SUM of weights, not the row
+    # count. Point-dup expansion stays exact: a pre-merged point row
+    # always carries weight 1 (under min_dist=None local merging never
+    # fuses coincident points, and islands holding >=2 rows have
+    # positive width), so __mult still equals the number of copies.
+    mult = F.sum(weight) if weight else F.count(F.lit(1))
+    dd = df.groupBy(*keys, sk, ek).agg(mult.cast("long").alias("__mult"))
     dd = _expand_point_dups(dd, sk, ek, min_dist)
     dd = dd.withColumn("__rng", F.floor(F.col(sk) / F.lit(range_width)))
     w = Window.partitionBy(*keys, "__rng").orderBy(sk, ek, "__dup")
@@ -914,8 +922,98 @@ def _null_key_rows(df, ck, sk, ek, on):
     return df.filter(pred), df.filter(~pred)
 
 
+_PREMERGE_BYTES = 64 << 20  # above this scan size merge shrinks its rows
+# MAP-SIDE before any shuffle. Measured on the 16x ladder (SCALING §8):
+# the Arrow round trip loses at 14 MB (1.35 s vs 0.78 s), washes at
+# ~57 MB, wins at 230 MB (4.39 s vs 6.79 s classic; scaling exponent
+# 0.43 vs 0.78) — the crossover is where exchange volume overtakes the
+# per-row map cost, so it only widens at real scale.
+
+
+def _premerge_local(df: DataFrame, ck: str, sk: str, ek: str, on: list,
+                    min_dist) -> DataFrame:
+    """MAP-SIDE island collapse: per Arrow batch, sort locally and fuse
+    each run of locally-overlapping intervals into one span carrying its
+    row count ``__cnt`` — no shuffle, pure row reduction before the
+    window/shuffle stages. Exactness: fusing rows that WILL share an
+    island is order-independent (the union span and count are island
+    invariants), and local borders can only under-fuse (cross-partition
+    islands repair downstream), never over-fuse. The strict
+    ``min_dist=None`` border (``>=``) is applied locally too, so
+    coincident points are never fused and every emitted point row has
+    ``__cnt`` 1 (the invariant ``_expand_point_dups`` needs).
+
+    Input must be null-free in (chrom, start, end, *on) — callers split
+    null rows first. Output: (chrom, start, end, *on, __cnt).
+    """
+    cols_ = [ck, sk, ek] + on
+    keys = [ck] + on
+    out_schema = T.StructType(
+        [df.schema[c] for c in cols_] + [T.StructField("__cnt", T.LongType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf[cols_]
+            if not len(pdf):
+                continue
+            vd = pdf.sort_values(keys + [sk, ek], kind="mergesort")
+            cm = vd.groupby(keys, sort=False)[ek].cummax()
+            prev = cm.groupby([vd[k] for k in keys], sort=False).shift()
+            if min_dist is None:
+                border = vd[sk] >= prev
+            else:
+                border = vd[sk] > prev + min_dist
+            border = border | prev.isna()
+            isl = border.cumsum()
+            agg = vd.groupby(isl, sort=False).agg(
+                **{k: (k, "first") for k in keys},
+                **{sk: (sk, "min"), ek: (ek, "max")},
+                __cnt=(sk, "size"),
+            )
+            yield agg[cols_ + ["__cnt"]]
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def _border_merge_weighted(d: DataFrame, ck: str, sk: str, ek: str,
+                           on: list, min_dist) -> DataFrame:
+    """The classic border-row merge (see merge() below) over PRE-MERGED
+    rows carrying ``__cnt``: n_intervals comes from count-cumsum
+    differences instead of row-number differences. Null-free input."""
+    keys = [ck] + on
+    w = Window.partitionBy(*keys).orderBy(sk, ek)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    prev_max = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    cum_prev = F.coalesce(
+        F.sum("__cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    d = d.select(
+        ck, sk, ek, *on,
+        prev_max.alias("__pm"),
+        F.row_number().over(w).alias("__rn"),
+        cum_prev.alias("__ce"),
+        F.max(ek).over(wfull).alias("__gmax"),
+        F.sum("__cnt").over(wfull).alias("__gtot"),
+    )
+    if min_dist is None:
+        border = F.col(sk) >= F.col("__pm")
+    else:
+        border = F.col(sk) > F.col("__pm") + F.lit(min_dist)
+    d = d.filter(F.when(F.col("__pm").isNull(), F.lit(True)).otherwise(border))
+    w2 = Window.partitionBy(*keys).orderBy("__rn")
+    return d.select(
+        ck, sk,
+        F.coalesce(F.lead("__pm").over(w2), F.col("__gmax")).alias(ek),
+        *on,
+        (F.coalesce(F.lead("__ce").over(w2), F.col("__gtot"))
+         - F.col("__ce")).cast("long").alias("n_intervals"),
+    )
+
+
 def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
-          on: list | None = None, range_width="auto") -> DataFrame:
+          on: list | None = None, range_width="auto",
+          premerge="auto") -> DataFrame:
     """Collapse overlapping/nearby intervals into union spans + count
     (reference ``ops.py:711-839``). One shuffle by (chrom,*on); the final
     groupBy reuses the window partitioning, aggregation is partial+final.
@@ -928,11 +1026,45 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
     groups×ranges instead of per-chromosome, for massive few-chromosome
     inputs. Default ``"auto"`` selects it by input size; ``None`` forces
     the classic window; an int is explicit.
+
+    ``premerge``: MAP-SIDE local island collapse (``_premerge_local``)
+    before any shuffle — shrinks shuffle volume by the local merge
+    factor (often 10-100× on merge-friendly genomic data) at the price
+    of one Arrow round trip over the input. Measured crossover on the
+    16× ladder (SCALING.md §8): loses at 14 MB, washes at ~57 MB, wins
+    1.5× at 230 MB with a 0.43 scaling exponent vs classic's 0.78 —
+    default ``"auto"`` turns it on above ``spark.bioframe.premergeBytes``
+    (64 MB). Value-identical on every path (equivalence-tested; the
+    weighted multiplicity preserves the point-duplicate island rule).
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "merge")
     on = list(on) if on else []
+    if premerge == "auto":
+        premerge = _plan_size_bytes(df) > _threshold(
+            df, "premergeBytes", _PREMERGE_BYTES)
     range_width = _auto_range_width(df, sk, ek, range_width)
+    if premerge:
+        if min_dist is not None and min_dist < 0:
+            raise ValueError("min_dist>=0 or None required")
+        nulls, valid = _null_key_rows(df, ck, sk, ek, on)
+        pm = _premerge_local(valid.select(ck, sk, ek, *on),
+                             ck, sk, ek, on, min_dist)
+        if range_width is not None:
+            isl = _distinct_islands_ranged(pm, ck, sk, ek, on, min_dist,
+                                           range_width, weight="__cnt")
+            out = isl.groupBy(ck, *on, "__island").agg(
+                F.min(sk).alias(sk),
+                F.max(ek).alias(ek),
+                F.sum("__mult").alias("n_intervals"),
+            ).drop("__island")
+            out = out.select(ck, sk, ek, *on, "n_intervals")
+        else:
+            out = _border_merge_weighted(pm, ck, sk, ek, on, min_dist)
+        nulls_out = nulls.select(
+            ck, sk, ek, *on, F.lit(None).cast("long").alias("n_intervals")
+        )
+        return out.unionByName(nulls_out)
     if range_width is not None:
         nulls, valid = _null_key_rows(df, ck, sk, ek, on)
         isl = _distinct_islands_ranged(valid, ck, sk, ek, on, min_dist, range_width)

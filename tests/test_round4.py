@@ -82,6 +82,44 @@ def test_outer_paths_value_identical_with_dups_and_nulls(spark, how):
 
 
 # --------------------------------------------------------------------------
+# merge pre-merge path
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("min_dist", [None, 0, 7])
+def test_merge_premerge_value_identical(spark, min_dist):
+    """premerge x {classic border, ranged} == the default plan, on the
+    hard geometry: duplicate rows, coincident points (each its own
+    island under min_dist=None), null triples, adjacent intervals."""
+    data = ([("chr1", i, i + 15) for i in range(0, 200, 10)]
+            + [("chr1", 50, 50)] * 3 + [("chr1", 300, 300)]
+            + [("chr2", 0, 5), ("chr2", 5, 10), ("chr2", 100, 120)]
+            + [("chr1", 40, 60)] * 2 + [(None, None, None)])
+    df = spark.createDataFrame(data, "chrom string, start long, end long")
+    want = rows(bf.merge(df, min_dist=min_dist, range_width=None,
+                         premerge=False))
+    for rw in (None, 64):
+        got = rows(bf.merge(df, min_dist=min_dist, range_width=rw,
+                            premerge=True))
+        assert got == want, f"premerge mismatch at range_width={rw}"
+
+
+def test_merge_premerge_auto_gate(spark, tmp_path):
+    """auto premerge stays OFF for small scans and flips ON above the
+    conf bar (and stays value-identical when it does)."""
+    df = ivals(spark, [("chr1", i, i + 5) for i in range(0, 300, 10)])
+    p = str(tmp_path / "m")
+    df.write.parquet(p)
+    df = spark.read.parquet(p)
+    want = rows(bf.merge(df, premerge=False))
+    assert rows(bf.merge(df)) == want  # auto -> off at this size
+    spark.conf.set("spark.bioframe.premergeBytes", "1")
+    try:
+        assert rows(bf.merge(df)) == want  # auto -> on, same values
+    finally:
+        spark.conf.unset("spark.bioframe.premergeBytes")
+
+
+# --------------------------------------------------------------------------
 # multimodal codec engines
 # --------------------------------------------------------------------------
 
