@@ -13,10 +13,16 @@ Streaming analogs of the batch operators that are order-insensitive:
   (``applyInPandasWithState``) — per-key gap-based session windows, the
   time-axis analog of ``cluster(min_dist=gap)``.
 
-Fully order-sensitive genomic operators (merge/cluster/complement on the
-coordinate axis) are NOT offered as unbounded streams: their
-gaps-and-islands semantics need total per-chrom order, which a stream
-only has per watermark window; use foreachBatch + the batch operators.
+- ``stream_merge``: stateful interval merge (``applyInPandasWithState``,
+  update mode) — per-chrom island state re-merged each trigger; EXACT
+  for any arrival order because weighted island merging is associative
+  (the same invariant the batch pre-merge path relies on). The emitted
+  snapshot per chrom always equals ``merge()`` of everything seen.
+
+Coordinate-ORDER-sensitive emissions (complement gaps, dense cluster
+ids) are still not offered as unbounded streams: their outputs need
+total per-chrom order, which a stream only has per watermark window;
+use foreachBatch + the batch operators for those.
 """
 
 from __future__ import annotations
@@ -131,6 +137,92 @@ def stream_sessionize(events: DataFrame, gap: str = "30 seconds",
             fn, out_schema, state_schema, "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def stream_merge(stream: DataFrame, min_dist: int | None = 0,
+                 cols=None) -> DataFrame:
+    """Stateful streaming interval merge: per chromosome, state holds the
+    CURRENT island set (disjoint spans + interval counts); each trigger
+    re-merges the batch's intervals into it and emits the chromosome's
+    full island snapshot (update mode — downstream keeps the latest row
+    set per chrom, e.g. a memory/Delta sink keyed by chrom).
+
+    EXACT under any arrival order: an island is an invariant of the row
+    SET (union span + count), and weighted island merging is associative
+    — merging early islands into later data yields the same islands as
+    one batch pass (the same argument that makes the batch pre-merge
+    path exact, ``ops._premerge_local``). The ``min_dist=None`` strict
+    border keeps coincident points as separate islands, so point islands
+    always carry count 1 and re-merge losslessly.
+
+    State per chrom = the island arrays — bounded by the OUTPUT size
+    (for merge-friendly genomic data, orders of magnitude below the
+    input), not the stream length. Batch equivalence is live-tested:
+    the final snapshot equals ``bf.merge`` of every injected row.
+    """
+    import pandas as pd
+
+    ck, sk, ek = _resolve_cols(cols)
+    if min_dist is not None and min_dist < 0:
+        raise ValueError("min_dist>=0 or None required")
+    out_schema = T.StructType([
+        T.StructField(ck, T.StringType()),
+        T.StructField(sk, T.LongType()),
+        T.StructField(ek, T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ])
+
+    def _merge_rows(rows):
+        """Weighted island merge of (start, end, count) tuples — the
+        reference border rule (strict ``>=`` under min_dist=None)."""
+        out = []
+        for s, e, c in sorted(rows):
+            if out:
+                ps, pe, pc = out[-1]
+                fuse = (s < pe) if min_dist is None else (s <= pe + min_dist)
+                if fuse:
+                    out[-1] = (ps, max(pe, e), pc + c)
+                    continue
+            out.append((s, e, c))
+        return out
+
+    def fn(key, pdfs, state):
+        rows = []
+        if state.exists:
+            starts, ends, counts = state.get
+            rows.extend(zip(starts, ends, counts))
+        for pdf in pdfs:
+            rows.extend(zip(pdf[sk].astype("int64"),
+                            pdf[ek].astype("int64"),
+                            [1] * len(pdf)))
+        if not rows:
+            return
+        islands = _merge_rows(rows)
+        state.update((
+            [int(s) for s, _, _ in islands],
+            [int(e) for _, e, _ in islands],
+            [int(c) for _, _, c in islands],
+        ))
+        yield pd.DataFrame({
+            ck: [key[0]] * len(islands),
+            sk: [s for s, _, _ in islands],
+            ek: [e for _, e, _ in islands],
+            "n_intervals": [c for _, _, c in islands],
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.filter(F.col(ck).isNotNull())
+        .groupBy(ck)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                GroupStateTimeout.NoTimeout)
     )
 
 

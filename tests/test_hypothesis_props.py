@@ -405,6 +405,28 @@ def test_closest_strategy_equivalence(spark, a, b, k):
             assert got[row] == want, (row, got[row], want)
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_distinct_frames(), b=_distinct_frames(),
+       k=st.sampled_from([3, 5]),
+       ignore=st.sampled_from([(False, False), (True, False), (False, True)]))
+def test_closest_k_gt2_ignore_strategy_equivalence(spark, a, b, k, ignore):
+    """Directive #10 (r3): the cogroup kernel and the binned
+    cap-escalation DF plan must agree for k>2 and the ignore_* variants
+    — the cap-escalation logic (first cap k-dependent, escalation on
+    unsatisfied probes) is exactly the code k=1/2 doesn't stress."""
+    import bioframe_spark as bf
+    ig_up, ig_down = ignore
+    out = {}
+    for strat in ("cogroup", "binned"):
+        res = bf.closest(_df(spark, a), _df(spark, b), k=k,
+                         ignore_upstream=ig_up, ignore_downstream=ig_down,
+                         strategy=strat)
+        out[strat] = sorted(
+            tuple(None if v is None else v for v in r) for r in res.collect())
+    assert out["cogroup"] == out["binned"]
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(a=_frames, b=_frames, pad=st.sampled_from([-3, 2]))

@@ -253,3 +253,91 @@ def test_stream_sampling_split_live(spark):
             assert want.get(k) == v, (k, v, want.get(k))
     finally:
         q.stop()
+
+
+def test_stream_merge_live(spark, tmp_path):
+    """Deterministic live run: file source, one micro-batch per file
+    (maxFilesPerTrigger=1, availableNow), foreachBatch capturing the
+    latest island snapshot per chrom. The final snapshot must equal the
+    batch bf.merge of EVERY injected row — the update-mode state
+    carries islands across triggers and re-merges exactly."""
+    import bioframe_spark as bf
+
+    src = tmp_path / "iv_stream"
+    src.mkdir()
+    batch1 = [("chr1", 0, 50), ("chr1", 40, 90), ("chr2", 10, 20),
+              ("chr1", 300, 300), ("chr1", 300, 300)]
+    batch2 = [("chr1", 85, 120), ("chr1", 200, 210), ("chr2", 15, 35),
+              ("chr1", 290, 310)]
+    schema = "chrom string, start long, end long"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "*")))
+    out = stream_ops.stream_merge(stream, min_dist=0)
+
+    snap = {}
+    batches = []
+
+    def capture(bdf, bid):
+        pdf = bdf.toPandas()
+        batches.append(bid)
+        for chrom, grp in pdf.groupby("chrom"):
+            snap[chrom] = sorted(
+                (int(s), int(e), int(n))
+                for s, e, n in zip(grp["start"], grp["end"],
+                                   grp["n_intervals"]))
+
+    q = (out.writeStream.foreachBatch(capture).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted((c, s, e, n) for c, isl in snap.items()
+                 for s, e, n in isl)
+    want_df = bf.merge(
+        spark.createDataFrame(batch1 + batch2, schema), min_dist=0)
+    want = sorted((r["chrom"], r["start"], r["end"], r["n_intervals"])
+                  for r in want_df.collect())
+    assert got == want
+    # the duplicate point rows stayed separate islands (min_dist=0 fuses
+    # coincident points: 300,300 x2 + the covering 290-310 -> one island)
+    assert ("chr1", 290, 310, 3) in got
+
+
+def test_stream_merge_min_dist_none_points(spark, tmp_path):
+    """min_dist=None across triggers: coincident points arriving in
+    DIFFERENT batches must remain separate islands, matching batch."""
+    import bioframe_spark as bf
+
+    src = tmp_path / "iv_stream2"
+    src.mkdir()
+    schema = "chrom string, start long, end long"
+    b1 = [("chr1", 5, 5), ("chr1", 0, 3)]
+    b2 = [("chr1", 5, 5), ("chr1", 3, 5)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    snap = {}
+
+    def capture(bdf, bid):
+        pdf = bdf.toPandas()
+        for chrom, grp in pdf.groupby("chrom"):
+            snap[chrom] = sorted(
+                (int(s), int(e), int(n))
+                for s, e, n in zip(grp["start"], grp["end"],
+                                   grp["n_intervals"]))
+
+    q = (stream_ops.stream_merge(stream, min_dist=None)
+         .writeStream.foreachBatch(capture).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((c, s, e, n) for c, isl in snap.items() for s, e, n in isl)
+    want_df = bf.merge(spark.createDataFrame(b1 + b2, schema), min_dist=None)
+    want = sorted((r["chrom"], r["start"], r["end"], r["n_intervals"])
+                  for r in want_df.collect())
+    assert got == want
