@@ -176,6 +176,23 @@ def test_overlap_keep_order(spark):
     assert "__keep_order" not in bf.overlap(a, b, how="left", keep_order=True).columns
     with pytest.raises(ValueError, match="keep_order"):
         bf.overlap(a, b, how="inner", keep_order=True)
+    # binned strategy, both outer reconstructions: the minted order/id
+    # columns make every left row value unique — per-value loneliness
+    # must degrade gracefully to per-row and keep the same output
+    want = sorted((r["chrom"], r["start"], r["start_"])
+                  for r in bf.overlap(a, b, how="left").collect())
+    for path in ("window", "anti"):
+        spark.conf.set("spark.bioframe.outerPath", path)
+        try:
+            got = bf.overlap(a, b, how="left", keep_order=True,
+                             return_index=True, strategy="binned",
+                             bin_size=4)
+            assert [(r["chrom"], r["start"]) for r in got.collect()] == [
+                ("chr1", 0), ("chr1", 50), ("chr2", 0)]
+            assert sorted((r["chrom"], r["start"], r["start_"])
+                          for r in got.collect()) == want
+        finally:
+            spark.conf.unset("spark.bioframe.outerPath")
 
 
 def test_subtract_chrom_only_in_df1_passes_whole(spark):
