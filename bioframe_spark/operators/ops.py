@@ -198,7 +198,11 @@ def _bin_stats(df1, sk1, ek1, df2, sk2, ek2) -> tuple:
     lo2, hi2, len2 = rows[2]["lo"], rows[2]["hi"], rows[2]["len"]
     lo = min(lo1, lo2)
     hi = min(max(hi1, hi2), INT64_MAX)
-    span = max(hi - lo, 1)
+    # a negative lo with a sentinel hi makes hi - lo exceed int64 (a
+    # Python int py4j cannot ship as a long literal) — the span only
+    # sizes bins and clips coordinates, so clamping it keeps every
+    # downstream literal in range
+    span = min(max(hi - lo, 1), INT64_MAX)
     avg_len = min(max(len1 or 1.0, len2 or 1.0), float(span))
     bin_size = int(min(max(avg_len * 16, span / 4096, 1024), span))
     return _BinStats(lo, hi, bin_size, n1=rows[1]["n"], n2=rows[2]["n"],

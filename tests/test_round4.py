@@ -81,6 +81,30 @@ def test_outer_paths_value_identical_with_dups_and_nulls(spark, how):
         assert len(lonely_x) == 2
 
 
+def test_binned_outer_adversarial_coordinates(spark):
+    """Negative coordinates (legal) and INT64-max sentinel ends must not
+    break the bin explode or either outer reconstruction: binned
+    window/anti == plain on the same frames."""
+    INT64_MAX = (1 << 63) - 1
+    d1 = spark.createDataFrame(
+        [("chr1", -500, -100), ("chr1", -50, 25), ("chr1", 10, INT64_MAX),
+         ("chr1", 7_000, 8_000)],
+        "chrom string, start long, end long")
+    d2 = spark.createDataFrame(
+        [("chr1", -200, -150), ("chr1", 0, 5), ("chr1", 1_000_000, 1_000_010)],
+        "chrom string, start long, end long")
+    want = rows(bf.overlap(d1, d2, how="outer", suffixes=("", "_b"),
+                           strategy="plain"))
+    for path in ("window", "anti"):
+        spark.conf.set("spark.bioframe.outerPath", path)
+        try:
+            got = rows(bf.overlap(d1, d2, how="outer", suffixes=("", "_b"),
+                                  strategy="binned"))
+        finally:
+            spark.conf.unset("spark.bioframe.outerPath")
+        assert got == want, path
+
+
 # --------------------------------------------------------------------------
 # merge pre-merge path
 # --------------------------------------------------------------------------
