@@ -695,6 +695,46 @@ def q_digest(spark, sf_dir):
     return bf.digest(DIGEST_CHROMS, prov, "ATGC")
 
 
+def q_stream_merge(spark, sf_dir):
+    """STREAMING interval merge driven to completion: the intervals table
+    split into three deterministic chunk files, consumed one micro-batch
+    per file (maxFilesPerTrigger=1 + availableNow) through
+    ``stream_merge``'s stateful island state; the returned batch frame is
+    the final snapshot — value-identical to batch merge and therefore to
+    the same DuckDB islands oracle, which makes the streaming operator
+    itself hash-checkable (update-mode state is exact under any batch
+    split; see streaming/stream_ops.py)."""
+    import tempfile
+
+    from bioframe_spark.streaming import stream_ops
+
+    src = tempfile.mkdtemp(prefix="stream_merge_q_")
+    iv = ivals_a(spark, sf_dir).select("chrom", "start", "end")
+    chunk = F.pmod(F.xxhash64("chrom", "start", "end"), F.lit(3))
+    for c in range(3):
+        iv.filter(chunk == c).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/f{c}")
+    stream = (spark.readStream.schema("chrom string, start long, end long")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    snap = {}
+
+    def cap(bdf, _bid):
+        pdf = bdf.toPandas()
+        for chrom, grp in pdf.groupby("chrom"):
+            snap[chrom] = list(zip(grp["start"], grp["end"],
+                                   grp["n_intervals"]))
+
+    q = (stream_ops.stream_merge(stream, min_dist=0).writeStream
+         .foreachBatch(cap).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    data = [(c, int(s), int(e), int(n))
+            for c, isl in snap.items() for s, e, n in isl]
+    return spark.createDataFrame(
+        data, "chrom string, start long, end long, n_intervals long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the first
     # 50 entries.  Rows 1-16 are the queries that had no driver row in
@@ -774,6 +814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_cutoff": q_jaccard_cutoff,
         "sample_mix": q_sample_mix,
         "events_json": q_events_json,
+        # streaming operator driven to completion — oracle-checkable but
+        # deliberately past the driver's 50-row cap (a streaming query in
+        # the gate harness would risk the whole run on a hang)
+        "stream_merge": q_stream_merge,
     }
 
 
@@ -1758,6 +1802,9 @@ FROM bounds
         "media_pipeline": media_pipeline,
         "frac_gc": frac_gc,
         "digest": digest_sql,
+        # the streaming merge's final snapshot is definitionally the batch
+        # merge of everything streamed — same islands oracle
+        "stream_merge": merge,
         # minhash_lsh / simhash_pairs / ann_lsh: intentionally no oracle
         # (hash-based randomized algorithms) → rows-only check
     }
