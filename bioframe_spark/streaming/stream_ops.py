@@ -13,6 +13,10 @@ Streaming analogs of the batch operators that are order-insensitive:
   (``applyInPandasWithState``) — per-key gap-based session windows, the
   time-axis analog of ``cluster(min_dist=gap)``.
 
+- ``stream_count_overlaps_static``: running per-annotation overlap
+  counts (incremental streaming aggregation over the stream-static
+  join) — the streaming analog of ``count_overlaps``; final emissions
+  equal the batch counts (live-tested).
 - ``stream_merge``: stateful interval merge (``applyInPandasWithState``,
   update mode) — per-chrom island state re-merged each trigger; EXACT
   for any arrival order because weighted island merging is associative
@@ -140,6 +144,26 @@ def stream_sessionize(events: DataFrame, gap: str = "30 seconds",
     )
 
 
+def _weighted_island_merge(rows, min_dist):
+    """Weighted island merge of (start, end, count) tuples — the
+    reference border rule (strict ``>=`` under min_dist=None, so
+    coincident points never fuse). The core invariant ``stream_merge``
+    relies on: this function is ASSOCIATIVE over row batches — merging
+    any prefix first and feeding its islands (as weighted rows) back in
+    with the rest yields the same islands as one pass (fuzz-tested over
+    random splits in tests/test_round4.py)."""
+    out = []
+    for s, e, c in sorted(rows):
+        if out:
+            ps, pe, pc = out[-1]
+            fuse = (s < pe) if min_dist is None else (s <= pe + min_dist)
+            if fuse:
+                out[-1] = (ps, max(pe, e), pc + c)
+                continue
+        out.append((s, e, c))
+    return out
+
+
 def stream_merge(stream: DataFrame, min_dist: int | None = 0,
                  cols=None) -> DataFrame:
     """Stateful streaming interval merge: per chromosome, state holds the
@@ -178,20 +202,6 @@ def stream_merge(stream: DataFrame, min_dist: int | None = 0,
         T.StructField("counts", T.ArrayType(T.LongType())),
     ])
 
-    def _merge_rows(rows):
-        """Weighted island merge of (start, end, count) tuples — the
-        reference border rule (strict ``>=`` under min_dist=None)."""
-        out = []
-        for s, e, c in sorted(rows):
-            if out:
-                ps, pe, pc = out[-1]
-                fuse = (s < pe) if min_dist is None else (s <= pe + min_dist)
-                if fuse:
-                    out[-1] = (ps, max(pe, e), pc + c)
-                    continue
-            out.append((s, e, c))
-        return out
-
     def fn(key, pdfs, state):
         rows = []
         if state.exists:
@@ -203,7 +213,7 @@ def stream_merge(stream: DataFrame, min_dist: int | None = 0,
                             [1] * len(pdf)))
         if not rows:
             return
-        islands = _merge_rows(rows)
+        islands = _weighted_island_merge(rows, min_dist)
         state.update((
             [int(s) for s, _, _ in islands],
             [int(e) for _, e, _ in islands],
@@ -248,6 +258,33 @@ def stream_overlap_static(stream: DataFrame, annotations: DataFrame,
         F.col(sk2 + sfx2), F.col(ek2 + sfx2),
     )
     return left.join(F.broadcast(ann), cond, "left_outer")
+
+
+def stream_count_overlaps_static(stream: DataFrame, annotations: DataFrame,
+                                 cols1=None, cols2=None) -> DataFrame:
+    """Running per-annotation overlap counts over an interval stream —
+    the streaming analog of ``count_overlaps(annotations, stream)``
+    ("live coverage of a target panel"). Inner stream-static broadcast
+    join, then an incremental streaming aggregation keyed by the
+    annotation row; update mode emits each annotation's new running
+    ``count`` whenever a batch touches it (state = one long per
+    annotation row — bounded by the ANNOTATION table size). Annotations
+    untouched by the stream simply never emit (batch left-join zero-fill
+    needs the final snapshot; do that join against the sink table)."""
+    ck1, sk1, ek1 = _resolve_cols(cols1)
+    ck2, sk2, ek2 = _resolve_cols(cols2)
+    ann = annotations.select(
+        [F.col(c).alias("__a_" + c) for c in annotations.columns])
+    cond = (F.col(ck1) == F.col("__a_" + ck2)) & overlap_predicate(
+        F.col(sk1), F.col(ek1),
+        F.col("__a_" + sk2), F.col("__a_" + ek2),
+    )
+    joined = stream.join(F.broadcast(ann), cond, "inner")
+    return (
+        joined.groupBy(*[F.col("__a_" + c).alias(c)
+                         for c in annotations.columns])
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
 
 
 def stream_drop_exact_duplicates(docs: DataFrame, text_col: str = "text",

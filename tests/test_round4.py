@@ -264,6 +264,40 @@ def test_select_mask_column_deviation(spark):
 
 
 # --------------------------------------------------------------------------
+# streaming merge kernel associativity
+# --------------------------------------------------------------------------
+
+def test_weighted_island_merge_associative():
+    """The invariant stream_merge's state rests on: merging any batch
+    split incrementally (prefix islands fed back as weighted rows)
+    equals the one-shot merge — fuzzed over random interval sets,
+    splits, and min_dist values including the strict None rule."""
+    import random
+
+    from bioframe_spark.streaming.stream_ops import _weighted_island_merge
+
+    rng = random.Random(20260814)
+    for trial in range(300):
+        n = rng.randint(1, 24)
+        rows = []
+        for _ in range(n):
+            s = rng.randint(0, 60)
+            ln = rng.choice([0, 0, 1, 3, 10])  # points are common
+            rows.append((s, s + ln, 1))
+        md = rng.choice([None, 0, 2])
+        want = _weighted_island_merge(rows, md)
+        # random multi-way split, merged incrementally through state
+        k = rng.randint(1, 4)
+        batches = [[] for _ in range(k)]
+        for r in rows:
+            batches[rng.randrange(k)].append(r)
+        state = []
+        for b in batches:
+            state = _weighted_island_merge(state + b, md)
+        assert state == want, (trial, md, rows, batches, state, want)
+
+
+# --------------------------------------------------------------------------
 # shingle cache lifecycle
 # --------------------------------------------------------------------------
 

@@ -341,3 +341,41 @@ def test_stream_merge_min_dist_none_points(spark, tmp_path):
     want = sorted((r["chrom"], r["start"], r["end"], r["n_intervals"])
                   for r in want_df.collect())
     assert got == want
+
+
+def test_stream_count_overlaps_static_live(spark, tmp_path):
+    """Running per-annotation counts: final update-mode emission per
+    annotation equals batch count_overlaps of everything streamed."""
+    import bioframe_spark as bf
+
+    src = tmp_path / "cnt_stream"
+    src.mkdir()
+    schema = "chrom string, start long, end long"
+    b1 = [("chr1", 0, 10), ("chr1", 5, 25), ("chr2", 0, 100)]
+    b2 = [("chr1", 20, 30), ("chr1", 8, 9), ("chr3", 0, 5)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    ann = spark.createDataFrame(
+        [("chr1", 0, 15), ("chr1", 22, 40), ("chr2", 50, 60),
+         ("chr2", 500, 600)], schema)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    out = stream_ops.stream_count_overlaps_static(stream, ann)
+
+    latest = {}
+
+    def capture(bdf, bid):
+        for r in bdf.collect():
+            latest[(r["chrom"], r["start"], r["end"])] = r["count"]
+
+    q = (out.writeStream.foreachBatch(capture).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    want_df = bf.count_overlaps(ann, spark.createDataFrame(b1 + b2, schema))
+    want = {(r["chrom"], r["start"], r["end"]): r["count"]
+            for r in want_df.collect() if r["count"] > 0}
+    assert latest == want
+    # untouched annotation rows never emit
+    assert ("chr2", 500, 600) not in latest
