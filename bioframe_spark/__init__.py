@@ -48,6 +48,8 @@ from .operators.ops import (
     sort_bedframe,
     assign_view,
     pileup,
+    with_bin,
+    overlap_prebinned,
 )
 from .operators.closest import closest, closest_within
 from .operators.extras import (

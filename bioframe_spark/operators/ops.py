@@ -498,6 +498,81 @@ def _outer_path(L, jt, stats, bin_size, lo, hi) -> str:
     return "anti" if hot > bar else "window"
 
 
+def with_bin(df: DataFrame, bin_size: int, cols=None,
+             hi: int = INT64_MAX) -> DataFrame:
+    """Explode an interval table over fixed genomic bins — the PERSISTED
+    pre-binned layout for recurring binned joins. Adds ``bin`` (one row
+    per bin the interval touches, point intervals via the length-1
+    rewrite) and ``first_bin``. Persist it bucketed by the join keys::
+
+        write_bucketed(with_bin(df, 10_000), "t_binned",
+                       bucket_cols=("chrom", "bin"),
+                       sort_cols=("start", "end"))
+
+    and recurring joins via :func:`overlap_prebinned` run with ZERO
+    exchange on either side (bucket-pairwise scans). Both tables MUST
+    share the same ``bin_size`` and origin 0 — the kept-once pair rule
+    only holds on a common grid. Unlike the internal join (which clips
+    to the observed partner span), a stored layout cannot know future
+    partners, so ends clip only at ``hi`` (default INT64_MAX): don't
+    pre-bin tables carrying unbounded sentinel ends without passing a
+    genome-bound ``hi``."""
+    ck, sk, ek = _resolve_cols(cols)
+    _verify_columns(df, [ck, sk, ek], "with_bin")
+    ee = F.least(effective_end(F.col(sk), F.col(ek)), F.lit(hi))
+    first = F.floor(F.col(sk) / bin_size)
+    last = F.greatest(F.floor((ee - 1) / bin_size), first)
+    return (
+        df.filter(F.col(ck).isNotNull())
+        .withColumn("first_bin", first)
+        .withColumn("bin", F.explode(F.sequence(first, last)))
+    )
+
+
+def overlap_prebinned(t1: DataFrame, t2: DataFrame,
+                      suffixes: tuple = ("", "_"),
+                      cols1=None, cols2=None,
+                      on: list | None = None) -> DataFrame:
+    """Inner interval join over two :func:`with_bin` tables (same grid).
+
+    The point of the pre-binned layout: when both tables are persisted
+    ``bucketBy(N, chrom, bin)`` + ``sortBy(start, end)``, this join
+    plans with NO Exchange on either side (plan-asserted in
+    tests/test_physical_plans.py) — the explode AND the shuffle of the
+    keystone binned join are paid once at write time and amortized over
+    every recurring query. Pair semantics are identical to
+    ``overlap(..., how='inner', strategy='binned')``: the kept-once rule
+    (pair survives only at ``bin == max(first_bin1, first_bin2)``)
+    emits each overlapping pair exactly once with no dedup shuffle.
+    Outer variants need the un-exploded originals — use ``overlap`` for
+    those."""
+    ck1, sk1, ek1 = _resolve_cols(cols1)
+    ck2, sk2, ek2 = _resolve_cols(cols2)
+    for t, c, s, e in ((t1, ck1, sk1, ek1), (t2, ck2, sk2, ek2)):
+        _verify_columns(t, [c, s, e, "bin", "first_bin"], "overlap_prebinned")
+    on = list(on) if on else []
+    sfx1, sfx2 = suffixes
+    L = _suffixed(t1, sfx1)
+    R = _suffixed(t2, sfx2)
+    if set(L.columns) & set(R.columns):
+        raise ValueError(f"suffixes {suffixes} leave ambiguous columns: "
+                         f"{set(L.columns) & set(R.columns)}")
+    cond = (F.col(ck1 + sfx1) == F.col(ck2 + sfx2)) \
+        & (F.col("bin" + sfx1) == F.col("bin" + sfx2))
+    for c in on:
+        cond = cond & (F.col(c + sfx1) == F.col(c + sfx2))
+    cond = cond & overlap_predicate(
+        F.col(sk1 + sfx1), F.col(ek1 + sfx1),
+        F.col(sk2 + sfx2), F.col(ek2 + sfx2))
+    return (
+        L.join(R, cond, "inner")
+        .filter(F.col("bin" + sfx1) == F.greatest(F.col("first_bin" + sfx1),
+                                                  F.col("first_bin" + sfx2)))
+        .drop("bin" + sfx1, "bin" + sfx2,
+              "first_bin" + sfx1, "first_bin" + sfx2)
+    )
+
+
 def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi,
                          stats=None):
     """Binned interval join: explode each interval over the fixed-size bins

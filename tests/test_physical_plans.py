@@ -137,6 +137,49 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketed_b")
 
 
+def test_prebinned_bucketed_overlap_no_exchange(spark, tmp_path):
+    """The recurring-binned-join layout: with_bin tables persisted
+    bucketBy(chrom, bin) + sortBy(start, end) must feed
+    overlap_prebinned with ZERO Exchange — the explode AND the shuffle
+    of the keystone binned join paid once at write time — and the pair
+    set must equal overlap(strategy='binned', how='inner')."""
+    from pyspark.sql import functions as F
+
+    import bioframe_spark as bf
+    from bioframe_spark.sources.fileops import write_bucketed
+
+    a = ivals(spark, [("chr%d" % (i % 3), i * 10, i * 10 + 25)
+                      for i in range(80)])
+    b = ivals(spark, [("chr%d" % (i % 3), i * 7, i * 7 + 4)
+                      for i in range(80)])
+    BIN = 64
+    write_bucketed(bf.with_bin(a, BIN), "prebinned_a", num_buckets=4,
+                   bucket_cols=("chrom", "bin"),
+                   path=str(tmp_path / "a"))
+    write_bucketed(bf.with_bin(b, BIN), "prebinned_b", num_buckets=4,
+                   bucket_cols=("chrom", "bin"),
+                   path=str(tmp_path / "b"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bf.overlap_prebinned(spark.table("prebinned_a"),
+                                      spark.table("prebinned_b"),
+                                      suffixes=("", "_b"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        got = sorted((r["chrom"], r["start"], r["start_b"])
+                     for r in joined.collect())
+        want_df = bf.overlap(a, b, how="inner", suffixes=("", "_b"),
+                             strategy="binned", bin_size=BIN)
+        want = sorted((r["chrom"], r["start"], r["start_b"])
+                      for r in want_df.collect())
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS prebinned_a")
+        spark.sql("DROP TABLE IF EXISTS prebinned_b")
+
+
 # --- datapipe plan shapes -------------------------------------------------
 
 def _docs(spark, n=200):
