@@ -179,6 +179,30 @@ def q_overlap_binned(spark, sf_dir):
                       strategy="binned")
 
 
+def q_overlap_prebinned(spark, sf_dir):
+    """The persisted pre-binned bucketed layout end-to-end: ``with_bin``
+    both derived tables onto a common 10 kb grid, persist each
+    ``bucketBy(8, chrom, bin)`` + ``sortBy(start, end)`` via
+    ``saveAsTable``, then join the CATALOG tables with
+    ``overlap_prebinned`` — pair-identical to ``overlap(how='inner')``
+    (kept-once rule on the shared grid), hence the same oracle SQL as
+    ``overlap_inner``.  The recurring-join plan this layout buys (zero
+    Exchange on either side, bucket-pairwise scans) is asserted in
+    tests/test_physical_plans.py."""
+    from bioframe_spark.sources.fileops import write_bucketed
+
+    a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
+    write_bucketed(bf.with_bin(a, 10_000), "gate_prebinned_a",
+                   num_buckets=8, bucket_cols=("chrom", "bin"),
+                   sort_cols=("start", "end"))
+    write_bucketed(bf.with_bin(b, 10_000), "gate_prebinned_b",
+                   num_buckets=8, bucket_cols=("chrom", "bin"),
+                   sort_cols=("start", "end"))
+    return bf.overlap_prebinned(spark.table("gate_prebinned_a"),
+                                spark.table("gate_prebinned_b"),
+                                suffixes=("", "_b"))
+
+
 def q_overlap_on(spark, sf_dir):
     a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
     return bf.overlap(a, b, how="inner", suffixes=("", "_b"), on=["strand"])
@@ -735,6 +759,47 @@ def q_stream_merge(spark, sf_dir):
         data, "chrom string, start long, end long, n_intervals long")
 
 
+def q_stream_count(spark, sf_dir):
+    """STREAMING running count-overlaps against a static annotation
+    table, driven to completion: the ``a`` intervals split into three
+    deterministic chunk files consumed one micro-batch per file through
+    ``stream_count_overlaps_static`` (broadcast stream-static join + an
+    incremental count keyed by the annotation row, update mode).  The
+    final snapshot per annotation equals the batch inner-join count —
+    annotations the stream never touches never emit, so the oracle is
+    the plain inner-join ``GROUP BY`` (no zero-fill)."""
+    import tempfile
+
+    from bioframe_spark.streaming import stream_ops
+
+    src = tempfile.mkdtemp(prefix="stream_count_q_")
+    iv = ivals_a(spark, sf_dir).select("chrom", "start", "end")
+    ann = ivals_b(spark, sf_dir)
+    chunk = F.pmod(F.xxhash64("chrom", "start", "end"), F.lit(3))
+    for c in range(3):
+        iv.filter(chunk == c).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/f{c}")
+    stream = (spark.readStream.schema("chrom string, start long, end long")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    snap = {}
+
+    def cap(bdf, _bid):
+        for r in bdf.toPandas().itertuples(index=False):
+            snap[r.bid] = r  # bid is unique per annotation row
+
+    q = (stream_ops.stream_count_overlaps_static(stream, ann).writeStream
+         .foreachBatch(cap).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    data = [(int(r.bid), r.chrom, int(r.start), int(r.end), r.strand,
+             int(r.count)) for r in snap.values()]
+    return spark.createDataFrame(
+        data,
+        "bid long, chrom string, start long, end long, strand string, "
+        "count long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the first
     # 50 entries.  Rows 1-16 are the queries that had no driver row in
@@ -766,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_left": q_overlap_left,
         "overlap_on": q_overlap_on,
         "overlap_outer": q_overlap_outer,
+        "overlap_prebinned": q_overlap_prebinned,  # new this round
         "count_overlaps": q_count_overlaps,
         "coverage": q_coverage,
         "setdiff": q_setdiff,
@@ -775,7 +841,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest": q_closest,
         "closest_binned": q_closest_binned,
         "subtract": q_subtract,
-        "trim_expand": q_trim_expand,
         "assign_view": q_assign_view,
         "pair_by_distance": q_pair_by_distance,
         "pileup": q_pileup,
@@ -799,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
         "overlap_binned": q_overlap_binned,
+        "trim_expand": q_trim_expand,  # r03 driver-green + differential fuzz
         "cluster_on": q_cluster_on,
         "merge_strict": q_merge_strict,
         "closest_k2": q_closest_k2,
@@ -818,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deliberately past the driver's 50-row cap (a streaming query in
         # the gate harness would risk the whole run on a hang)
         "stream_merge": q_stream_merge,
+        "stream_count": q_stream_count,
     }
 
 
@@ -1732,10 +1799,18 @@ SELECT chrom,
 FROM bounds
 """
 
+    stream_count = _CTE + f"""
+SELECT b.bid, b.chrom, b.start, b."end", b.strand,
+       COUNT(*) AS count
+FROM b JOIN a ON a.chrom = b.chrom AND {ov_ab}
+GROUP BY ALL
+"""
+
     return {
         "overlap_inner": overlap_inner,
         "overlap_left": overlap_left,
         "overlap_binned": overlap_inner,  # same semantics, different physical plan
+        "overlap_prebinned": overlap_inner,  # same pairs off the stored layout
         "overlap_on": overlap_on,
         "overlap_outer": overlap_outer,
         "make_chromarms": make_chromarms,
@@ -1805,8 +1880,7 @@ FROM bounds
         # the streaming merge's final snapshot is definitionally the batch
         # merge of everything streamed — same islands oracle
         "stream_merge": merge,
-        # minhash_lsh / simhash_pairs / ann_lsh: intentionally no oracle
-        # (hash-based randomized algorithms) → rows-only check
+        "stream_count": stream_count,
     }
 
 

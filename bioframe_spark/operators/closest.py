@@ -175,7 +175,13 @@ def _closest_kernel(
             ov1, ov2 = ov1[m], ov2[m]
 
     # non-overlapping neighbors, strand-aware sides
-    order_e = np.lexsort([tie * -1, e2])  # end asc, tie desc → taking tail prefers low tie
+    # Left-side candidates are consumed from the TAIL of order_e
+    # (_neighbor_candidates keeps the k largest ends), so order within equal
+    # (end, tie) must be canonical-index DESC: read backwards that is
+    # (end desc, tie asc, idx asc) — the same preference the final
+    # (distance, tie, ids2) lexsort ranks by, keeping k-truncation
+    # consistent with the binned strategy's (dist, tie, start2, end2) window.
+    order_e = np.lexsort([-np.arange(n2), tie * -1, e2])
     order_s = np.lexsort([tie, s2])
     cand1 = [ov1]
     cand2 = [ov2]
