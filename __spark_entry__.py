@@ -436,6 +436,22 @@ def q_ann_ivf(spark, sf_dir):
                                train_iters=0)
 
 
+def q_ann_ivf_indexed(spark, sf_dir):
+    """The persisted IVF index end-to-end: train + assign once
+    (build_ivf_index → cent_id-partitioned posting lists), then answer
+    the query batch from the stored index. train_iters=0 keeps every
+    step integer-exact, so results are bit-identical to ann_ivf and
+    share its oracle; probe-time dynamic partition pruning is asserted
+    in tests/test_physical_plans.py."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_q_")
+    similarity.build_ivf_index(emb, path, n_centroids=16, train_iters=0)
+    return similarity.ivf_topk_indexed(emb.filter(F.col("vec_id") < 10),
+                                       path, k=5, n_probe=4)
+
+
 def q_ann_lsh(spark, sf_dir):
     # md5 plane components + integer projections → exact DuckDB oracle
     emb = _t(spark, sf_dir, "embeddings")
@@ -834,7 +850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_prebinned": q_overlap_prebinned,  # new this round
         "count_overlaps": q_count_overlaps,
         "coverage": q_coverage,
-        "setdiff": q_setdiff,
         "merge": q_merge,
         "cluster": q_cluster,
         "complement": q_complement,
@@ -858,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
         "ann_lsh": q_ann_lsh,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
@@ -865,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver gate or equivalent-oracle to an in-gate sibling) --
         "overlap_binned": q_overlap_binned,
         "trim_expand": q_trim_expand,  # r03 driver-green + differential fuzz
+        "setdiff": q_setdiff,  # r03 driver-green; setdiff_on/_binned in-gate
         "cluster_on": q_cluster_on,
         "merge_strict": q_merge_strict,
         "closest_k2": q_closest_k2,
@@ -1853,6 +1870,7 @@ GROUP BY ALL
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
+        "ann_ivf_indexed": ann_ivf,  # bit-identical off the stored index
         "ann_lsh": ann_lsh,
         "events_hourly": events_hourly,
         "sessions": sessions,

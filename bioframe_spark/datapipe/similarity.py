@@ -330,63 +330,77 @@ def ivf_topk(
     # are ordered by cent_id asc and np.argmax returns the FIRST maximum,
     # matching the window's (ccos desc, cent_id asc); integer dots and
     # the same dot/(sqrt*sqrt) double chain make the cosines bit-equal.
+    cent_rows = cents.orderBy("cent_id").collect()
+    cid_type = cents.schema["cent_id"].dataType
+    c = _centroid_assign(corpus, cent_rows, cid_type, id_col, vec_col,
+                         "neighbor_id", "cv", "cn", 1)
+    q = _centroid_assign(queries, cent_rows, cid_type, id_col, vec_col,
+                         "query_id", "qv", "qn", n_probe)
+    return _rank_probed(q, c, k)
+
+
+def _centroid_assign(df, cent_rows, cid_type, id_col, vec_col,
+                     out_id, vname, nname, top):
+    """Map-only nearest-centroid assignment: the QUANTIZED centroid rows
+    (a few KB) are captured by a ``mapInPandas`` kernel; each batch does
+    one int64-exact matmul + argmax/stable-argsort.  Tie rule = the
+    (cos desc, cent_id asc) window: rows are ordered by cent_id asc and
+    ``argmax``/stable argsort return the FIRST maximum."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    cent_rows = cents.orderBy("cent_id").collect()
     cids = [r["cent_id"] for r in cent_rows]
     C = np.stack([np.asarray(r["cvec"], dtype=np.int64) for r in cent_rows])
     cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
-    cid_type = cents.schema["cent_id"].dataType
+    v = df.select(
+        F.col(id_col).alias(out_id), _quantized(F.col(vec_col), vname)
+    )
+    schema = T.StructType([
+        T.StructField(out_id, df.schema[id_col].dataType),
+        T.StructField(vname, T.ArrayType(T.LongType())),
+        T.StructField(nname, T.LongType()),
+        T.StructField("cent_id", cid_type),
+    ])
 
-    def assign(df, out_id, vname, nname, top):
-        v = df.select(
-            F.col(id_col).alias(out_id), _quantized(F.col(vec_col), vname)
-        )
-        schema = T.StructType([
-            T.StructField(out_id, df.schema[id_col].dataType),
-            T.StructField(vname, T.ArrayType(T.LongType())),
-            T.StructField(nname, T.LongType()),
-            T.StructField("cent_id", cid_type),
-        ])
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vname].to_numpy()).astype(np.int64)
+            vn2 = (V * V).sum(axis=1)
+            cos = (V @ C.T).astype(np.float64) / (
+                np.sqrt(vn2.astype(np.float64))[:, None] * cn[None, :]
+            )
+            if top == 1:
+                pick = cos.argmax(axis=1)
+                yield pd.DataFrame({
+                    out_id: pdf[out_id].to_numpy(),
+                    vname: pdf[vname].to_numpy(),
+                    nname: vn2,
+                    "cent_id": [cids[i] for i in pick],
+                })
+            else:
+                t = min(top, cos.shape[1])
+                # per-row full order by (cos desc, cent_id asc) —
+                # n_centroids is small, a stable argsort on -cos keeps
+                # cent_id-ascending order among exact ties
+                order = np.argsort(-cos, axis=1, kind="stable")[:, :t]
+                ridx = np.repeat(np.arange(len(pdf)), t)
+                yield pd.DataFrame({
+                    out_id: pdf[out_id].to_numpy()[ridx],
+                    vname: pdf[vname].to_numpy()[ridx],
+                    nname: vn2[ridx],
+                    "cent_id": [cids[i] for i in order.ravel()],
+                })
 
-        def kern(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = np.stack(pdf[vname].to_numpy()).astype(np.int64)
-                vn2 = (V * V).sum(axis=1)
-                cos = (V @ C.T).astype(np.float64) / (
-                    np.sqrt(vn2.astype(np.float64))[:, None] * cn[None, :]
-                )
-                if top == 1:
-                    pick = cos.argmax(axis=1)
-                    yield pd.DataFrame({
-                        out_id: pdf[out_id].to_numpy(),
-                        vname: pdf[vname].to_numpy(),
-                        nname: vn2,
-                        "cent_id": [cids[i] for i in pick],
-                    })
-                else:
-                    t = min(top, cos.shape[1])
-                    # per-row full order by (cos desc, cent_id asc) —
-                    # n_centroids is small, a stable argsort on -cos keeps
-                    # cent_id-ascending order among exact ties
-                    order = np.argsort(-cos, axis=1, kind="stable")[:, :t]
-                    ridx = np.repeat(np.arange(len(pdf)), t)
-                    yield pd.DataFrame({
-                        out_id: pdf[out_id].to_numpy()[ridx],
-                        vname: pdf[vname].to_numpy()[ridx],
-                        nname: vn2[ridx],
-                        "cent_id": [cids[i] for i in order.ravel()],
-                    })
+    return v.mapInPandas(kern, schema)
 
-        return v.mapInPandas(kern, schema)
 
-    c = assign(corpus, "neighbor_id", "cv", "cn", 1)
-    q = assign(queries, "query_id", "qv", "qn", n_probe)
+def _rank_probed(q, c, k):
+    """Join probed queries to posting rows on cent_id, exclude self, rank
+    by exact cosine within each query."""
     joined = q.join(c, "cent_id").filter(F.col("query_id") != F.col("neighbor_id"))
     cos = (
         _dot(F.col("qv"), F.col("cv")).cast("double")
@@ -399,6 +413,64 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def build_ivf_index(corpus: DataFrame, path: str,
+                    n_centroids: int = 16, train_iters: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist an IVF index: train once, write ``{path}/centroids``
+    (cent_id, quantized cvec) and ``{path}/postings`` — the corpus
+    assigned to its nearest centroid, PARTITIONED BY cent_id on disk.
+
+    The partitioning is the index structure: each centroid's posting
+    list is a parquet partition directory, so probe-time reads scan only
+    the probed lists.  ``ivf_topk_indexed`` joins the (small, broadcast)
+    probed-query side to the postings on the partition column, and
+    Spark's dynamic partition pruning drops the unprobed partitions at
+    the SCAN — at 1000× corpus scale a recurring query stream re-uses
+    one training + one corpus-assignment pass forever, and each query
+    reads ~n_probe/n_centroids of the corpus bytes (plan-asserted in
+    tests/test_physical_plans.py).  Postings store the quantized vector
+    and its norm, so indexed results are bit-identical to ``ivf_topk``
+    with the same parameters."""
+    trained = kmeans_centroids(corpus, n_centroids=n_centroids,
+                               n_iter=train_iters, id_col=id_col,
+                               vec_col=vec_col)
+    cents = trained.select(
+        "cent_id",
+        F.transform(
+            F.col("cvec"), lambda x: F.round(x * QUANT).cast("long")
+        ).alias("cvec"),
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    cent_rows = cents.orderBy("cent_id").collect()
+    cid_type = cents.schema["cent_id"].dataType
+    postings = _centroid_assign(corpus, cent_rows, cid_type, id_col,
+                                vec_col, "neighbor_id", "cv", "cn", 1)
+    postings.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{path}/postings")
+
+
+def ivf_topk_indexed(queries: DataFrame, path: str, k: int = 10,
+                     n_probe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k against a persisted :func:`build_ivf_index`.
+
+    Queries are assigned map-only to their ``n_probe`` nearest stored
+    centroids; the join against the cent_id-partitioned postings prunes
+    every unprobed posting list at the scan (dynamic partition pruning —
+    the probed-query side broadcasts).  Bit-identical to ``ivf_topk``
+    with the same (n_centroids, train_iters, n_probe, k)."""
+    spark = queries.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_rows = cents.orderBy("cent_id").collect()
+    cid_type = cents.schema["cent_id"].dataType
+    q = _centroid_assign(queries, cent_rows, cid_type, id_col, vec_col,
+                         "query_id", "qv", "qn", n_probe)
+    postings = spark.read.parquet(f"{path}/postings")
+    return _rank_probed(F.broadcast(q), postings, k)
 
 
 def lsh_plane_components(n_planes: int, dim: int) -> list[list[int]]:

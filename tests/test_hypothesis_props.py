@@ -293,6 +293,27 @@ def test_binned_outer_path_equivalence(spark, ref, a, b, how):
         spark.conf.unset("spark.bioframe.outerPath")
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_frames, b=_frames, bin_size=st.sampled_from([4, 16, 64]))
+def test_prebinned_matches_overlap_inner(spark, ref, a, b, bin_size):
+    """with_bin on a shared grid + overlap_prebinned == reference overlap
+    inner: the kept-once pair rule must hold for any geometry (points,
+    duplicates, nested, bin-straddling intervals) at any common bin size
+    — storage (bucketed or not) cannot change the pairs, so the fuzz
+    runs grid+join directly without the saveAsTable write."""
+    import bioframe_spark as bfs
+    if not a or not b:
+        return
+    p1, p2 = _pdf(a), _pdf(b)
+    s1, s2 = to_spark(spark, p1), to_spark(spark, p2)
+    want = ref.overlap(p1, p2, how="inner", suffixes=("", "_"))
+    got = bfs.overlap_prebinned(bfs.with_bin(s1, bin_size),
+                                bfs.with_bin(s2, bin_size),
+                                suffixes=("", "_"))
+    assert_match(want, got)
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(a=_frames, min_dist=st.sampled_from([None, 0, 3]))

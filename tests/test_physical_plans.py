@@ -253,3 +253,25 @@ def test_minhash_filter_not_pushed_below_spread(spark, tmp_path):
     for needle in ("md5", "xxhash64", "array_min"):
         assert needle not in below, (
             f"hash expression {needle!r} below the spread exchange")
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    # The persisted IVF index: posting lists are cent_id parquet
+    # partitions; a probe joins the (broadcast) assigned-query side on
+    # the partition column, so Spark's dynamic partition pruning must
+    # drop unprobed posting lists AT THE SCAN — that is the scan-bytes
+    # ~n_probe/n_centroids claim. Results must be bit-identical to the
+    # direct ivf_topk with the same parameters.
+    from bioframe_spark.datapipe import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 6)
+    path = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, path, n_centroids=8, train_iters=1)
+    indexed = similarity.ivf_topk_indexed(qs, path, k=3, n_probe=2)
+    assert "dynamicpruning" in _plan(indexed).lower()
+    direct = similarity.ivf_topk(emb.filter(F.col("vec_id") < 6), emb,
+                                 k=3, n_centroids=8, n_probe=2,
+                                 train_iters=1)
+    assert sorted(map(tuple, indexed.collect())) == \
+        sorted(map(tuple, direct.collect()))
