@@ -189,15 +189,20 @@ def q_overlap_prebinned(spark, sf_dir):
     ``overlap_inner``.  The recurring-join plan this layout buys (zero
     Exchange on either side, bucket-pairwise scans) is asserted in
     tests/test_physical_plans.py."""
+    import tempfile
+
     from bioframe_spark.sources.fileops import write_bucketed
 
+    # explicit external-table paths: the gate row must not depend on the
+    # harness session having a writable default warehouse directory
+    loc = tempfile.mkdtemp(prefix="gate_prebinned_")
     a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
     write_bucketed(bf.with_bin(a, 10_000), "gate_prebinned_a",
                    num_buckets=8, bucket_cols=("chrom", "bin"),
-                   sort_cols=("start", "end"))
+                   sort_cols=("start", "end"), path=f"{loc}/a")
     write_bucketed(bf.with_bin(b, 10_000), "gate_prebinned_b",
                    num_buckets=8, bucket_cols=("chrom", "bin"),
-                   sort_cols=("start", "end"))
+                   sort_cols=("start", "end"), path=f"{loc}/b")
     return bf.overlap_prebinned(spark.table("gate_prebinned_a"),
                                 spark.table("gate_prebinned_b"),
                                 suffixes=("", "_b"))

@@ -113,14 +113,19 @@ def main():
     # write: pay it ONCE here (setup, untimed — that's the layout's whole
     # point), then time only the recurring catalog-table join. Compare
     # against overlap_inner/overlap_binned to read the amortization win.
+    import tempfile
+
     import bioframe_spark as bf
     from bioframe_spark.sources.fileops import write_bucketed
+    loc = tempfile.mkdtemp(prefix="bench_prebinned_")
     write_bucketed(bf.with_bin(em.ivals_a(spark, sf_dir), 10_000),
                    "bench_prebinned_a", num_buckets=32,
-                   bucket_cols=("chrom", "bin"), sort_cols=("start", "end"))
+                   bucket_cols=("chrom", "bin"), sort_cols=("start", "end"),
+                   path=f"{loc}/a")
     write_bucketed(bf.with_bin(em.ivals_b(spark, sf_dir), 10_000),
                    "bench_prebinned_b", num_buckets=32,
-                   bucket_cols=("chrom", "bin"), sort_cols=("start", "end"))
+                   bucket_cols=("chrom", "bin"), sort_cols=("start", "end"),
+                   path=f"{loc}/b")
     qs["overlap_prebinned"] = lambda spark, sf_dir: bf.overlap_prebinned(
         spark.table("bench_prebinned_a"), spark.table("bench_prebinned_b"),
         suffixes=("", "_b"))

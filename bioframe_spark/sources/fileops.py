@@ -431,6 +431,12 @@ def read_alignments(path: str, regions: list[tuple], engine=None) -> DataFrame:
                             ALIGNMENT_SCHEMA, "read_alignments")
 
 
+def read_bam(path: str, regions: list[tuple], engine=None) -> DataFrame:
+    """Deprecated reference alias (``io/fileops.py:284-289``): use
+    :func:`read_alignments`."""
+    return read_alignments(path, regions, engine)
+
+
 def prepare_bedgraph(df: DataFrame, chromsizes: dict,
                      value_col: str | None = None) -> DataFrame:
     """Spark-side prep for the bigWig sink (reference

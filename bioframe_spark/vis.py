@@ -48,6 +48,10 @@ def stack_intervals_levels(starts, ends) -> np.ndarray:
     return levels
 
 
+# reference-name alias (arrops.py:773)
+stack_intervals = stack_intervals_levels
+
+
 def plot_intervals_arr(starts, ends, levels=None, labels=None, colors=None,
                        xlim=None, show_coords: bool = False,
                        figsize=(10, 2)):

@@ -94,6 +94,33 @@ def main():
             results.setdefault(name, {})[k] = med
             print(f"k={k:2d} {name:18s} median {med:7.2f}s  ({n} rows)",
                   flush=True)
+        # pre-binned bucketed layout: the write is the ONE-OFF cost
+        # (reported as prebin-write, not part of the join median); the
+        # recurring join is what must scale. break-even query count =
+        # write / (overlap(auto) - prebinned).
+        from bioframe_spark.sources.fileops import write_bucketed
+        t0 = time.time()
+        write_bucketed(bf.with_bin(a, 10_000), f"ladder_prebin_a_{k}",
+                       num_buckets=32, bucket_cols=("chrom", "bin"),
+                       sort_cols=("start", "end"))
+        write_bucketed(bf.with_bin(b, 10_000), f"ladder_prebin_b_{k}",
+                       num_buckets=32, bucket_cols=("chrom", "bin"),
+                       sort_cols=("start", "end"))
+        t_write = time.time() - t0
+        results.setdefault("prebin-write(once)", {})[k] = t_write
+        print(f"k={k:2d} {'prebin-write(once)':18s} once   {t_write:7.2f}s",
+              flush=True)
+        pa, pb = spark.table(f"ladder_prebin_a_{k}"), \
+            spark.table(f"ladder_prebin_b_{k}")
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            n = bf.overlap_prebinned(pa, pb, suffixes=("", "_")).count()
+            samples.append(time.time() - t0)
+        med = sorted(samples)[len(samples) // 2]
+        results.setdefault("overlap_prebinned", {})[k] = med
+        print(f"k={k:2d} {'overlap_prebinned':18s} median {med:7.2f}s  "
+              f"({n} rows)", flush=True)
         a.unpersist()
         b.unpersist()
 
