@@ -191,18 +191,14 @@ def q_overlap_prebinned(spark, sf_dir):
     tests/test_physical_plans.py."""
     import tempfile
 
-    from bioframe_spark.sources.fileops import write_bucketed
+    from bioframe_spark.sources.fileops import write_prebinned
 
     # explicit external-table paths: the gate row must not depend on the
     # harness session having a writable default warehouse directory
     loc = tempfile.mkdtemp(prefix="gate_prebinned_")
     a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
-    write_bucketed(bf.with_bin(a, 10_000), "gate_prebinned_a",
-                   num_buckets=8, bucket_cols=("chrom", "bin"),
-                   sort_cols=("start", "end"), path=f"{loc}/a")
-    write_bucketed(bf.with_bin(b, 10_000), "gate_prebinned_b",
-                   num_buckets=8, bucket_cols=("chrom", "bin"),
-                   sort_cols=("start", "end"), path=f"{loc}/b")
+    write_prebinned(a, "gate_prebinned_a", num_buckets=8, path=f"{loc}/a")
+    write_prebinned(b, "gate_prebinned_b", num_buckets=8, path=f"{loc}/b")
     return bf.overlap_prebinned(spark.table("gate_prebinned_a"),
                                 spark.table("gate_prebinned_b"),
                                 suffixes=("", "_b"))
@@ -740,20 +736,19 @@ def q_digest(spark, sf_dir):
     return bf.digest(DIGEST_CHROMS, prov, "ATGC")
 
 
-def q_stream_merge(spark, sf_dir):
-    """STREAMING interval merge driven to completion: the intervals table
-    split into three deterministic chunk files, consumed one micro-batch
-    per file (maxFilesPerTrigger=1 + availableNow) through
-    ``stream_merge``'s stateful island state; the returned batch frame is
-    the final snapshot — value-identical to batch merge and therefore to
-    the same DuckDB islands oracle, which makes the streaming operator
-    itself hash-checkable (update-mode state is exact under any batch
-    split; see streaming/stream_ops.py)."""
+def _drive_stream(spark, sf_dir, build, capture):
+    """Shared drive-to-completion scaffolding for the streaming gate
+    rows: the derived ``a`` intervals split into three deterministic
+    chunk files, consumed one micro-batch per file
+    (maxFilesPerTrigger=1 + availableNow) through the streaming operator
+    ``build`` wraps; update-mode output is folded into a snapshot dict
+    by ``capture(batch_pdf, snap)``.  A drive that does not finish
+    within 300 s raises instead of returning a partial snapshot — a
+    hung stream must fail the gate row loudly, not hash-mismatch
+    mysteriously."""
     import tempfile
 
-    from bioframe_spark.streaming import stream_ops
-
-    src = tempfile.mkdtemp(prefix="stream_merge_q_")
+    src = tempfile.mkdtemp(prefix="stream_gate_q_")
     iv = ivals_a(spark, sf_dir).select("chrom", "start", "end")
     chunk = F.pmod(F.xxhash64("chrom", "start", "end"), F.lit(3))
     for c in range(3):
@@ -762,18 +757,35 @@ def q_stream_merge(spark, sf_dir):
     stream = (spark.readStream.schema("chrom string, start long, end long")
               .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
     snap = {}
+    q = (build(stream).writeStream
+         .foreachBatch(lambda bdf, _bid: capture(bdf.toPandas(), snap))
+         .outputMode("update").trigger(availableNow=True).start())
+    finished = q.awaitTermination(300)
+    q.stop()
+    if not finished:
+        raise TimeoutError("streaming gate query still running after 300 s")
+    return snap
 
-    def cap(bdf, _bid):
-        pdf = bdf.toPandas()
+
+def q_stream_merge(spark, sf_dir):
+    """STREAMING interval merge driven to completion through
+    ``stream_merge``'s stateful island state; the returned batch frame is
+    the final snapshot — value-identical to batch merge and therefore to
+    the same DuckDB islands oracle, which makes the streaming operator
+    itself hash-checkable (update-mode state is exact under any batch
+    split; see streaming/stream_ops.py)."""
+    from bioframe_spark.streaming import stream_ops
+
+    def cap(pdf, snap):
+        # stream_merge emits each touched chromosome's FULL island set
+        # per batch — replace that chromosome's snapshot wholesale
         for chrom, grp in pdf.groupby("chrom"):
             snap[chrom] = list(zip(grp["start"], grp["end"],
                                    grp["n_intervals"]))
 
-    q = (stream_ops.stream_merge(stream, min_dist=0).writeStream
-         .foreachBatch(cap).outputMode("update")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    q.stop()
+    snap = _drive_stream(spark, sf_dir,
+                         lambda s: stream_ops.stream_merge(s, min_dist=0),
+                         cap)
     data = [(c, int(s), int(e), int(n))
             for c, isl in snap.items() for s, e, n in isl]
     return spark.createDataFrame(
@@ -782,37 +794,22 @@ def q_stream_merge(spark, sf_dir):
 
 def q_stream_count(spark, sf_dir):
     """STREAMING running count-overlaps against a static annotation
-    table, driven to completion: the ``a`` intervals split into three
-    deterministic chunk files consumed one micro-batch per file through
-    ``stream_count_overlaps_static`` (broadcast stream-static join + an
+    table, driven to completion (broadcast stream-static join + an
     incremental count keyed by the annotation row, update mode).  The
     final snapshot per annotation equals the batch inner-join count —
     annotations the stream never touches never emit, so the oracle is
     the plain inner-join ``GROUP BY`` (no zero-fill)."""
-    import tempfile
-
     from bioframe_spark.streaming import stream_ops
 
-    src = tempfile.mkdtemp(prefix="stream_count_q_")
-    iv = ivals_a(spark, sf_dir).select("chrom", "start", "end")
     ann = ivals_b(spark, sf_dir)
-    chunk = F.pmod(F.xxhash64("chrom", "start", "end"), F.lit(3))
-    for c in range(3):
-        iv.filter(chunk == c).coalesce(1).write.mode("overwrite").parquet(
-            f"{src}/f{c}")
-    stream = (spark.readStream.schema("chrom string, start long, end long")
-              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
-    snap = {}
 
-    def cap(bdf, _bid):
-        for r in bdf.toPandas().itertuples(index=False):
+    def cap(pdf, snap):
+        for r in pdf.itertuples(index=False):
             snap[r.bid] = r  # bid is unique per annotation row
 
-    q = (stream_ops.stream_count_overlaps_static(stream, ann).writeStream
-         .foreachBatch(cap).outputMode("update")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    q.stop()
+    snap = _drive_stream(
+        spark, sf_dir,
+        lambda s: stream_ops.stream_count_overlaps_static(s, ann), cap)
     data = [(int(r.bid), r.chrom, int(r.start), int(r.end), r.strand,
              int(r.count)) for r in snap.values()]
     return spark.createDataFrame(

@@ -116,16 +116,12 @@ def main():
     import tempfile
 
     import bioframe_spark as bf
-    from bioframe_spark.sources.fileops import write_bucketed
+    from bioframe_spark.sources.fileops import write_prebinned
     loc = tempfile.mkdtemp(prefix="bench_prebinned_")
-    write_bucketed(bf.with_bin(em.ivals_a(spark, sf_dir), 10_000),
-                   "bench_prebinned_a", num_buckets=32,
-                   bucket_cols=("chrom", "bin"), sort_cols=("start", "end"),
-                   path=f"{loc}/a")
-    write_bucketed(bf.with_bin(em.ivals_b(spark, sf_dir), 10_000),
-                   "bench_prebinned_b", num_buckets=32,
-                   bucket_cols=("chrom", "bin"), sort_cols=("start", "end"),
-                   path=f"{loc}/b")
+    write_prebinned(em.ivals_a(spark, sf_dir), "bench_prebinned_a",
+                    path=f"{loc}/a")
+    write_prebinned(em.ivals_b(spark, sf_dir), "bench_prebinned_b",
+                    path=f"{loc}/b")
     qs["overlap_prebinned"] = lambda spark, sf_dir: bf.overlap_prebinned(
         spark.table("bench_prebinned_a"), spark.table("bench_prebinned_b"),
         suffixes=("", "_b"))

@@ -443,10 +443,16 @@ def build_ivf_index(corpus: DataFrame, path: str,
             F.col("cvec"), lambda x: F.round(x * QUANT).cast("long")
         ).alias("cvec"),
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark = corpus.sparkSession
+    # ONE evaluation of the training plan: collect first, persist the
+    # collected rows, assign against the same rows — writing the lazy
+    # frame and re-collecting it would run the plan twice, and any
+    # between-run nondeterminism (duplicate ids under orderBy().limit()
+    # init) would store centroids that disagree with the postings.
     cent_rows = cents.orderBy("cent_id").collect()
     cid_type = cents.schema["cent_id"].dataType
+    spark = corpus.sparkSession
+    spark.createDataFrame(cent_rows, cents.schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{path}/centroids")
     postings = _centroid_assign(corpus, cent_rows, cid_type, id_col,
                                 vec_col, "neighbor_id", "cv", "cn", 1)
     postings.write.mode("overwrite").partitionBy("cent_id").parquet(
@@ -455,22 +461,39 @@ def build_ivf_index(corpus: DataFrame, path: str,
 
 def ivf_topk_indexed(queries: DataFrame, path: str, k: int = 10,
                      n_probe: int = 4, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     broadcast_queries: bool | None = None) -> DataFrame:
     """Approximate top-k against a persisted :func:`build_ivf_index`.
 
     Queries are assigned map-only to their ``n_probe`` nearest stored
-    centroids; the join against the cent_id-partitioned postings prunes
-    every unprobed posting list at the scan (dynamic partition pruning —
-    the probed-query side broadcasts).  Bit-identical to ``ivf_topk``
-    with the same (n_centroids, train_iters, n_probe, k)."""
+    centroids, then joined to the cent_id-partitioned postings.  When
+    the probed-query side is broadcastable, dynamic partition pruning
+    drops every unprobed posting list at the scan — the recurring-batch
+    fast path.  ``broadcast_queries=None`` auto-decides from Catalyst's
+    size estimate of the query input vs ``autoBroadcastJoinThreshold``
+    (×``n_probe`` fan-out): a corpus-scale query batch must NOT be
+    force-broadcast (an unbounded broadcast OOMs where a shuffle join
+    succeeds — it scans all posting lists, which at that query scale it
+    would touch anyway).  Bit-identical to ``ivf_topk`` with the same
+    (n_centroids, train_iters, n_probe, k) either way."""
     spark = queries.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     cent_rows = cents.orderBy("cent_id").collect()
     cid_type = cents.schema["cent_id"].dataType
     q = _centroid_assign(queries, cent_rows, cid_type, id_col, vec_col,
                          "query_id", "qv", "qn", n_probe)
+    if broadcast_queries is None:
+        from ..operators.ops import _plan_size_bytes
+        try:
+            raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            bar = int(raw[:-1]) if raw.endswith(("b", "B")) else int(raw)
+        except Exception:
+            bar = 10 << 20
+        broadcast_queries = bar > 0 and \
+            _plan_size_bytes(queries) * max(n_probe, 1) <= bar
     postings = spark.read.parquet(f"{path}/postings")
-    return _rank_probed(F.broadcast(q), postings, k)
+    return _rank_probed(F.broadcast(q) if broadcast_queries else q,
+                        postings, k)
 
 
 def lsh_plane_components(n_planes: int, dim: int) -> list[list[int]]:

@@ -619,3 +619,23 @@ def write_bucketed(df: DataFrame, table: str, num_buckets: int = 64,
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_prebinned(df: DataFrame, table: str, bin_size: int = 10_000,
+                    num_buckets: int = 32, path: str | None = None,
+                    cols=None) -> None:
+    """The canonical pre-binned recurring-join layout in one call:
+    ``with_bin(df, bin_size)`` persisted
+    ``bucketBy(num_buckets, chrom, bin) + sortBy(start, end)``.
+    Two tables written with the SAME ``bin_size`` (shared grid — the
+    kept-once rule requires it) and ``num_buckets`` join via
+    :func:`..operators.ops.overlap_prebinned` with zero Exchange.
+    One definition so the gate query, the benchmark, and the scale
+    ladder all measure the exact layout users get."""
+    from ..core.specs import _resolve_cols
+    from ..operators.ops import with_bin
+
+    ck, sk, ek = _resolve_cols(cols)
+    write_bucketed(with_bin(df, bin_size, cols=cols), table,
+                   num_buckets=num_buckets, bucket_cols=(ck, "bin"),
+                   sort_cols=(sk, ek), path=path)

@@ -98,14 +98,10 @@ def main():
         # (reported as prebin-write, not part of the join median); the
         # recurring join is what must scale. break-even query count =
         # write / (overlap(auto) - prebinned).
-        from bioframe_spark.sources.fileops import write_bucketed
+        from bioframe_spark.sources.fileops import write_prebinned
         t0 = time.time()
-        write_bucketed(bf.with_bin(a, 10_000), f"ladder_prebin_a_{k}",
-                       num_buckets=32, bucket_cols=("chrom", "bin"),
-                       sort_cols=("start", "end"))
-        write_bucketed(bf.with_bin(b, 10_000), f"ladder_prebin_b_{k}",
-                       num_buckets=32, bucket_cols=("chrom", "bin"),
-                       sort_cols=("start", "end"))
+        write_prebinned(a, f"ladder_prebin_a_{k}")
+        write_prebinned(b, f"ladder_prebin_b_{k}")
         t_write = time.time() - t0
         results.setdefault("prebin-write(once)", {})[k] = t_write
         print(f"k={k:2d} {'prebin-write(once)':18s} once   {t_write:7.2f}s",
