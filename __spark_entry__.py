@@ -818,6 +818,45 @@ def q_stream_count(spark, sf_dir):
         "count long")
 
 
+def q_stream_closest(spark, sf_dir):
+    """STREAMING nearest-annotation tagging driven to completion:
+    stateless ``stream_closest_static`` (per-chromosome collected
+    annotation frames + the batch cogroup kernel inside mapInPandas), so
+    the union of all micro-batch emissions equals batch
+    ``closest(a, b, k=1)`` — the oracle is the ranked-candidate SQL on
+    the distinct stream triples joined back to every streamed copy."""
+    import pandas as pd
+
+    from bioframe_spark.streaming import stream_ops
+
+    ann = ivals_b(spark, sf_dir)
+
+    def cap(pdf, snap):
+        snap.setdefault("rows", []).append(pdf)
+
+    snap = _drive_stream(
+        spark, sf_dir,
+        lambda s: stream_ops.stream_closest_static(s, ann, k=1,
+                                                   suffixes=("", "_ann")),
+        cap)
+    allr = pd.concat(snap["rows"], ignore_index=True)
+    data = [
+        (r.chrom, int(r.start), int(r.end),
+         None if pd.isna(r.bid_ann) else int(r.bid_ann),
+         None if pd.isna(r.chrom_ann) else r.chrom_ann,
+         None if pd.isna(r.start_ann) else int(r.start_ann),
+         None if pd.isna(r.end_ann) else int(r.end_ann),
+         None if pd.isna(r.strand_ann) else r.strand_ann,
+         None if pd.isna(r.distance) else int(r.distance))
+        for r in allr.itertuples(index=False)
+    ]
+    return spark.createDataFrame(
+        data,
+        "chrom string, start long, end long, bid_ann long, "
+        "chrom_ann string, start_ann long, end_ann long, "
+        "strand_ann string, distance long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the first
     # 50 entries.  Rows 1-16 are the queries that had no driver row in
@@ -904,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the gate harness would risk the whole run on a hang)
         "stream_merge": q_stream_merge,
         "stream_count": q_stream_count,
+        "stream_closest": q_stream_closest,
     }
 
 
@@ -1825,6 +1865,33 @@ FROM b JOIN a ON a.chrom = b.chrom AND {ov_ab}
 GROUP BY ALL
 """
 
+    stream_closest = _CTE + """, a3 AS (
+  SELECT DISTINCT chrom, start, "end" FROM a
+), cand AS (
+  SELECT a3.chrom, a3.start, a3."end",
+         b.bid, b.start AS ss, b."end" AS se, b.strand AS st,
+         CASE WHEN a3.start < b."end" AND b.start < a3."end" THEN 0
+              ELSE GREATEST(a3.start, b.start)
+                   - LEAST(a3."end", b."end") + 1
+         END AS idist
+  FROM a3 JOIN b ON a3.chrom = b.chrom
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+     PARTITION BY chrom, start, "end" ORDER BY idist, ss, se) AS rk
+  FROM cand
+), hits AS (
+  SELECT chrom, start, "end", bid, ss, se, st,
+         CASE WHEN idist = 0 THEN 0 ELSE idist - 1 END AS distance
+  FROM ranked WHERE rk = 1
+)
+SELECT a.chrom, a.start, a."end",
+       h.bid AS bid_ann,
+       CASE WHEN h.bid IS NOT NULL THEN a.chrom END AS chrom_ann,
+       h.ss AS start_ann, h.se AS end_ann, h.st AS strand_ann, h.distance
+FROM (SELECT chrom, start, "end" FROM a) a
+LEFT JOIN hits h USING (chrom, start, "end")
+"""
+
     return {
         "overlap_inner": overlap_inner,
         "overlap_left": overlap_left,
@@ -1901,6 +1968,7 @@ GROUP BY ALL
         # merge of everything streamed — same islands oracle
         "stream_merge": merge,
         "stream_count": stream_count,
+        "stream_closest": stream_closest,
     }
 
 

@@ -245,6 +245,56 @@ def _closest_kernel(
     return out1, out2, outd, pdf1, pdf2
 
 
+def _closest_pandas(pdf1, pdf2, *, names1, names2, sfx1, sfx2,
+                    sk1, ek1, sk2, ek2, k,
+                    ignore_overlaps=False, ignore_upstream=False,
+                    ignore_downstream=False, direction_col=None,
+                    tie_breaking_col=None, self_mode=False,
+                    return_overlap=False, return_distance=True):
+    """One chromosome's closest output as a pandas frame: runs
+    :func:`_closest_kernel` and assembles the suffixed left+right
+    columns (left-join null row when ``pdf2`` is None/empty).  Shared by
+    the batch cogroup path and the streaming static-annotation kernel so
+    both emit byte-identical rows."""
+    if pdf2 is None or len(pdf2) == 0:
+        left = pdf1.copy()
+        left.columns = [c + sfx1 for c in names1]
+        for c in names2:
+            left[c + sfx2] = None
+        if return_overlap:
+            left["have_overlap"] = None
+            left["overlap_start"] = None
+            left["overlap_end"] = None
+        if return_distance:
+            left["distance"] = None
+        return left
+    i1, i2, dist, pdf1s, pdf2s = _closest_kernel(
+        pdf1, pdf2, sk1=sk1, ek1=ek1, sk2=sk2, ek2=ek2, k=k,
+        ignore_overlaps=ignore_overlaps, ignore_upstream=ignore_upstream,
+        ignore_downstream=ignore_downstream, direction_col=direction_col,
+        tie_breaking_col=tie_breaking_col, self_mode=self_mode,
+    )
+    left = pdf1s.iloc[i1].reset_index(drop=True)
+    left.columns = [c + sfx1 for c in names1]
+    na = i2 < 0
+    right = pdf2s.iloc[np.where(na, 0, i2)].reset_index(drop=True)
+    right.columns = [c + sfx2 for c in names2]
+    right[na] = None
+    out = pd.concat([left, right], axis=1)
+    if return_overlap:
+        osv = np.maximum(left[sk1 + sfx1].to_numpy(np.int64, na_value=0),
+                         right[sk2 + sfx2].to_numpy(np.int64, na_value=0))
+        oev = np.minimum(left[ek1 + sfx1].to_numpy(np.int64, na_value=0),
+                         right[ek2 + sfx2].to_numpy(np.int64, na_value=0))
+        hov = osv < oev
+        out["have_overlap"] = np.where(na, None, hov)
+        out["overlap_start"] = np.where(hov & ~na, osv, None)
+        out["overlap_end"] = np.where(hov & ~na, oev, None)
+    if return_distance:
+        out["distance"] = np.where(na, None, dist)
+    return out
+
+
 def closest_within(
     df1: DataFrame,
     df2: DataFrame,
@@ -582,43 +632,15 @@ def closest(
         pdf2 = pdf2.set_axis(names2, axis=1)
         if len(pdf1) == 0:
             return pd.DataFrame(columns=[f.name for f in out_fields])
-        if key[0] is None or len(pdf2) == 0:
-            left = pdf1.copy()
-            left.columns = [c + sfx1 for c in names1]
-            for c in names2:
-                left[c + sfx2] = None
-            if return_overlap:
-                left["have_overlap"] = None
-                left["overlap_start"] = None
-                left["overlap_end"] = None
-            if return_distance:
-                left["distance"] = None
-            return left
-        i1, i2, dist, pdf1s, pdf2s = _closest_kernel(
-            pdf1, pdf2, sk1=sk1, ek1=ek1, sk2=sk2, ek2=ek2, k=k,
+        return _closest_pandas(
+            pdf1, None if key[0] is None else pdf2,
+            names1=names1, names2=names2, sfx1=sfx1, sfx2=sfx2,
+            sk1=sk1, ek1=ek1, sk2=sk2, ek2=ek2, k=k,
             ignore_overlaps=ignore_overlaps, ignore_upstream=ignore_upstream,
             ignore_downstream=ignore_downstream, direction_col=direction_col,
             tie_breaking_col=tie_breaking_col, self_mode=self_mode,
+            return_overlap=return_overlap, return_distance=return_distance,
         )
-        left = pdf1s.iloc[i1].reset_index(drop=True)
-        left.columns = [c + sfx1 for c in names1]
-        na = i2 < 0
-        right = pdf2s.iloc[np.where(na, 0, i2)].reset_index(drop=True)
-        right.columns = [c + sfx2 for c in names2]
-        right[na] = None
-        out = pd.concat([left, right], axis=1)
-        if return_overlap:
-            osv = np.maximum(left[sk1 + sfx1].to_numpy(np.int64, na_value=0),
-                             right[sk2 + sfx2].to_numpy(np.int64, na_value=0))
-            oev = np.minimum(left[ek1 + sfx1].to_numpy(np.int64, na_value=0),
-                             right[ek2 + sfx2].to_numpy(np.int64, na_value=0))
-            hov = osv < oev
-            out["have_overlap"] = np.where(na, None, hov)
-            out["overlap_start"] = np.where(hov & ~na, osv, None)
-            out["overlap_end"] = np.where(hov & ~na, oev, None)
-        if return_distance:
-            out["distance"] = np.where(na, None, dist)
-        return out
 
     # Rename df2's columns before the cogroup. When df2 shares attribute
     # lineage with df1 (self-mode, or df2 derived from df1) AND the output

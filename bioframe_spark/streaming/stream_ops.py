@@ -13,6 +13,10 @@ Streaming analogs of the batch operators that are order-insensitive:
   (``applyInPandasWithState``) — per-key gap-based session windows, the
   time-axis analog of ``cluster(min_dist=gap)``.
 
+- ``stream_closest_static``: nearest static annotation(s) per arriving
+  interval — stateless mapInPandas over per-chromosome collected
+  annotation frames, running the batch cogroup kernel, so stream rows
+  are byte-identical to batch ``closest`` on replay.
 - ``stream_count_overlaps_static``: running per-annotation overlap
   counts (incremental streaming aggregation over the stream-static
   join) — the streaming analog of ``count_overlaps``; final emissions
@@ -258,6 +262,67 @@ def stream_overlap_static(stream: DataFrame, annotations: DataFrame,
         F.col(sk2 + sfx2), F.col(ek2 + sfx2),
     )
     return left.join(F.broadcast(ann), cond, "left_outer")
+
+
+def stream_closest_static(stream: DataFrame, annotations: DataFrame,
+                          k: int = 1, suffixes=("", "_ann"),
+                          cols1=None, cols2=None,
+                          return_distance: bool = True) -> DataFrame:
+    """Nearest static annotation(s) for each arriving interval — the
+    streaming form of ``closest(stream_df, annotations, k=k)`` ("tag
+    each event with its nearest gene, live").
+
+    STATELESS: the annotation table is bounded (the same broadcast-dim
+    contract as :func:`stream_overlap_static`); it is collected ONCE at
+    plan-construction time into per-chromosome pandas frames captured by
+    a ``mapInPandas`` kernel — the SAME vectorized searchsorted kernel
+    and row-assembly the batch cogroup path runs
+    (``operators/closest.py::_closest_pandas``), so every emitted row is
+    byte-identical to the batch operator on a replay of the stream.
+    Stateless map ops are append-legal; each micro-batch's rows emit
+    immediately.  Chromosomes with no annotation produce the batch
+    path's left-join null row.  k-NN against a MUTABLE or unbounded
+    right side is not offered as a stream (it would need total
+    per-chromosome order); re-plan on annotation refresh instead."""
+    import pandas as pd
+
+    from ..operators.closest import _closest_pandas
+
+    ck1, sk1, ek1 = _resolve_cols(cols1)
+    ck2, sk2, ek2 = _resolve_cols(cols2)
+    sfx1, sfx2 = suffixes
+    names1 = list(stream.columns)
+    names2 = list(annotations.columns)
+    ann_pd = annotations.toPandas()
+    ann_by_chrom = {
+        c: grp.reset_index(drop=True)
+        for c, grp in ann_pd.groupby(ck2, sort=False)
+    }
+
+    out_fields = [T.StructField(f.name + sfx1, f.dataType, True)
+                  for f in stream.schema.fields]
+    out_fields += [T.StructField(f.name + sfx2, f.dataType, True)
+                   for f in annotations.schema.fields]
+    if return_distance:
+        out_fields.append(T.StructField("distance", T.LongType(), True))
+    out_schema = T.StructType(out_fields)
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for chrom, p1 in pdf.groupby(ck1, sort=False, dropna=False):
+                p2 = None if pd.isna(chrom) else ann_by_chrom.get(chrom)
+                outs.append(_closest_pandas(
+                    p1.reset_index(drop=True), p2,
+                    names1=names1, names2=names2, sfx1=sfx1, sfx2=sfx2,
+                    sk1=sk1, ek1=ek1, sk2=sk2, ek2=ek2, k=k,
+                    return_distance=return_distance,
+                ))
+            yield pd.concat(outs, ignore_index=True)
+
+    return stream.mapInPandas(kern, out_schema)
 
 
 def stream_count_overlaps_static(stream: DataFrame, annotations: DataFrame,

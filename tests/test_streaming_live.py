@@ -379,3 +379,38 @@ def test_stream_count_overlaps_static_live(spark, tmp_path):
     assert latest == want
     # untouched annotation rows never emit
     assert ("chr2", 500, 600) not in latest
+
+
+def test_stream_closest_static_live(spark, tmp_path):
+    """Stateless nearest-annotation tagging: streamed rows (append per
+    micro-batch) are row-identical to batch closest on the replayed
+    stream — including null rows for chroms with no annotation and the
+    (distance, start2, end2) tie rule the batch kernel applies."""
+    import bioframe_spark as bf
+
+    src = tmp_path / "closest_stream"
+    src.mkdir()
+    schema = "chrom string, start long, end long"
+    b1 = [("chr1", 0, 10), ("chr1", 50, 60), ("chr3", 0, 5)]
+    b2 = [("chr1", 12, 13), ("chr2", 7, 9), ("chr1", 50, 60)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    ann = spark.createDataFrame(
+        [("chr1", 11, 12), ("chr1", 12, 20), ("chr1", 100, 110),
+         ("chr2", 0, 1)], schema)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    out = stream_ops.stream_closest_static(stream, ann, k=2)
+
+    rows = []
+    q = (out.writeStream
+         .foreachBatch(lambda bdf, bid: rows.extend(
+             tuple(r) for r in bdf.collect()))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    want_df = bf.closest(spark.createDataFrame(b1 + b2, schema), ann, k=2,
+                         suffixes=("", "_ann"))
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert sorted(rows) == want
