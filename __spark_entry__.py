@@ -818,6 +818,31 @@ def q_stream_count(spark, sf_dir):
         "count long")
 
 
+def q_stream_coverage(spark, sf_dir):
+    """STREAMING running covered-bp per annotation driven to completion
+    (broadcast stream-static join + incremental clipped-length sum,
+    update mode).  Final snapshot = the batch per-row clipped-length sum
+    (documented double-count semantics, NOT merged coverage), so the
+    oracle is the inner-join SUM of clipped lengths."""
+    from bioframe_spark.streaming import stream_ops
+
+    ann = ivals_b(spark, sf_dir)
+
+    def cap(pdf, snap):
+        for r in pdf.itertuples(index=False):
+            snap[r.bid] = r  # bid unique per annotation row
+
+    snap = _drive_stream(
+        spark, sf_dir,
+        lambda s: stream_ops.stream_coverage_static(s, ann), cap)
+    data = [(int(r.bid), r.chrom, int(r.start), int(r.end), r.strand,
+             int(r.covered_bp)) for r in snap.values()]
+    return spark.createDataFrame(
+        data,
+        "bid long, chrom string, start long, end long, strand string, "
+        "covered_bp long")
+
+
 def q_stream_closest(spark, sf_dir):
     """STREAMING nearest-annotation tagging driven to completion:
     stateless ``stream_closest_static`` (per-chromosome collected
@@ -944,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge": q_stream_merge,
         "stream_count": q_stream_count,
         "stream_closest": q_stream_closest,
+        "stream_coverage": q_stream_coverage,
     }
 
 
@@ -1865,6 +1891,14 @@ FROM b JOIN a ON a.chrom = b.chrom AND {ov_ab}
 GROUP BY ALL
 """
 
+    stream_coverage = _CTE + f"""
+SELECT b.bid, b.chrom, b.start, b."end", b.strand,
+       CAST(SUM(LEAST(a."end", b."end") - GREATEST(a.start, b.start))
+            AS BIGINT) AS covered_bp
+FROM b JOIN a ON a.chrom = b.chrom AND {ov_ab}
+GROUP BY ALL
+"""
+
     stream_closest = _CTE + """, a3 AS (
   SELECT DISTINCT chrom, start, "end" FROM a
 ), cand AS (
@@ -1969,6 +2003,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "stream_merge": merge,
         "stream_count": stream_count,
         "stream_closest": stream_closest,
+        "stream_coverage": stream_coverage,
     }
 
 

@@ -352,6 +352,36 @@ def stream_count_overlaps_static(stream: DataFrame, annotations: DataFrame,
     )
 
 
+def stream_coverage_static(stream: DataFrame, annotations: DataFrame,
+                           cols1=None, cols2=None) -> DataFrame:
+    """Running covered-base-pairs per annotation over an interval stream
+    — the streaming analog of ``coverage(annotations, stream)`` WITHOUT
+    the merge step: each arriving interval contributes its clipped
+    length, so overlapping stream intervals double-count (the exact
+    batch equivalent is the sum of per-row clipped lengths, not merged
+    coverage — a running merge would need per-chromosome state; use
+    ``stream_merge`` + a batch join on the snapshot for merged
+    semantics).  Same shape as :func:`stream_count_overlaps_static`:
+    broadcast stream-static inner join + incremental sum keyed by the
+    annotation row, update mode; untouched annotations never emit."""
+    ck1, sk1, ek1 = _resolve_cols(cols1)
+    ck2, sk2, ek2 = _resolve_cols(cols2)
+    ann = annotations.select(
+        [F.col(c).alias("__a_" + c) for c in annotations.columns])
+    cond = (F.col(ck1) == F.col("__a_" + ck2)) & overlap_predicate(
+        F.col(sk1), F.col(ek1),
+        F.col("__a_" + sk2), F.col("__a_" + ek2),
+    )
+    joined = stream.join(F.broadcast(ann), cond, "inner")
+    clipped = (F.least(F.col(ek1), F.col("__a_" + ek2))
+               - F.greatest(F.col(sk1), F.col("__a_" + sk2)))
+    return (
+        joined.groupBy(*[F.col("__a_" + c).alias(c)
+                         for c in annotations.columns])
+        .agg(F.sum(clipped).alias("covered_bp"))
+    )
+
+
 def stream_drop_exact_duplicates(docs: DataFrame, text_col: str = "text",
                                  ts_col: str | None = None,
                                  watermark: str | None = None) -> DataFrame:

@@ -414,3 +414,43 @@ def test_stream_closest_static_live(spark, tmp_path):
                          suffixes=("", "_ann"))
     want = sorted(tuple(r) for r in want_df.collect())
     assert sorted(rows) == want
+
+
+def test_stream_coverage_static_live(spark, tmp_path):
+    """Running covered-bp per annotation: final update-mode emission
+    equals the batch sum of per-row clipped lengths (documented
+    double-count semantics — NOT merged coverage)."""
+    src = tmp_path / "cov_stream"
+    src.mkdir()
+    schema = "chrom string, start long, end long"
+    b1 = [("chr1", 0, 10), ("chr1", 5, 25), ("chr2", 0, 100)]
+    b2 = [("chr1", 20, 30), ("chr1", 8, 9), ("chr3", 0, 5)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    ann = spark.createDataFrame(
+        [("chr1", 0, 15), ("chr1", 22, 40), ("chr2", 50, 60),
+         ("chr2", 500, 600)], schema)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    out = stream_ops.stream_coverage_static(stream, ann)
+
+    latest = {}
+    q = (out.writeStream
+         .foreachBatch(lambda bdf, bid: latest.update(
+             {(r["chrom"], r["start"], r["end"]): r["covered_bp"]
+              for r in bdf.collect()}))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # batch equivalent: per-row clipped lengths summed per annotation
+    want = {}
+    for (ac, as_, ae) in [("chr1", 0, 15), ("chr1", 22, 40),
+                          ("chr2", 50, 60), ("chr2", 500, 600)]:
+        tot = 0
+        for (sc, ss, se) in b1 + b2:
+            if sc == ac and ss < ae and as_ < se:
+                tot += min(ae, se) - max(as_, ss)
+        if tot:
+            want[(ac, as_, ae)] = tot
+    assert latest == want
