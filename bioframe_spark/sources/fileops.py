@@ -583,6 +583,18 @@ def to_bigbed(df: DataFrame, chromsizes: dict, out_path: str,
     )
 
 
+def read_parquet(spark, path: str) -> DataFrame:
+    """Reference-name alias (``sandbox/parquet_io.py``): plain parquet
+    scan — Spark-side, predicate/column pushdown comes free."""
+    return spark.read.parquet(path)
+
+
+def to_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Reference-name alias (``sandbox/parquet_io.py``): plain parquet
+    write; see :func:`to_parquet_partitioned` for the pruned layout."""
+    df.write.mode(mode).parquet(path)
+
+
 def to_parquet_partitioned(df: DataFrame, path: str, by: str = "chrom",
                            sort_within: bool = True, cols=None) -> None:
     """Write an interval table partitioned by chromosome with rows sorted

@@ -48,8 +48,11 @@ def stack_intervals_levels(starts, ends) -> np.ndarray:
     return levels
 
 
-# reference-name alias (arrops.py:773)
-stack_intervals = stack_intervals_levels
+def stack_intervals(starts, ends):
+    """Reference-name entry point (arrops.py:773) with the reference
+    tie order — see :func:`..core.arrops.stack_intervals`."""
+    from .core.arrops import stack_intervals as _si
+    return _si(starts, ends)
 
 
 def plot_intervals_arr(starts, ends, levels=None, labels=None, colors=None,
