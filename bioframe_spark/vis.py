@@ -13,15 +13,16 @@ import numpy as np
 def to_ucsc_colorstring(color) -> str:
     """Matplotlib-compatible color → UCSC 'r,g,b' itemRgb string
     (reference ``vis.py:18-59``)."""
-    try:
+    if isinstance(color, (tuple, list)):
+        # RGB(A) tuples need no color library — also keeps this path
+        # independent of the matplotlib STUB the reference-loading tests
+        # install when the real library is absent (a stubbed to_rgb maps
+        # everything to black)
+        rgb = color
+    else:
         import matplotlib.colors as mcolors
 
         rgb = mcolors.to_rgb(color)
-    except ImportError:
-        if isinstance(color, (tuple, list)):
-            rgb = color
-        else:
-            raise
     return ",".join(str(int(round(c * 255))) for c in rgb[:3])
 
 
