@@ -864,6 +864,9 @@ def q_stream_closest(spark, sf_dir):
         lambda s: stream_ops.stream_closest_static(s, ann, k=1,
                                                    suffixes=("", "_ann")),
         cap)
+    if not snap.get("rows"):
+        raise RuntimeError("stream_closest drive produced no output "
+                           "(empty source glob or zero-row batches)")
     allr = pd.concat(snap["rows"], ignore_index=True)
     data = [
         (r.chrom, int(r.start), int(r.end),

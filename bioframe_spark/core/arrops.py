@@ -242,16 +242,13 @@ def coverage_intervals_rle(starts, ends, weights=None):
     return borders[order], np.cumsum(deltas[order])
 
 
-def stack_intervals(starts, ends):
-    """Greedy first-fit stacking levels, reference tie order: sweep
-    borders left to right, free levels at an end border before filling
-    a start border at the same coordinate (half-open touch never
-    collides), and among intervals starting together place the LONGER
-    one first."""
-    starts = np.asarray(starts)
-    ends = np.asarray(ends)
-    order = np.lexsort([-(ends - starts), starts])
-    levels = np.full(starts.shape[0], -1, dtype=np.int64)
+def first_fit_levels(starts, ends, order):
+    """Greedy first-fit level assignment processing intervals in
+    ``order``: each takes the lowest level whose last occupant ended at
+    or before its start (half-open touch never collides).  The ONE
+    sequential stacking loop — reference-order and plot-order callers
+    differ only in the order array they pass."""
+    levels = np.full(np.asarray(starts).shape[0], -1, dtype=np.int64)
     level_free_at: list[int] = []
     for i in order:
         placed = False
@@ -265,3 +262,14 @@ def stack_intervals(starts, ends):
             levels[i] = len(level_free_at)
             level_free_at.append(ends[i])
     return levels
+
+
+def stack_intervals(starts, ends):
+    """Greedy first-fit stacking levels, reference tie order: sweep
+    borders left to right, free levels at an end border before filling
+    a start border at the same coordinate, and among intervals starting
+    together place the LONGER one first."""
+    starts = np.asarray(starts)
+    ends = np.asarray(ends)
+    return first_fit_levels(starts, ends,
+                            np.lexsort([-(ends - starts), starts]))

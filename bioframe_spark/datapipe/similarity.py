@@ -35,6 +35,23 @@ def _norm2(a):
     return F.aggregate(a, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
 
 
+def _parse_bytes_conf(spark, key: str, default: int) -> int:
+    """Spark byte-string conf → int bytes ('10485760b', '100MB', '1g',
+    bare ints all legal — Spark's own JavaUtils grammar, case-insensitive)."""
+    import re as _re
+
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+        m = _re.fullmatch(r"(-?\d+)\s*([kmgtp]?)b?", raw)
+        if not m:
+            return default
+        mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                "t": 1 << 40, "p": 1 << 50}[m.group(2)]
+        return int(m.group(1)) * mult
+    except Exception:
+        return default
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -484,11 +501,8 @@ def ivf_topk_indexed(queries: DataFrame, path: str, k: int = 10,
                          "query_id", "qv", "qn", n_probe)
     if broadcast_queries is None:
         from ..operators.ops import _plan_size_bytes
-        try:
-            raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            bar = int(raw[:-1]) if raw.endswith(("b", "B")) else int(raw)
-        except Exception:
-            bar = 10 << 20
+        bar = _parse_bytes_conf(
+            spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
         broadcast_queries = bar > 0 and \
             _plan_size_bytes(queries) * max(n_probe, 1) <= bar
     postings = spark.read.parquet(f"{path}/postings")

@@ -293,11 +293,16 @@ def stream_closest_static(stream: DataFrame, annotations: DataFrame,
     sfx1, sfx2 = suffixes
     names1 = list(stream.columns)
     names2 = list(annotations.columns)
+    # Collected once here (bounded dim — the construction-time Spark job
+    # is the price of a stateless stream plan), then shipped ONCE per
+    # executor as a Spark broadcast: embedding the frames in the task
+    # closure would re-serialize the whole table with every micro-batch's
+    # task binary.
     ann_pd = annotations.toPandas()
-    ann_by_chrom = {
+    ann_bc = stream.sparkSession.sparkContext.broadcast({
         c: grp.reset_index(drop=True)
         for c, grp in ann_pd.groupby(ck2, sort=False)
-    }
+    })
 
     out_fields = [T.StructField(f.name + sfx1, f.dataType, True)
                   for f in stream.schema.fields]
@@ -313,7 +318,7 @@ def stream_closest_static(stream: DataFrame, annotations: DataFrame,
                 continue
             outs = []
             for chrom, p1 in pdf.groupby(ck1, sort=False, dropna=False):
-                p2 = None if pd.isna(chrom) else ann_by_chrom.get(chrom)
+                p2 = None if pd.isna(chrom) else ann_bc.value.get(chrom)
                 outs.append(_closest_pandas(
                     p1.reset_index(drop=True), p2,
                     names1=names1, names2=names2, sfx1=sfx1, sfx2=sfx2,

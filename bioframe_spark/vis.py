@@ -17,7 +17,12 @@ def to_ucsc_colorstring(color) -> str:
         # RGB(A) tuples need no color library — also keeps this path
         # independent of the matplotlib STUB the reference-loading tests
         # install when the real library is absent (a stubbed to_rgb maps
-        # everything to black)
+        # everything to black). Validate what matplotlib would have:
+        # 3/4 components, each a number in [0, 1].
+        if len(color) not in (3, 4) or not all(
+                isinstance(c, (int, float)) and 0 <= c <= 1 for c in color):
+            raise ValueError(f"invalid RGB(A) tuple: {color!r} "
+                             "(need 3-4 components in [0, 1])")
         rgb = color
     else:
         import matplotlib.colors as mcolors
@@ -27,26 +32,15 @@ def to_ucsc_colorstring(color) -> str:
 
 
 def stack_intervals_levels(starts, ends) -> np.ndarray:
-    """Greedy first-fit interval stacking for plot levels (semantics of
-    reference ``arrops.py:773-798``; inherently sequential per chrom —
-    this is a driver-side helper for already-collected frames)."""
+    """Greedy first-fit interval stacking for plot levels, processed in
+    (start, end) order (a valid stacking; the reference kernel's exact
+    tie order lives in :func:`..core.arrops.stack_intervals` — both
+    share one first-fit loop)."""
+    from .core.arrops import first_fit_levels
+
     starts = np.asarray(starts)
     ends = np.asarray(ends)
-    order = np.lexsort([ends, starts])
-    levels = np.full(starts.shape[0], -1)
-    level_ends: list[int] = []
-    for i in order:
-        placed = False
-        for lvl, le in enumerate(level_ends):
-            if starts[i] >= le:
-                levels[i] = lvl
-                level_ends[lvl] = ends[i]
-                placed = True
-                break
-        if not placed:
-            levels[i] = len(level_ends)
-            level_ends.append(ends[i])
-    return levels
+    return first_fit_levels(starts, ends, np.lexsort([ends, starts]))
 
 
 def stack_intervals(starts, ends):

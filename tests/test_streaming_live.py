@@ -408,7 +408,8 @@ def test_stream_closest_static_live(spark, tmp_path):
          .foreachBatch(lambda bdf, bid: rows.extend(
              tuple(r) for r in bdf.collect()))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish"
+    q.stop()
 
     want_df = bf.closest(spark.createDataFrame(b1 + b2, schema), ann, k=2,
                          suffixes=("", "_ann"))
@@ -441,7 +442,8 @@ def test_stream_coverage_static_live(spark, tmp_path):
              {(r["chrom"], r["start"], r["end"]): r["covered_bp"]
               for r in bdf.collect()}))
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish"
+    q.stop()
 
     # batch equivalent: per-row clipped lengths summed per annotation
     want = {}
