@@ -376,6 +376,43 @@ def q_train_split(spark, sf_dir):
         docs, 0.2, key_col="doc_id", seed=5).select("doc_id", "split")
 
 
+def q_redact(spark, sf_dir):
+    """PII redaction + audit counts over the documents table. The
+    corpus text is deterministically augmented with one email, URL, and
+    IP per doc (both engines build the same string), counts come from
+    the PRE-redaction text, and the redaction chain applies URL → email
+    → IP (same order both sides)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"), did,
+                 F.lit("@example.com via https://ex"), did,
+                 F.lit(".test/a?q=1 from 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 end")).alias("text"),
+    )
+    out = text.redact_pii(text.redaction_counts(aug))
+    # F.size is int; the oracle's list-length is BIGINT — align types
+    return out.withColumns(
+        {c: F.col(c).cast("long") for c in ("n_url", "n_email", "n_ip")})
+
+
+def q_boilerplate(spark, sf_dir):
+    """C4-style boilerplate-line removal: every doc gets a shared
+    header line and a (doc_id % 7)-group footer line around its own
+    text; lines appearing in >= 2 distinct docs are dropped and each
+    doc is rebuilt from its surviving lines in order."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.lit("SHARED-HEADER\n"), F.col("text"),
+                 F.lit("\nFOOT-"),
+                 (F.col("doc_id") % 7).cast("string")).alias("text"),
+    )
+    return text.remove_boilerplate_lines(aug, min_docs=2)
+
+
 def q_curate(spark, sf_dir):
     """The end-to-end curation pipeline: quality gate → exact dedup →
     fuzzy dedup (components → canonical) → train/val split, one DAG."""
@@ -931,9 +968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gene_coverage": q_gene_coverage,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "redact": q_redact,  # new this round
+        "boilerplate": q_boilerplate,  # new this round
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_components": q_dedup_components,
-        "dedup_canonical": q_dedup_canonical,
         "curate": q_curate,
         "sample_users": q_sample_users,
         "train_split": q_train_split,
@@ -944,8 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
         "ann_lsh": q_ann_lsh,
-        "events_hourly": q_events_hourly,
         "sessions": q_sessions,
+        "events_hourly": q_events_hourly,  # r01-stable; rotated at r04
+        "dedup_canonical": q_dedup_canonical,
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
         "overlap_binned": q_overlap_binned,
@@ -1378,6 +1417,46 @@ WHERE NOT EXISTS (SELECT 1 FROM comp
     # the full curation pipeline: quality gate → exact dedup → fuzzy
     # dedup (transitive closure over the jaccard graph of the SURVIVORS)
     # → deterministic split; same CTE skeleton, staged inputs
+    redact = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://ex' || CAST(doc_id AS VARCHAR)
+              || '.test/a?q=1 from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 end' AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
+  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_url,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+FROM aug
+"""
+
+    boilerplate = """
+WITH aug AS (
+  SELECT doc_id, 'SHARED-HEADER' || chr(10) || text || chr(10)
+                 || 'FOOT-' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents),
+p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug),
+lines AS (SELECT doc_id, parts[i] AS line, i AS ord
+          FROM p, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+boiler AS (SELECT line FROM lines WHERE trim(line) <> ''
+           GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT l.doc_id, l.line, l.ord FROM lines l
+         LEFT JOIN boiler b USING (line) WHERE b.line IS NULL),
+rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+            FROM kept GROUP BY doc_id)
+SELECT a.doc_id, COALESCE(r.text, '') AS text
+FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+"""
+
     curate = f"""
 WITH RECURSIVE d0 AS (
   SELECT doc_id, text FROM documents
@@ -1961,6 +2040,8 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "gene_coverage": gene_coverage,
         "dedup_exact": dedup_exact,
         "text_stats": text_stats,
+        "redact": redact,
+        "boilerplate": boilerplate,
         "text_fingerprints": text_fingerprints,
         "language_id": language_id,
         "jaccard_pairs": jaccard_pairs,

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     # datapipe ops
     "dedup_exact",
     "text_stats",
+    "redact",
+    "boilerplate",
     "jaccard_pairs",
     "curate",
     "minhash_lsh",

@@ -158,3 +158,90 @@ def doc_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     stop_score = F.least(n_stop * F.lit(10.0) / F.greatest(n_tok, F.lit(1.0)), F.lit(1.0))
     return df.withColumn("quality", F.round(0.5 * len_score + 0.5 * stop_score, 6))
+
+
+# --------------------------------------------------------------------------
+# corpus cleaning: PII redaction + boilerplate-line removal
+# --------------------------------------------------------------------------
+
+# Patterns chosen to mean the same thing under Java regex (Spark) and
+# RE2 (DuckDB oracle): no lookaround, no backreferences. Order matters
+# when applied together: URLs first, so an email inside a URL folds into
+# <URL> rather than leaving a mangled remainder.
+REDACTION_PATTERNS = {
+    "url": (r"https?://\S+", "<URL>"),
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{7,15}", "<PHONE>"),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               kinds=("url", "email", "ip"),
+               out_col: str | None = None) -> DataFrame:
+    """Replace PII-like spans with typed placeholder tokens — the
+    standard pre-training scrub. A chain of JVM ``regexp_replace``
+    projections: no shuffle, no UDF, linear in corpus bytes at any
+    scale. ``kinds`` applies in the given order (see
+    ``REDACTION_PATTERNS`` for why URL should precede email)."""
+    col = F.col(text_col)
+    for k in kinds:
+        pat, repl = REDACTION_PATTERNS[k]
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col or text_col, col)
+
+
+def redaction_counts(df: DataFrame, text_col: str = "text",
+                     kinds=("url", "email", "ip")) -> DataFrame:
+    """Per-document counts of each PII kind (audit the scrub before
+    running it). One projection: ``size(regexp_extract_all(...))`` per
+    kind."""
+    return df.withColumns({
+        f"n_{k}": F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(REDACTION_PATTERNS[k][0]), 0))
+        for k in kinds
+    })
+
+
+def remove_boilerplate_lines(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", min_docs: int = 2,
+                             sep: str = "\n") -> DataFrame:
+    """C4-style boilerplate scrub: drop every line whose exact text
+    appears in ≥ ``min_docs`` DISTINCT documents, then rebuild each
+    document from its surviving lines in original order (docs whose
+    every line was boilerplate keep an empty string).
+
+    Scale shape: one explode (linear), one aggregation keyed by line
+    text to find the repeated set — which is SMALL by construction
+    (navigation chrome, license headers), so the scrub join back is a
+    broadcast LEFT ANTI against the exploded lines, and the per-doc
+    rebuild is one shuffle by ``id_col`` with an in-group
+    ``array_sort`` (no window). Blank lines are exempt — every document
+    shares them, and removing them would reflow all formatting."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    boiler = (
+        lines.filter(F.trim("__line") != "")
+        .groupBy("__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(F.broadcast(boiler), "__line", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line")))
+             .alias("__arr"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, F.transform("__arr", lambda x: x["__line"]))
+            .alias("__clean"),
+        )
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("__clean", F.lit("")))
+        .drop("__clean")
+    )

@@ -329,3 +329,36 @@ def test_jaccard_cache_auto_and_release(spark, tmp_path):
         assert getattr(out3, "_bioframe_cache", None) is None
     finally:
         spark.conf.unset("spark.bioframe.shingleCacheBytes")
+
+
+def test_redact_pii_order_and_counts(spark):
+    """URL redaction precedes email so an email-like span inside a URL
+    folds into <URL>; counts audit the PRE-redaction text."""
+    from bioframe_spark.datapipe import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co or https://x.io/u@v.org path 1.2.3.4 ok"),
+         (2, "no pii here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           tx.redact_pii(tx.redaction_counts(df)).collect()}
+    assert out[1]["text"] == "mail <EMAIL> or <URL> path <IP> ok"
+    assert (out[1]["n_url"], out[1]["n_email"], out[1]["n_ip"]) == (1, 2, 1)
+    assert out[2]["text"] == "no pii here"
+    assert (out[2]["n_url"], out[2]["n_email"], out[2]["n_ip"]) == (0, 0, 0)
+
+
+def test_remove_boilerplate_lines(spark):
+    from bioframe_spark.datapipe import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "HEAD\nown one\n\nFOOT"),
+         (2, "HEAD\nown two\n\nFOOT"),
+         (3, "HEAD\nFOOT")],  # nothing survives but the blank rule
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           tx.remove_boilerplate_lines(df, min_docs=2).collect()}
+    # shared HEAD/FOOT dropped; blank lines exempt; order preserved
+    assert out[1] == "own one\n"
+    assert out[2] == "own two\n"
+    assert out[3] == ""
