@@ -95,6 +95,13 @@ def main():
             "minhash_lsh": lambda: dedup.minhash_lsh_pairs(docs),
             "simhash_pairs": lambda: dedup.simhash_dup_pairs(docs),
             "quality_feats": lambda: text.quality_features(docs),
+            "redact": lambda: text.redact_pii(docs),
+            # shared boilerplate: a header per copy-group (constant
+            # distinct-line set as k grows — the realistic shape)
+            "boilerplate": lambda: text.remove_boilerplate_lines(
+                docs.withColumn(
+                    "text",
+                    F.concat(F.lit("SHARED-HEADER\n"), F.col("text")))),
             "embedding_exact(all-pairs)": lambda: similarity.embedding_dup_pairs(
                 emb, threshold=0.98),
             "ann_lsh(bucketed)": lambda: similarity.lsh_bucketed_topk(
