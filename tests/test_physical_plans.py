@@ -275,3 +275,24 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
                                  train_iters=1)
     assert sorted(map(tuple, indexed.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_redact_is_map_only(spark, tmp_path):
+    # the PII scrub is a chain of regexp projections — zero Exchange
+    from bioframe_spark.datapipe import text as tx
+    p = str(tmp_path / "docs_redact")
+    _docs(spark).write.parquet(p)
+    plan = _plan(tx.redact_pii(tx.redaction_counts(spark.read.parquet(p))))
+    assert "Exchange" not in plan
+
+
+def test_boilerplate_anti_join_broadcasts(spark, tmp_path):
+    # the repeated-line set is small by construction: the scrub join
+    # back must be a broadcast LEFT ANTI, never a shuffled one
+    import re
+    from bioframe_spark.datapipe import text as tx
+    p = str(tmp_path / "docs_boiler")
+    _docs(spark).write.parquet(p)
+    plan = _plan(tx.remove_boilerplate_lines(spark.read.parquet(p)))
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
+    assert not re.search(r"SortMergeJoin.*LeftAnti", plan)
