@@ -983,10 +983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
         "ann_lsh": q_ann_lsh,
         "sessions": q_sessions,
-        "events_hourly": q_events_hourly,  # r01-stable; rotated at r04
-        "dedup_canonical": q_dedup_canonical,
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
+        "events_hourly": q_events_hourly,  # r01-stable; rotated at r04
+        "dedup_canonical": q_dedup_canonical,  # r03 green; components in-gate
         "overlap_binned": q_overlap_binned,
         "trim_expand": q_trim_expand,  # r03 driver-green + differential fuzz
         "setdiff": q_setdiff,  # r03 driver-green; setdiff_on/_binned in-gate

@@ -218,9 +218,15 @@ def remove_boilerplate_lines(docs: DataFrame, text_col: str = "text",
     rebuild is one shuffle by ``id_col`` with an in-group
     ``array_sort`` (no window). Blank lines are exempt — every document
     shares them, and removing them would reflow all formatting."""
+    import re as _re
+
+    # F.split takes a Java REGEX; sep is documented as a literal
+    # separator, so escape it (sep="|" would otherwise be the
+    # empty-alternation pattern and shred every doc into characters)
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("__pos", "__line"),
     )
     boiler = (
         lines.filter(F.trim("__line") != "")
@@ -240,8 +246,13 @@ def remove_boilerplate_lines(docs: DataFrame, text_col: str = "text",
             .alias("__clean"),
         )
     )
+    # null text stays null (it produced no lines); only docs whose every
+    # line was scrubbed collapse to ""
     return (
         docs.join(rebuilt, id_col, "left")
-        .withColumn(text_col, F.coalesce("__clean", F.lit("")))
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("__clean", F.lit(""))))
         .drop("__clean")
     )

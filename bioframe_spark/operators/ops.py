@@ -544,8 +544,13 @@ def overlap_prebinned(t1: DataFrame, t2: DataFrame,
     ``overlap(..., how='inner', strategy='binned')``: the kept-once rule
     (pair survives only at ``bin == max(first_bin1, first_bin2)``)
     emits each overlapping pair exactly once with no dedup shuffle.
-    Outer variants need the un-exploded originals — use ``overlap`` for
-    those."""
+    The shared-grid contract covers ``bin_size``, origin 0, AND the
+    ``with_bin`` ``hi`` end-clip: a sentinel-end row clipped at a
+    genome bound on one side occupies fewer bins than a partner binned
+    with the default unbounded ``hi``, and pairs beyond the tighter
+    clip are silently lost — write both tables through
+    ``write_prebinned`` with one ``hi``.  Outer variants need the
+    un-exploded originals — use ``overlap`` for those."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     for t, c, s, e in ((t1, ck1, sk1, ek1), (t2, ck2, sk2, ek2)):
@@ -764,9 +769,12 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi,
 
         A left_semi of the binned probe against the binned build emits at
         most |probe| rows (no pair fanout; SMJ semi stops at the first
-        match per row) and its two input exchanges are the SAME exchanges
-        the inner pair join reads — ReusedExchange makes the extra pass
-        scan-free and shuffle-free.  The anti join on the full row value
+        match per row).  Its exchanges do NOT canonicalize equal to the
+        pair join's (different pruned schemas — measured, see
+        tests/test_plan_budgets.py), so the pass costs two extra
+        column-pruned input scans and exchanges per outer side; the win
+        is that they are input-bounded and narrow, never touching the
+        fanout-sized pair output.  The anti join on the full row value
         (null-safe struct comparison; duplicates on the build side are
         harmless to anti semantics so no distinct) is a plain equi join:
         hash-spread, AQE-skew-splittable, and it keeps each never-matched

@@ -635,19 +635,24 @@ def write_bucketed(df: DataFrame, table: str, num_buckets: int = 64,
 
 def write_prebinned(df: DataFrame, table: str, bin_size: int = 10_000,
                     num_buckets: int = 32, path: str | None = None,
-                    cols=None) -> None:
+                    cols=None, hi: int | None = None) -> None:
     """The canonical pre-binned recurring-join layout in one call:
-    ``with_bin(df, bin_size)`` persisted
+    ``with_bin(df, bin_size, hi=hi)`` persisted
     ``bucketBy(num_buckets, chrom, bin) + sortBy(start, end)``.
-    Two tables written with the SAME ``bin_size`` (shared grid — the
-    kept-once rule requires it) and ``num_buckets`` join via
-    :func:`..operators.ops.overlap_prebinned` with zero Exchange.
-    One definition so the gate query, the benchmark, and the scale
-    ladder all measure the exact layout users get."""
+    Tables join via :func:`..operators.ops.overlap_prebinned` with zero
+    Exchange ONLY when written with the SAME ``bin_size``, origin 0,
+    ``num_buckets``, AND ``hi`` end-clip — a sentinel-end row clipped to
+    fewer bins on one side than the grid its partner was built on
+    silently loses pairs, so ``hi`` (the genome bound for tables that
+    carry unbounded sentinel ends) is part of the shared-grid contract,
+    not a per-table tuning knob. One definition so the gate query, the
+    benchmark, and the scale ladder all measure the exact layout users
+    get."""
     from ..core.specs import _resolve_cols
-    from ..operators.ops import with_bin
+    from ..operators.ops import INT64_MAX, with_bin
 
     ck, sk, ek = _resolve_cols(cols)
-    write_bucketed(with_bin(df, bin_size, cols=cols), table,
-                   num_buckets=num_buckets, bucket_cols=(ck, "bin"),
+    write_bucketed(with_bin(df, bin_size, cols=cols,
+                            hi=INT64_MAX if hi is None else hi),
+                   table, num_buckets=num_buckets, bucket_cols=(ck, "bin"),
                    sort_cols=(sk, ek), path=path)

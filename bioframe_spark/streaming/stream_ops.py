@@ -232,8 +232,16 @@ def stream_merge(stream: DataFrame, min_dist: int | None = 0,
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # Null-TRIPLE rows (legal bedframe annotations that batch merge
+    # passes through untouched) are dropped here, not crashed on: a
+    # null start/end arrives from Arrow as NaN and would poison the
+    # stateful kernel's int cast FOREVER (checkpoint restart re-reads
+    # the same file and dies again). An island snapshot has no
+    # deterministic place for pass-through rows — filter/route them
+    # upstream if they must be kept.
     return (
-        stream.filter(F.col(ck).isNotNull())
+        stream.filter(F.col(ck).isNotNull() & F.col(sk).isNotNull()
+                      & F.col(ek).isNotNull())
         .groupBy(ck)
         .applyInPandasWithState(fn, out_schema, state_schema, "update",
                                 GroupStateTimeout.NoTimeout)

@@ -19,11 +19,13 @@ def to_ucsc_colorstring(color) -> str:
         # install when the real library is absent (a stubbed to_rgb maps
         # everything to black). Validate what matplotlib would have:
         # 3/4 components, each a number in [0, 1].
+        import numbers
+
         if len(color) not in (3, 4) or not all(
-                isinstance(c, (int, float)) and 0 <= c <= 1 for c in color):
+                isinstance(c, numbers.Real) and 0 <= c <= 1 for c in color):
             raise ValueError(f"invalid RGB(A) tuple: {color!r} "
                              "(need 3-4 components in [0, 1])")
-        rgb = color
+        rgb = [float(c) for c in color]  # numbers.Real admits np floats
     else:
         import matplotlib.colors as mcolors
 
