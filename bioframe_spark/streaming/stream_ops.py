@@ -138,8 +138,12 @@ def stream_sessionize(events: DataFrame, gap: str = "30 seconds",
                 }
             )
 
+    # a null ts arrives in the kernel as NaT, whose .value is int64-min —
+    # not a crash but a garbage session spanning the epoch; null keys and
+    # timestamps carry no session information, drop them at the source
     return (
-        events.withWatermark(ts_col, watermark)
+        events.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append",
