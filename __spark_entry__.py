@@ -413,6 +413,23 @@ def q_boilerplate(spark, sf_dir):
     return text.remove_boilerplate_lines(aug, min_docs=2)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: a deterministic eval set (every 50th
+    doc, first half of its text + a unique marker tail) checked for
+    5-gram containment in the full corpus. Half-containment makes the
+    contamination fractions non-trivial; the unique tail guarantees no
+    eval doc is fully contained. Division is a single IEEE op (no
+    decimal rounding), so the double column hashes engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter((F.col("doc_id") % 50) == 0).select(
+        "doc_id",
+        F.concat(
+            F.expr("substring(text, 1, cast(floor(length(text)/2) as int))"),
+            F.lit(" zq"), F.col("doc_id").cast("string"),
+            F.lit(" unique eval marker tail words here")).alias("text"))
+    return dedup.ngram_contamination(docs, ev, n=5, threshold=0.1)
+
+
 def q_curate(spark, sf_dir):
     """The end-to-end curation pipeline: quality gate → exact dedup →
     fuzzy dedup (components → canonical) → train/val split, one DAG."""
@@ -965,12 +982,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_view": q_assign_view,
         "pair_by_distance": q_pair_by_distance,
         "pileup": q_pileup,
-        "gene_coverage": q_gene_coverage,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "redact": q_redact,  # new this round
         "boilerplate": q_boilerplate,  # new this round
         "jaccard_pairs": q_jaccard_pairs,
+        "contamination": q_contamination,  # new this round
         "dedup_components": q_dedup_components,
         "curate": q_curate,
         "sample_users": q_sample_users,
@@ -986,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
         "events_hourly": q_events_hourly,  # r01-stable; rotated at r04
+        "gene_coverage": q_gene_coverage,  # r03 green; parts gated separately
         "dedup_canonical": q_dedup_canonical,  # r03 green; components in-gate
         "overlap_binned": q_overlap_binned,
         "trim_expand": q_trim_expand,  # r03 driver-green + differential fuzz
@@ -1437,6 +1455,33 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text,
     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
 FROM aug
+"""
+
+    contamination = """
+WITH ev AS (
+  SELECT doc_id,
+         substr(text, 1, CAST(floor(length(text)/2) AS INT))
+           || ' zq' || CAST(doc_id AS VARCHAR)
+           || ' unique eval marker tail words here' AS text
+  FROM documents WHERE doc_id % 50 = 0),
+ctoks AS (SELECT string_split(text, ' ') AS toks FROM documents),
+csh AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM ctoks, UNNEST(range(1, len(toks) - 5 + 2)) AS r(i)),
+etoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ev),
+esh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM etoks, UNNEST(range(1, len(toks) - 5 + 2)) AS r(i)),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM esh GROUP BY doc_id),
+hits AS (SELECT e.doc_id, COUNT(*) AS n_contaminated
+         FROM esh e JOIN csh c USING (shingle) GROUP BY e.doc_id)
+SELECT ev.doc_id,
+       CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN COALESCE(t.n_shingles, 0) > 0
+            THEN COALESCE(h.n_contaminated, 0) / t.n_shingles
+            ELSE 0.0 END AS contamination,
+       (COALESCE(t.n_shingles, 0) > 0
+        AND (COALESCE(h.n_contaminated, 0) / t.n_shingles) >= 0.1) AS flagged
+FROM ev LEFT JOIN tot t USING (doc_id) LEFT JOIN hits h USING (doc_id)
 """
 
     boilerplate = """
@@ -2042,6 +2087,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "text_stats": text_stats,
         "redact": redact,
         "boilerplate": boilerplate,
+        "contamination": contamination,
         "text_fingerprints": text_fingerprints,
         "language_id": language_id,
         "jaccard_pairs": jaccard_pairs,

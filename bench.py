@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "redact",
     "boilerplate",
     "jaccard_pairs",
+    "contamination",
     "curate",
     "minhash_lsh",
     "simhash_pairs",

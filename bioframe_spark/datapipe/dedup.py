@@ -615,3 +615,58 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     losers = comp.filter(F.col("component") != F.col("id")) \
                  .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def ngram_contamination(corpus: DataFrame, eval_set: DataFrame, n: int = 8,
+                        threshold: float = 0.1, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: for each eval document, the fraction
+    of its n-gram shingles that appear ANYWHERE in the training corpus
+    (the standard long-n-gram overlap test — default n=8 words, flag at
+    ≥10% contaminated shingles).
+
+    Returns (eval id, n_shingles, n_contaminated, contamination,
+    flagged).  Eval docs too short to form one n-gram report zero
+    shingles and are never flagged.
+
+    Scale shape: the CORPUS side reduces to its DISTINCT shingle set
+    (one aggregation keyed by the high-cardinality shingle — map-side
+    partial aggregation eats the duplication), the eval side is
+    typically tiny; the containment join is a LEFT SEMI from eval
+    shingles into the corpus set, so nothing fanout-sized ever
+    materializes and corpus bytes stream through one shuffle.  No
+    quadratic pair join: contamination is per-eval-doc containment, not
+    doc-to-doc similarity (use ``ngram_jaccard_pairs`` to find WHICH
+    corpus doc matches)."""
+    ev = word_shingles(eval_set, n=n, text_col=text_col, id_col=id_col)
+    corpus_sh = (
+        word_shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle").distinct()
+    )
+    hits = (
+        ev.join(corpus_sh, "shingle", "left_semi")
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = (
+        eval_set.select(
+            F.col(id_col),
+            F.size(shingle_array(F.col(text_col), n)).cast("long")
+            .alias("n_shingles"))
+    )
+    out = (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_contaminated",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long"))
+        .withColumn(
+            "contamination",
+            # one correctly-rounded IEEE division — bit-identical in any
+            # engine (deliberately NOT decimal-rounded: round-at-6 can
+            # tie-break differently across engines)
+            F.when(F.col("n_shingles") > 0,
+                   F.col("n_contaminated") / F.col("n_shingles"))
+            .otherwise(F.lit(0.0)))
+        .withColumn("flagged",
+                    (F.col("n_shingles") > 0)
+                    & (F.col("contamination") >= threshold))
+    )
+    return out

@@ -362,3 +362,24 @@ def test_remove_boilerplate_lines(spark):
     assert out[1] == "own one\n"
     assert out[2] == "own two\n"
     assert out[3] == ""
+
+
+def test_ngram_contamination(spark):
+    from bioframe_spark.datapipe import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "entirely different training material goes here now")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(10, "quick brown fox jumps around"),  # 3 shingles, 2 in corpus
+         (11, "nothing matches this sentence at all"),
+         (12, "too short")],                    # zero 3-gram shingles
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.ngram_contamination(corpus, ev, n=3,
+                                     threshold=0.5).collect()}
+    assert (out[10]["n_shingles"], out[10]["n_contaminated"]) == (3, 2)
+    assert out[10]["flagged"] and abs(out[10]["contamination"] - 2/3) < 1e-12
+    assert out[11]["n_contaminated"] == 0 and not out[11]["flagged"]
+    assert out[12]["n_shingles"] == 0 and not out[12]["flagged"]
