@@ -96,6 +96,11 @@ def main():
             "simhash_pairs": lambda: dedup.simhash_dup_pairs(docs),
             "quality_feats": lambda: text.quality_features(docs),
             "redact": lambda: text.redact_pii(docs),
+            # eval set held constant while the corpus grows k x — the
+            # realistic decontamination shape (corpus-side distinct
+            # shingles dominate)
+            "contamination": lambda: dedup.ngram_contamination(
+                docs, docs0.filter(F.col("doc_id") % 50 == 0), n=5),
             # shared boilerplate: a header per copy-group (constant
             # distinct-line set as k grows — the realistic shape)
             "boilerplate": lambda: text.remove_boilerplate_lines(
