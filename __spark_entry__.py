@@ -413,6 +413,39 @@ def q_boilerplate(spark, sf_dir):
     return text.remove_boilerplate_lines(aug, min_docs=2)
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher/MassiveText repetition signals. Each doc is augmented into
+    a multi-line form with a guaranteed repeated line (its own first 20
+    chars, twice) so dup-line/dup-ngram numerators are non-trivial;
+    signals are integer numerators/denominators (engine-exact) plus the
+    deterministic top bigram."""
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring(F.col("text"), 1, 20)
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), head, head).alias("text"),
+    )
+    return text.repetition_signals(aug).select(
+        "doc_id", "n_lines", "n_dup_lines", "n_dup_line_chars",
+        "n_ngrams", "n_dup_ngrams",
+        "top_bigram", "top_bigram_count", "top_bigram_chars")
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4-style corpus-level line dedup: docs are augmented with a
+    (doc_id % 5)-group header line and a corpus-shared tail line around
+    their own text; every line keeps only its first occurrence across
+    the corpus (by doc_id, then position) and docs are rebuilt."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.lit("GROUP-"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit("\n"), F.col("text"),
+                 F.lit("\nCOMMON-TAIL")).alias("text"),
+    )
+    return text.dedup_lines(aug)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: a deterministic eval set (every 50th
     doc, first half of its text + a unique marker tail) checked for
@@ -968,7 +1001,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round (outer joins, merge auto path) --
         "overlap_inner": q_overlap_inner,
         "overlap_left": q_overlap_left,
-        "overlap_on": q_overlap_on,
         "overlap_outer": q_overlap_outer,
         "overlap_prebinned": q_overlap_prebinned,  # new this round
         "count_overlaps": q_count_overlaps,
@@ -981,11 +1013,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtract": q_subtract,
         "assign_view": q_assign_view,
         "pair_by_distance": q_pair_by_distance,
-        "pileup": q_pileup,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "redact": q_redact,  # new this round
         "boilerplate": q_boilerplate,  # new this round
+        "repetition": q_repetition,  # new this round
+        "dedup_lines": q_dedup_lines,  # new this round
         "jaccard_pairs": q_jaccard_pairs,
         "contamination": q_contamination,  # new this round
         "dedup_components": q_dedup_components,
@@ -1003,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
         "events_hourly": q_events_hourly,  # r01-stable; rotated at r04
+        "overlap_on": q_overlap_on,  # r01-r03 green; inner/left/outer in-gate
+        "pileup": q_pileup,  # r03 green; pileup_ranged/_weighted in-gate
         "gene_coverage": q_gene_coverage,  # r03 green; parts gated separately
         "dedup_canonical": q_dedup_canonical,  # r03 green; components in-gate
         "overlap_binned": q_overlap_binned,
@@ -1498,6 +1533,75 @@ kept AS (SELECT l.doc_id, l.line, l.ord FROM lines l
          LEFT JOIN boiler b USING (line) WHERE b.line IS NULL),
 rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
             FROM kept GROUP BY doc_id)
+SELECT a.doc_id, COALESCE(r.text, '') AS text
+FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+    repetition = """
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || substr(text, 1, 20)
+              || chr(10) || substr(text, 1, 20) AS text
+  FROM documents),
+p AS (SELECT doc_id, string_split(text, chr(10)) AS parts,
+             string_split(text, ' ') AS toks
+      FROM aug),
+lineagg AS (
+  SELECT doc_id,
+         len(parts) AS n_lines,
+         len(parts) - len(list_distinct(parts)) AS n_dup_lines,
+         list_sum(list_transform(parts, x -> len(x)))
+           - list_sum(list_transform(list_distinct(parts), x -> len(x)))
+           AS n_dup_line_chars,
+         GREATEST(len(toks) - 4, 0) AS n_ngrams
+  FROM p),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+  FROM p, UNNEST(range(1, len(toks) - 5 + 2)) AS r(i)),
+gramagg AS (
+  SELECT doc_id, COUNT(*) - COUNT(DISTINCT g) AS n_dup_ngrams
+  FROM grams GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
+  FROM p, UNNEST(range(1, len(toks) - 2 + 2)) AS r(i)),
+bicnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY doc_id, b),
+bimax AS (SELECT doc_id, MAX(c) AS mx FROM bicnt GROUP BY doc_id),
+bitop AS (
+  SELECT bicnt.doc_id, MIN(b) AS top_bigram, MAX(mx) AS cnt
+  FROM bicnt JOIN bimax ON bicnt.doc_id = bimax.doc_id AND c = mx
+  GROUP BY bicnt.doc_id)
+SELECT l.doc_id,
+       CAST(l.n_lines AS BIGINT) AS n_lines,
+       CAST(l.n_dup_lines AS BIGINT) AS n_dup_lines,
+       CAST(COALESCE(l.n_dup_line_chars, 0) AS BIGINT) AS n_dup_line_chars,
+       CAST(l.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(g.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
+       t.top_bigram AS top_bigram,
+       CAST(COALESCE(t.cnt, 0) AS BIGINT) AS top_bigram_count,
+       CAST(COALESCE(t.cnt * length(t.top_bigram), 0) AS BIGINT)
+         AS top_bigram_chars
+FROM lineagg l
+LEFT JOIN gramagg g USING (doc_id)
+LEFT JOIN bitop t ON l.doc_id = t.doc_id
+"""
+
+    dedup_lines_sql = """
+WITH aug AS (
+  SELECT doc_id, 'GROUP-' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+                 || text || chr(10) || 'COMMON-TAIL' AS text
+  FROM documents),
+p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug),
+lines AS (SELECT doc_id, parts[i] AS line, i AS ord
+          FROM p, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+keep AS (
+  SELECT doc_id, line, ord,
+         trim(line) = '' OR
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ord) = 1
+           AS k
+  FROM lines),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+  FROM keep WHERE k GROUP BY doc_id)
 SELECT a.doc_id, COALESCE(r.text, '') AS text
 FROM aug a LEFT JOIN rebuilt r USING (doc_id)
 """
@@ -2087,6 +2191,8 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "text_stats": text_stats,
         "redact": redact,
         "boilerplate": boilerplate,
+        "repetition": repetition,
+        "dedup_lines": dedup_lines_sql,
         "contamination": contamination,
         "text_fingerprints": text_fingerprints,
         "language_id": language_id,

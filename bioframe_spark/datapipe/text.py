@@ -203,6 +203,153 @@ def redaction_counts(df: DataFrame, text_col: str = "text",
     })
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       sep: str = "\n", ngram: int = 5) -> DataFrame:
+    """Within-document repetition signals in the Gopher/MassiveText family
+    (duplicate-line and duplicate/top-n-gram fractions are the published
+    repetition filters for pre-training corpora). All outputs are INTEGER
+    numerators/denominators so results are engine-exact; callers form the
+    fractions (or use cross-multiplied thresholds) downstream.
+
+      n_lines            total ``sep``-separated lines
+      n_dup_lines        line occurrences beyond each line's first
+      n_dup_line_chars   chars in those beyond-first occurrences
+      n_ngrams           word ``ngram``-grams (whitespace tokens)
+      n_dup_ngrams       n-gram occurrences beyond each gram's first
+      top_bigram         most frequent word 2-gram (ties: lexicographically
+                         smallest — deterministic across engines)
+      top_bigram_count   its occurrence count
+      top_bigram_chars   count * length(top_bigram)
+
+    Scale shape: map-only — every signal is a higher-order array
+    expression over the row's own tokens; the top-bigram mode is ONE
+    run-length fold over a per-row sorted bigram array (O(k log k),
+    k = bigrams per doc). No shuffle, no UDF, embarrassingly parallel
+    at any corpus size. The fold and the token/line arrays are staged
+    through aliased columns so Catalyst keeps each expensive expression
+    single-evaluated instead of inlining it into every consumer (a
+    nested-HOF argmax formulation of this op compiled into a
+    pathologically large codegen unit and never finished at 500 rows)."""
+    import re as _re
+
+    t = F.col(text_col)
+    sum_len = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+
+    n_tok = F.size("__toks")
+
+    def _grams(n: int) -> Column:
+        return F.when(
+            n_tok >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_tok - n),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # Run-length scan over the SORTED bigram array: state carries the best
+    # run so far and the current run; a run only replaces the best on a
+    # strictly greater count, so among tied maxima the lexicographically
+    # smallest bigram (seen first in sorted order) wins — deterministic
+    # across engines.
+    def _close(a, cond):
+        return (F.when(cond, a["cur"]).otherwise(a["best"]).alias("best"),
+                F.when(cond, a["cc"]).otherwise(a["bc"]).alias("bc"))
+
+    fold = F.aggregate(
+        "__bi",
+        F.struct(
+            F.lit(None).cast("string").alias("best"),
+            F.lit(0).cast("long").alias("bc"),
+            F.lit(None).cast("string").alias("cur"),
+            F.lit(0).cast("long").alias("cc")),
+        lambda a, x: F.struct(
+            *_close(a, ~x.eqNullSafe(a["cur"]) & (a["cc"] > a["bc"])),
+            x.alias("cur"),
+            F.when(x.eqNullSafe(a["cur"]), a["cc"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("cc")),
+        lambda a: F.struct(*_close(a, a["cc"] > a["bc"])))
+
+    staged = (
+        df.withColumns({"__lines": F.split(t, _re.escape(sep)),
+                        "__toks": tokens(t)})
+        .withColumns({"__grams": _grams(ngram),
+                      "__bi": F.array_sort(_grams(2))})
+        .withColumn("__top", fold)
+    )
+    return staged.withColumns({
+        "n_lines": F.size("__lines").cast("long"),
+        "n_dup_lines": (F.size("__lines")
+                        - F.size(F.array_distinct("__lines"))).cast("long"),
+        "n_dup_line_chars": (sum_len(F.col("__lines"))
+                             - sum_len(F.array_distinct("__lines"))),
+        "n_ngrams": F.size("__grams").cast("long"),
+        "n_dup_ngrams": (F.size("__grams")
+                         - F.size(F.array_distinct("__grams"))).cast("long"),
+        "top_bigram": F.col("__top")["best"],
+        "top_bigram_count": F.col("__top")["bc"],
+        "top_bigram_chars": F.coalesce(
+            F.col("__top")["bc"] * F.length(F.col("__top")["best"]),
+            F.lit(0)).cast("long"),
+    }).drop("__lines", "__toks", "__grams", "__bi", "__top")
+
+
+def dedup_lines(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Corpus-level exact line deduplication, C4-style: every line keeps
+    only its FIRST occurrence across the whole corpus (ordered by
+    ``id_col``, then position within the document); later occurrences
+    are dropped and each document is rebuilt from its surviving lines.
+    Blank lines are exempt (they are formatting, not content).
+
+    Scale shape: the keeper per distinct line is
+    ``groupBy(line).agg(min(struct(id, pos)))`` — min is map-side
+    combinable, so a line repeated millions of times (exactly what this
+    op exists to remove) partially aggregates in the scan stage instead
+    of funneling one hot key through a single window task. The join
+    back is keyed on the line with the ONE-row-per-line keeper table on
+    the build side; skewed probe sides are what hash joins are for (and
+    AQE splits them). Rebuild is one shuffle by ``id_col`` with an
+    in-group ``array_sort`` — same shape as
+    ``remove_boilerplate_lines``."""
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("__pos", "__line"),
+    )
+    keeper = (
+        lines.filter(F.trim("__line") != "")
+        .groupBy("__line")
+        .agg(F.min(F.struct(id_col, "__pos")).alias("__first"))
+    )
+    kept = (
+        lines.join(keeper, "__line", "left")
+        .filter(
+            F.col("__first").isNull()  # blank lines: always kept
+            | (F.col("__first") == F.struct(id_col, "__pos")))
+        .drop("__first")
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__line")))
+             .alias("__arr"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, F.transform("__arr", lambda x: x["__line"]))
+            .alias("__clean"),
+        )
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("__clean", F.lit(""))))
+        .drop("__clean")
+    )
+
+
 def remove_boilerplate_lines(docs: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", min_docs: int = 2,
                              sep: str = "\n") -> DataFrame:

@@ -383,3 +383,62 @@ def test_ngram_contamination(spark):
     assert out[10]["flagged"] and abs(out[10]["contamination"] - 2/3) < 1e-12
     assert out[11]["n_contaminated"] == 0 and not out[11]["flagged"]
     assert out[12]["n_shingles"] == 0 and not out[12]["flagged"]
+
+
+def test_repetition_signals(spark):
+    from bioframe_spark.datapipe import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "dup line\ndup line\nuniq"),  # line-level duplication
+         (2, "x"),                       # 1 token: no bigrams, no 5-grams
+         (3, "a b a b a b c"),           # bigrams: (a b)x3 (b a)x2 (b c)x1
+         (4, "a b a b a b a b a b")],    # 6 5-grams, 2 distinct
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.repetition_signals(df).collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 3 and r1["n_dup_lines"] == 1
+    assert r1["n_dup_line_chars"] == len("dup line")
+
+    r2 = out[2]
+    assert (r2["n_ngrams"], r2["n_dup_ngrams"]) == (0, 0)
+    assert r2["top_bigram"] is None and r2["top_bigram_count"] == 0
+    assert r2["top_bigram_chars"] == 0
+
+    r3 = out[3]
+    # 7 tokens -> 3 five-grams, all distinct
+    assert (r3["n_ngrams"], r3["n_dup_ngrams"]) == (3, 0)
+    assert r3["top_bigram"] == "a b" and r3["top_bigram_count"] == 3
+    assert r3["top_bigram_chars"] == 3 * 3
+
+    r4 = out[4]
+    # 10 tokens -> 6 five-grams alternating between 2 distinct forms
+    assert (r4["n_ngrams"], r4["n_dup_ngrams"]) == (6, 4)
+    # "a b" occurs 5x, "b a" 4x
+    assert r4["top_bigram"] == "a b" and r4["top_bigram_count"] == 5
+
+
+def test_repetition_tie_smallest_bigram(spark):
+    from bioframe_spark.datapipe import text as tx
+
+    # "b c" and "a b" both occur twice; deterministic winner is "a b"
+    df = spark.createDataFrame(
+        [(1, "b c q a b r b c s a b")], "doc_id long, text string")
+    r = tx.repetition_signals(df).collect()[0]
+    assert r["top_bigram"] == "a b" and r["top_bigram_count"] == 2
+
+
+def test_dedup_lines_first_occurrence(spark):
+    from bioframe_spark.datapipe import text as tx
+
+    df = spark.createDataFrame(
+        [(2, "SHARED\nonly two\n\nSHARED"),
+         (1, "SHARED\nonly one"),
+         (3, "only three\nSHARED")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in tx.dedup_lines(df).collect()}
+    # first occurrence = doc 1 pos 0 (ordered by id then position);
+    # within-doc repeats also collapse; blank lines always survive
+    assert out[1] == "SHARED\nonly one"
+    assert out[2] == "only two\n"
+    assert out[3] == "only three"
