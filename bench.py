@@ -3,8 +3,14 @@
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + row count materialization)
-after a warmup of the session. The headline metric is total wall time over
+Each query is timed end-to-end (plan + execute + materialization of every
+output column) after a warmup of the session. The timing action is a
+one-pass count + xxhash64-of-all-columns aggregate, NOT ``.count()``:
+count() lets Catalyst prune derived projections, so a map-only op (PII
+redaction, repetition signals, quality features) would be "timed" as a
+bare parquet row count. The hash forces each output value to actually be
+computed, which is also what the pandas reference baseline pays when it
+materializes full frames. The headline metric is total wall time over
 the query set.
 """
 
@@ -46,6 +52,8 @@ BENCH_QUERIES = [
     "text_stats",
     "redact",
     "boilerplate",
+    "repetition",
+    "dedup_lines",
     "jaccard_pairs",
     "contamination",
     "curate",
@@ -142,6 +150,18 @@ def main():
     qs["ann_ivf_indexed"] = lambda spark, sf_dir: _sim.ivf_topk_indexed(
         emb_bench.filter(_F.col("vec_id") < 50), ivf_loc, k=10, n_probe=4)
 
+    def _force_count(df) -> int:
+        # One pass that (a) counts rows and (b) hashes every output column
+        # so no projection can be pruned. max() over the hash is
+        # overflow-safe under ANSI mode (unlike sum) and cannot be
+        # constant-folded or rewritten to count(*).
+        cols = [_F.map_entries(c).alias(c) if t.startswith("map")
+                else _F.col(c) for c, t in df.dtypes]
+        row = df.select(
+            _F.count(_F.lit(1)).alias("n"),
+            _F.max(_F.xxhash64(*cols)).alias("h")).collect()[0]
+        return row["n"]
+
     times = {}
     cold = {}
     total = 0.0
@@ -152,7 +172,7 @@ def main():
         base_cached = _n_persistent()
         for rep in range(reps):
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            n = _force_count(fn(spark, sf_dir))
             samples.append(time.time() - t0)
             if _n_persistent() > base_cached:
                 _reset_extra_caches()
