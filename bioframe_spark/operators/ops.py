@@ -1410,6 +1410,153 @@ def setdiff(df1: DataFrame, df2: DataFrame, cols1=None, cols2=None,
     return df1.join(r, cond, "left_anti")
 
 
+def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str):
+    """Driver-side pandas frame of df2's valid (chrom,start,end) rows.
+    Only called behind the ``_SMALL_INPUT_BYTES`` plan-size gate — the
+    same bound under which df2 would be broadcast anyway, so collecting
+    it is the identical data movement minus the JVM relation."""
+    return (
+        df2.select(F.col(ck).alias("c"), F.col(sk).cast("long").alias("s"),
+                   F.col(ek).cast("long").alias("e"))
+        .filter(F.col(ck).isNotNull() & F.col(sk).isNotNull()
+                & F.col(ek).isNotNull())
+        .toPandas()
+    )
+
+
+def _coverage_lookup(pdf) -> dict:
+    """chrom -> (merged_starts, merged_ends, prefix_len) numpy arrays.
+    Local sweep-line merge (min_dist=0 semantics: touching intervals
+    join an island) + prefix sums of merged lengths, so per-query
+    coverage is two searchsorteds + boundary clips."""
+    import numpy as np
+
+    per = {}
+    for c, g in pdf.groupby("c", sort=False):
+        s = g["s"].to_numpy("int64")
+        e = g["e"].to_numpy("int64")
+        o = np.lexsort((e, s))
+        s, e = s[o], e[o]
+        hi = np.maximum.accumulate(e)
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = s[1:] > hi[:-1]
+        idx = np.flatnonzero(first)
+        ms = s[idx]
+        me = hi[np.append(idx[1:] - 1, len(s) - 1)]
+        pref = np.concatenate(([0], np.cumsum(me - ms)))
+        per[c] = (ms, me, pref)
+    return per
+
+
+def _broadcast_coverage_col(spark, per: dict, ck: str, sk: str, ek: str) -> Column:
+    """Covered-bp column from a broadcast merged lookup: a vectorized
+    searchsorted Pandas UDF over (chrom,start,end) ONLY — df1 never
+    shuffles, nothing joins back, every batch is independent. The
+    matched merged islands for a query are exactly the slice [i, j)
+    with i = first island end > qs, j = first island start >= qe;
+    clips apply only at the slice boundaries (interior islands are
+    provably contained for any qs/qe, including inverted queries), so
+    coverage = pref[j]-pref[i] - left_clip - right_clip reproduces the
+    join-and-sum formulation value-for-value."""
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(per)
+
+    @F.pandas_udf("long")
+    def _cov(c, s, e):
+        import numpy as np
+
+        tbl = bc.value
+        res = np.zeros(len(c), dtype="int64")
+        cs = c.to_numpy(dtype=object)
+        sv = s.to_numpy("int64")
+        ev = e.to_numpy("int64")
+        for chrom in pd.unique(c):
+            ent = tbl.get(chrom)
+            if ent is None:
+                continue
+            m = cs == chrom
+            MS, ME, P = ent
+            qs, qe = sv[m], ev[m]
+            i = np.searchsorted(ME, qs, side="right")
+            j = np.searchsorted(MS, qe, side="left")
+            cov = np.zeros(qs.size, dtype="int64")
+            hit = j > i
+            if hit.any():
+                ii, jj = i[hit], j[hit]
+                cov[hit] = (P[jj] - P[ii]
+                            - np.maximum(0, qs[hit] - MS[ii])
+                            - np.maximum(0, ME[jj - 1] - qe[hit]))
+            res[m] = cov
+        return pd.Series(res)
+
+    # Null-coordinate rows get 0 (parity with the join path's 0-fill);
+    # the coalesced inputs keep the Arrow series integer-exact (a null
+    # in a long column would otherwise arrive as float64 and round
+    # sentinel-sized coordinates).
+    valid = (F.col(ck).isNotNull() & F.col(sk).isNotNull()
+             & F.col(ek).isNotNull())
+    return F.when(
+        valid,
+        _cov(F.coalesce(F.col(ck), F.lit("")),
+             F.coalesce(F.col(sk).cast("long"), F.lit(0)),
+             F.coalesce(F.col(ek).cast("long"), F.lit(0))),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str) -> Column:
+    """Overlap-count column from broadcast sorted endpoint arrays:
+    #overlapping = #(start2 < qe) - #(end2 <= qs), exact whenever
+    qs < qe because end2 <= qs implies start2 <= qs < qe for valid
+    (start2 <= end2) intervals. Inverted queries (qe <= qs) break the
+    set inclusion and fall back to an exact per-row predicate scan on
+    the raw arrays (rare by contract)."""
+    import numpy as np
+    import pandas as pd
+
+    per = {}
+    for c, g in pdf.groupby("c", sort=False):
+        sr = g["s"].to_numpy("int64")
+        er = g["e"].to_numpy("int64")
+        per[c] = (np.sort(sr), np.sort(er), sr, er)
+    bc = spark.sparkContext.broadcast(per)
+
+    @F.pandas_udf("long")
+    def _cnt(c, s, e):
+        import numpy as np
+
+        tbl = bc.value
+        res = np.zeros(len(c), dtype="int64")
+        cs = c.to_numpy(dtype=object)
+        sv = s.to_numpy("int64")
+        ev = e.to_numpy("int64")
+        for chrom in pd.unique(c):
+            ent = tbl.get(chrom)
+            if ent is None:
+                continue
+            m = cs == chrom
+            S, E, Sr, Er = ent
+            qs, qe = sv[m], ev[m]
+            cnt = (np.searchsorted(S, qe, side="left")
+                   - np.searchsorted(E, qs, side="right"))
+            inv = qe <= qs
+            if inv.any():
+                for k in np.flatnonzero(inv):
+                    cnt[k] = int(np.count_nonzero(
+                        (Sr < qe[k]) & (Er > qs[k])))
+            res[m] = cnt
+        return pd.Series(res)
+
+    valid = (F.col(ck).isNotNull() & F.col(sk).isNotNull()
+             & F.col(ek).isNotNull())
+    return F.when(
+        valid,
+        _cnt(F.coalesce(F.col(ck), F.lit("")),
+             F.coalesce(F.col(sk).cast("long"), F.lit(0)),
+             F.coalesce(F.col(ek).cast("long"), F.lit(0))),
+    ).otherwise(F.lit(0).cast("long"))
+
+
 def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
                    return_input: bool = True, cols1=None, cols2=None,
                    on: list | None = None, strategy: str = "auto") -> DataFrame:
@@ -1429,6 +1576,17 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     on = list(on) if on else []
+    if (strategy == "auto" and not on
+            and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES):
+        # Broadcast kernel: df2 fits the broadcast bound, so counts come
+        # from sorted endpoint arrays shipped to every task — a map-only
+        # scan of df1 (no distinct, no join, no join-back; df1 may be
+        # arbitrarily large). This is the 100 TB plan for the canonical
+        # "count annotations per interval" shape.
+        pdf = _small_coords_pdf(df2, ck2, sk2, ek2)
+        out = df1.withColumn("count", _count_overlaps_col(
+            df1.sparkSession, pdf, ck1, sk1, ek1))
+        return out if return_input else out.select("count")
     keys = [ck1, sk1, ek1, *on]
     coords = df1.select(*keys).filter(F.col(ck1).isNotNull()).distinct()
     # resolve the strategy on the RAW inputs and pre-compute the span hint
@@ -1471,52 +1629,50 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     without the input columns the values cannot be correlated to df1 rows
     — use it only for aggregate statistics, or keep ``return_input=True``.
 
-    Coverage depends only on coordinates, so both paths aggregate over
-    DISTINCT (chrom,start,end) and equi-join the sums back onto df1 — no
-    row ids, no per-chromosome window. The per-chrom product vs merged2 is
-    BOUNDED (merged intervals are disjoint), so even the broadcast-hash
-    join can't go quadratic the way raw interval joins do. Small inputs
-    broadcast merged2 and the coverage map (df1 itself never shuffles);
-    large inputs run the interval join at the requested strategy and
-    shuffle-join the map back."""
+    Two physical paths. When df2 fits the broadcast bound (the common
+    "coverage against an annotation track" shape), a broadcast kernel:
+    df2 is collected, merged locally (numpy sweep), and covered bp per
+    df1 row comes from broadcast prefix-sum arrays via a vectorized
+    searchsorted Pandas UDF — map-only over df1, which may be arbitrarily
+    large; no distinct, no join, no join-back. Otherwise the join
+    formulation: aggregate over DISTINCT (chrom,start,end) vs merged df2
+    (BOUNDED per-chrom product — merged intervals are disjoint) and
+    equi-join the sums back onto df1."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
+    if strategy == "auto" and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES:
+        # Broadcast kernel: df2 fits the broadcast bound, so merge it
+        # LOCALLY (a numpy sweep — no distributed merge's two window
+        # stages) and compute covered bp per df1 row from broadcast
+        # prefix-sum arrays. Map-only over df1 (which may be arbitrarily
+        # large): no distinct, no join, no join-back. Falls through to
+        # the join formulation if df2 contains inverted intervals, whose
+        # local-merge semantics would diverge from merge()'s islands.
+        pdf = _small_coords_pdf(df2, ck2, sk2, ek2)
+        if len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all()):
+            cov = _broadcast_coverage_col(
+                df1.sparkSession, _coverage_lookup(pdf), ck1, sk1, ek1)
+            out = df1.withColumn("coverage", cov)
+            return out if return_input else out.select("coverage")
     merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
-    small = (strategy == "auto"
-             and _plan_size_bytes(df1) <= _SMALL_INPUT_BYTES
-             and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES)
     coords = (
         df1.select(F.col(ck1).alias("__cc"), F.col(sk1).alias("__cs"),
                    F.col(ek1).alias("__ce"))
         .filter(F.col("__cc").isNotNull()).distinct()
     )
-    if small:
-        m2 = merged2.select(F.col(ck2).alias("__mc"), F.col(sk2).alias("__ms"),
-                            F.col(ek2).alias("__me"))
-        cond = (F.col("__cc") == F.col("__mc")) & overlap_predicate(
-            F.col("__cs"), F.col("__ce"), F.col("__ms"), F.col("__me")
-        )
-        ov = F.least(F.col("__ce"), F.col("__me")) - F.greatest(F.col("__cs"), F.col("__ms"))
-        covmap = (
-            coords.join(F.broadcast(m2), cond, "inner")
-            .groupBy("__cc", "__cs", "__ce")
-            .agg(F.sum(ov).cast("long").alias("__cov"))
-        )
-        covmap = F.broadcast(covmap)
-    else:
-        strat = _choose_strategy(df1, df2, strategy)
-        hint = (_bin_stats(df1, sk1, ek1, df2, sk2, ek2)
-                if strat == "binned" else None)
-        pairs = overlap(
-            coords, merged2.select(ck2, sk2, ek2), how="inner",
-            suffixes=("", "__r2"), cols1=("__cc", "__cs", "__ce"),
-            cols2=cols2, strategy=strat, _bin_hint=hint,
-        )
-        s2, e2 = sk2 + "__r2", ek2 + "__r2"
-        ov = F.least(F.col("__ce"), F.col(e2)) - F.greatest(F.col("__cs"), F.col(s2))
-        covmap = pairs.groupBy("__cc", "__cs", "__ce").agg(
-            F.sum(ov).cast("long").alias("__cov")
-        )
+    strat = _choose_strategy(df1, df2, strategy)
+    hint = (_bin_stats(df1, sk1, ek1, df2, sk2, ek2)
+            if strat == "binned" else None)
+    pairs = overlap(
+        coords, merged2.select(ck2, sk2, ek2), how="inner",
+        suffixes=("", "__r2"), cols1=("__cc", "__cs", "__ce"),
+        cols2=cols2, strategy=strat, _bin_hint=hint,
+    )
+    s2, e2 = sk2 + "__r2", ek2 + "__r2"
+    ov = F.least(F.col("__ce"), F.col(e2)) - F.greatest(F.col("__cs"), F.col(s2))
+    covmap = pairs.groupBy("__cc", "__cs", "__ce").agg(
+        F.sum(ov).cast("long").alias("__cov")
+    )
     back = (F.col(ck1) == F.col("__cc")) & (F.col(sk1) == F.col("__cs")) \
         & (F.col(ek1) == F.col("__ce"))
     out = (
