@@ -90,8 +90,15 @@ def _scans(df) -> int:
 def test_window_family_budgets(spark, frames):
     a, _, _ = frames
     assert n_exchanges(bf.merge(a, min_dist=0)) <= 2        # distinct + window
-    assert n_exchanges(bf.coverage(a, a)) <= 3
-    assert n_exchanges(bf.count_overlaps(a, a)) <= 3
+    # broadcast kernels: df2 under the broadcast bound -> map-only over
+    # df1 (ZERO shuffles, one scan; df1 may be arbitrarily large)
+    assert n_exchanges(bf.coverage(a, a)) == 0
+    assert _scans(bf.coverage(a, a)) <= 1
+    assert n_exchanges(bf.count_overlaps(a, a)) == 0
+    assert _scans(bf.count_overlaps(a, a)) <= 1
+    # forced join formulations keep their historical budgets
+    assert n_exchanges(bf.coverage(a, a, strategy="plain")) <= 3
+    assert n_exchanges(bf.count_overlaps(a, a, strategy="plain")) <= 3
     # cluster repeats the islands subtree once per consumer (exchange
     # reuse does NOT fire across these branches, verified empirically) —
     # its budget ratchets the consumer count: islands join-back + the

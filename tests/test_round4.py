@@ -442,3 +442,52 @@ def test_dedup_lines_first_occurrence(spark):
     assert out[1] == "SHARED\nonly one"
     assert out[2] == "only two\n"
     assert out[3] == "only three"
+
+
+def _rows(df, cols):
+    return sorted((tuple(r[c] for c in cols) for r in df.collect()), key=str)
+
+
+def test_broadcast_kernels_match_join_path_on_degenerate_input(spark):
+    """The coverage/count_overlaps broadcast kernels must be
+    value-identical to the join formulation on adversarial queries:
+    inverted intervals, empty intervals, duplicate rows, chroms with no
+    annotation, and null coordinates."""
+    import bioframe_spark as bf
+
+    a = spark.createDataFrame(
+        [("chr1", 1, 10), ("chr1", 1, 10),      # duplicates
+         ("chr1", 25, 22),                       # inverted query
+         ("chr1", 7, 7),                         # empty query
+         ("chr9", 3, 8),                         # chrom absent from b
+         ("chr1", None, 4), (None, 1, 2)],       # nulls -> 0
+        "chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [("chr1", 5, 12), ("chr1", 11, 15), ("chr1", 20, 30),
+         ("chr2", 1, 6)],
+        "chrom string, start long, end long")
+    cols = ["chrom", "start", "end", "coverage"]
+    fast = _rows(bf.coverage(a, b), cols)
+    join = _rows(bf.coverage(a, b, strategy="plain"), cols)
+    assert fast == join
+    cols = ["chrom", "start", "end", "count"]
+    fast = _rows(bf.count_overlaps(a, b), cols)
+    join = _rows(bf.count_overlaps(a, b, strategy="plain"), cols)
+    assert fast == join
+
+
+def test_coverage_inverted_df2_falls_back(spark):
+    """Inverted df2 intervals route coverage to the join formulation
+    (the local sweep merge is only proven for valid intervals); values
+    still match the forced join path."""
+    import bioframe_spark as bf
+
+    a = spark.createDataFrame(
+        [("chr1", 0, 50)], "chrom string, start long, end long")
+    b = spark.createDataFrame(
+        [("chr1", 12, 5), ("chr1", 20, 30)],
+        "chrom string, start long, end long")
+    fast = _rows(bf.coverage(a, b), ["chrom", "start", "end", "coverage"])
+    join = _rows(bf.coverage(a, b, strategy="plain"),
+                 ["chrom", "start", "end", "coverage"])
+    assert fast == join
