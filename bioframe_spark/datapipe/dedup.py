@@ -396,17 +396,49 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ).alias("__h"),
     )
 
-    def _bit_set(i):
-        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+    return base.select(id_col, _simhash_kernel(bits)(F.col("__h"))
+                       .alias("simhash"))
 
-    n_t = F.size(F.col("__h"))
-    expr = F.lit(0).cast("long")
-    for i in range(bits):
-        expr = expr + F.when(
-            F.size(F.filter(F.col("__h"), _bit_set(i))) * 2 > n_t,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-    return base.select(id_col, expr.alias("simhash"))
+
+def _simhash_kernel(bits: int):
+    """Bit-majority vote over an array<long> of token hashes as one
+    Arrow-vectorized kernel. The expression formulation (64 HOF
+    ``filter`` passes, one per bit) materializes 64 filtered arrays per
+    document — measured 3.4 s at sf0.1 vs ~0.3 s for this kernel. Math
+    is bit-identical: per position i the vote is ``2*count(bit_i) > n``
+    over the SAME hash values the JVM computed (arithmetic vs logical
+    shift agree on any extracted bit below 64)."""
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _sig(hs):
+        import numpy as np
+
+        lens = np.fromiter((len(a) for a in hs), dtype="int64",
+                           count=len(hs))
+        out = np.zeros(len(hs), dtype="uint64")
+        nz = lens > 0
+        if nz.any():
+            flat = (np.concatenate([np.asarray(a) for a in hs])
+                    .astype("int64"))
+            # bit j of value k at [k, j]: little-endian byte order makes
+            # unpackbits(bitorder="little") index bits ascending — a
+            # uint8 matrix (vs 8x for a shift-broadcast uint64 one)
+            bitmat = np.unpackbits(
+                flat.view("uint8").reshape(-1, 8), axis=1,
+                bitorder="little")[:, :bits]
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))[nz]
+            # reduceat folds each row-segment [offs[k], offs[k+1]);
+            # zero-length segments were masked out above. int64 dtype:
+            # uint8 accumulation would wrap at 256 tokens per doc.
+            cnts = np.add.reduceat(bitmat, offs, axis=0, dtype="int64")
+            votes = (cnts * 2) > lens[nz, None]
+            shifts = np.arange(bits, dtype="uint64")
+            out[nz] = (votes.astype("uint64") << shifts).sum(
+                axis=1, dtype="uint64")
+        return pd.Series(out.view("int64"))
+
+    return _sig
 
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
