@@ -446,6 +446,27 @@ def q_dedup_lines(spark, sf_dir):
     return text.dedup_lines(aug)
 
 
+def q_gopher(spark, sf_dir):
+    """Gopher-family quality filter; integer cross-multiplied rule flags
+    + composite keep. Even docs get a doubled head line (dup-line
+    fraction 1/3 > 30% -> r_dup_lines fails), odd docs get a unique
+    line instead (passes), so every flag including keep varies."""
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring(F.col("text"), 1, 20)
+    uniq = F.concat(F.lit("U-"), F.col("doc_id").cast("string"))
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat_ws("\n", F.col("text"), head, head))
+        .otherwise(F.concat_ws("\n", F.col("text"), uniq, head))
+        .alias("text"),
+    )
+    return text.gopher_quality_filter(aug, min_words=30).select(
+        "doc_id", "r_word_count", "r_mean_wordlen", "r_alpha_words",
+        "r_stopwords", "r_dup_lines", "r_dup_line_chars", "r_top_bigram",
+        "r_dup_ngrams", "keep")
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: a deterministic eval set (every 50th
     doc, first half of its text + a unique marker tail) checked for
@@ -1019,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,  # new this round
         "repetition": q_repetition,  # new this round
         "dedup_lines": q_dedup_lines,  # new this round
+        "gopher": q_gopher,  # new this round
         "jaccard_pairs": q_jaccard_pairs,
         "contamination": q_contamination,  # new this round
         "dedup_components": q_dedup_components,
@@ -1604,6 +1626,73 @@ rebuilt AS (
   FROM keep WHERE k GROUP BY doc_id)
 SELECT a.doc_id, COALESCE(r.text, '') AS text
 FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+    gopher = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || substr(text, 1, 20)
+                        || chr(10) || substr(text, 1, 20)
+              ELSE text || chr(10) || 'U-' || CAST(doc_id AS VARCHAR)
+                        || chr(10) || substr(text, 1, 20)
+         END AS text
+  FROM documents),
+p AS (SELECT doc_id, text, string_split(text, chr(10)) AS parts,
+             string_split(text, ' ') AS toks
+      FROM aug),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS ntok,
+         list_sum(list_transform(toks, x -> len(x))) AS tokchars,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','that','it','for'], x)))
+           AS stop,
+         list_sum(list_transform(parts, x -> len(x))) AS linechars,
+         length(text) AS chars,
+         len(parts) AS n_lines,
+         len(parts) - len(list_distinct(parts)) AS n_dup_lines,
+         COALESCE(list_sum(list_transform(parts, x -> len(x)))
+           - list_sum(list_transform(list_distinct(parts), x -> len(x))), 0)
+           AS n_dup_line_chars,
+         GREATEST(len(toks) - 4, 0) AS n_ngrams
+  FROM p),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+  FROM p, UNNEST(range(1, len(toks) - 5 + 2)) AS r(i)),
+gramagg AS (
+  SELECT doc_id, COUNT(*) - COUNT(DISTINCT g) AS n_dup_ngrams
+  FROM grams GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
+  FROM p, UNNEST(range(1, len(toks) - 2 + 2)) AS r(i)),
+bicnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY doc_id, b),
+bimax AS (SELECT doc_id, MAX(c) AS mx FROM bicnt GROUP BY doc_id),
+bitop AS (
+  SELECT bicnt.doc_id, MIN(b) AS top_bigram, MAX(mx) AS cnt
+  FROM bicnt JOIN bimax ON bicnt.doc_id = bimax.doc_id AND c = mx
+  GROUP BY bicnt.doc_id),
+rules AS (
+  SELECT f.doc_id,
+         f.ntok >= 30 AND f.ntok <= 100000 AS r_word_count,
+         f.tokchars >= 3 * f.ntok AND f.tokchars <= 10 * f.ntok
+           AS r_mean_wordlen,
+         f.alpha * 5 >= f.ntok * 4 AS r_alpha_words,
+         f.stop >= 2 AS r_stopwords,
+         f.n_dup_lines * 10 <= f.n_lines * 3 AS r_dup_lines,
+         f.n_dup_line_chars * 5 <= f.linechars AS r_dup_line_chars,
+         COALESCE(t.cnt * length(t.top_bigram), 0) * 5 <= f.chars
+           AS r_top_bigram,
+         COALESCE(g.n_dup_ngrams, 0) * 20 <= f.n_ngrams * 3 AS r_dup_ngrams
+  FROM feat f
+  LEFT JOIN gramagg g USING (doc_id)
+  LEFT JOIN bitop t ON f.doc_id = t.doc_id)
+SELECT *,
+       r_word_count AND r_mean_wordlen AND r_alpha_words AND r_stopwords
+       AND r_dup_lines AND r_dup_line_chars AND r_top_bigram
+       AND r_dup_ngrams AS keep
+FROM rules
 """
 
     curate = f"""
@@ -2193,6 +2282,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "boilerplate": boilerplate,
         "repetition": repetition,
         "dedup_lines": dedup_lines_sql,
+        "gopher": gopher,
         "contamination": contamination,
         "text_fingerprints": text_fingerprints,
         "language_id": language_id,

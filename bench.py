@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "boilerplate",
     "repetition",
     "dedup_lines",
+    "gopher",
     "jaccard_pairs",
     "contamination",
     "curate",

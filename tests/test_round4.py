@@ -491,3 +491,27 @@ def test_coverage_inverted_df2_falls_back(spark):
     join = _rows(bf.coverage(a, b, strategy="plain"),
                  ["chrom", "start", "end", "coverage"])
     assert fast == join
+
+
+def test_gopher_quality_filter_rules(spark):
+    from bioframe_spark.datapipe import text as tx
+
+    good = ("the cat sat and the dog ran for the hill in the sun "
+            "it was that kind of day and all of them were happy "
+            "more and more words keep this document long enough here "
+            "extra filler tokens stretch the body to the bar now")
+    docs = spark.createDataFrame(
+        [(1, good),                               # passes everything
+         (2, "short text"),                       # fails word count
+         (3, good + "\nrep line\nrep line\nrep line"),  # dup lines > 30%? 5 lines 2 dups = 40%
+         (4, ("#### " * 60).strip())],            # no alpha words, no stopwords
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           tx.gopher_quality_filter(docs, min_words=30).collect()}
+
+    assert out[1]["keep"] and all(
+        out[1][c] for c in out[1].asDict() if c.startswith("r_"))
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    assert not out[3]["r_dup_lines"] and not out[3]["keep"]
+    assert not out[4]["r_alpha_words"] and not out[4]["r_stopwords"]
+    assert not out[4]["keep"]
