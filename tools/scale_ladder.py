@@ -32,6 +32,17 @@ import __spark_entry__ as em  # noqa: E402
 SPAN = 500300  # CLEN from the entry module — one genome span per copy
 
 
+def _force_count(df) -> int:
+    """count + hash-of-every-column in one pass: .count() lets Catalyst
+    prune derived projections and even delete provably row-preserving
+    join-backs (see SCALING.md §16) — the ladder must time real work."""
+    cols = [F.map_entries(c).alias(c) if t.startswith("map") else F.col(c)
+            for c, t in df.dtypes]
+    row = df.select(F.count(F.lit(1)).alias("n"),
+                    F.max(F.xxhash64(*cols)).alias("h")).collect()[0]
+    return row["n"]
+
+
 def replicate(df, k: int):
     if k == 1:
         return df
@@ -62,8 +73,14 @@ def main():
 
         qs = {
             "overlap(auto)": lambda: bf.overlap(a, b, how="inner"),
+            # replicated b crosses the broadcast bound at k=16 -> these
+            # exercise the JOIN formulations at scale
             "count_overlaps": lambda: bf.count_overlaps(a, b),
             "coverage": lambda: bf.coverage(a, b),
+            # fixed small annotation track, growing a: the broadcast
+            # kernels' 100 TB shape (must be ~linear, map-only)
+            "count_ov(bcast,fix-b)": lambda: bf.count_overlaps(a, b0),
+            "coverage(bcast,fix-b)": lambda: bf.coverage(a, b0),
             "merge(auto)": lambda: bf.merge(a),
             "cluster": lambda: bf.cluster(a),
             "complement(auto)": lambda: bf.complement(
@@ -80,7 +97,7 @@ def main():
             base_cached = _n_persistent()
             for _ in range(reps):
                 t0 = time.time()
-                n = thunk().count()
+                n = _force_count(thunk())
                 samples.append(time.time() - t0)
                 if _n_persistent() > base_cached:
                     # ops with internal persists (closest-binned ladder)
@@ -111,7 +128,7 @@ def main():
         samples = []
         for _ in range(reps):
             t0 = time.time()
-            n = bf.overlap_prebinned(pa, pb, suffixes=("", "_")).count()
+            n = _force_count(bf.overlap_prebinned(pa, pb, suffixes=("", "_")))
             samples.append(time.time() - t0)
         med = sorted(samples)[len(samples) // 2]
         results.setdefault("overlap_prebinned", {})[k] = med
