@@ -1054,9 +1054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
         "ann_lsh": q_ann_lsh,
-        "sessions": q_sessions,
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
+        "sessions": q_sessions,  # r03 green; displaced by gopher at r04
         "events_hourly": q_events_hourly,  # r01-stable; rotated at r04
         "overlap_on": q_overlap_on,  # r01-r03 green; inner/left/outer in-gate
         "pileup": q_pileup,  # r03 green; pileup_ranged/_weighted in-gate

@@ -23,8 +23,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from bioframe_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as em  # noqa: E402
+
+
+def force_count(df) -> int:
+    """Timing action: one pass that (a) counts rows and (b) hashes every
+    output column so no projection can be pruned and no row-preserving
+    join-back can be eliminated (SCALING.md §16). max() over the hash is
+    overflow-safe under ANSI mode (unlike sum) and cannot be
+    constant-folded or rewritten to count(*). Shared by bench.py and
+    tools/scale_ladder.py — keep the single copy."""
+    cols = [F.map_entries(c).alias(c) if t.startswith("map")
+            else F.col(c) for c, t in df.dtypes]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.xxhash64(*cols)).alias("h")).collect()[0]
+    return row["n"]
 
 BENCH_QUERIES = [
     # the headline interval engine ops
@@ -151,18 +168,6 @@ def main():
     qs["ann_ivf_indexed"] = lambda spark, sf_dir: _sim.ivf_topk_indexed(
         emb_bench.filter(_F.col("vec_id") < 50), ivf_loc, k=10, n_probe=4)
 
-    def _force_count(df) -> int:
-        # One pass that (a) counts rows and (b) hashes every output column
-        # so no projection can be pruned. max() over the hash is
-        # overflow-safe under ANSI mode (unlike sum) and cannot be
-        # constant-folded or rewritten to count(*).
-        cols = [_F.map_entries(c).alias(c) if t.startswith("map")
-                else _F.col(c) for c, t in df.dtypes]
-        row = df.select(
-            _F.count(_F.lit(1)).alias("n"),
-            _F.max(_F.xxhash64(*cols)).alias("h")).collect()[0]
-        return row["n"]
-
     times = {}
     cold = {}
     total = 0.0
@@ -173,7 +178,7 @@ def main():
         base_cached = _n_persistent()
         for rep in range(reps):
             t0 = time.time()
-            n = _force_count(fn(spark, sf_dir))
+            n = force_count(fn(spark, sf_dir))
             samples.append(time.time() - t0)
             if _n_persistent() > base_cached:
                 _reset_extra_caches()

@@ -1505,12 +1505,20 @@ def _broadcast_coverage_col(spark, per: dict, ck: str, sk: str, ek: str) -> Colu
 
 
 def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str) -> Column:
-    """Overlap-count column from broadcast sorted endpoint arrays:
-    #overlapping = #(start2 < qe) - #(end2 <= qs), exact whenever
-    qs < qe because end2 <= qs implies start2 <= qs < qe for valid
-    (start2 <= end2) intervals. Inverted queries (qe <= qs) break the
-    set inclusion and fall back to an exact per-row predicate scan on
-    the raw arrays (rare by contract)."""
+    """Overlap-count column from broadcast sorted endpoint arrays, with
+    the point->length-1 rewrite (``effective_end``) applied on BOTH
+    sides to match ``overlap_predicate`` exactly:
+
+      match iff  start2 < qe'  and  end2' > qs
+      count  =  #(start2 < qe') - #(end2' <= qs)
+
+    The subtraction is exact whenever qs <= qe: after the rewrite every
+    valid (start2 <= end2) interval has end2' >= start2 + 1, so
+    end2' <= qs implies start2 < qs < qe'. Strictly inverted queries
+    (qe < qs) break that inclusion and fall back to an exact per-row
+    predicate scan on the raw arrays (rare by contract). Callers must
+    pre-check df2 for inverted rows — they invalidate the sorted-array
+    identity — and route them to the join formulation instead."""
     import numpy as np
     import pandas as pd
 
@@ -1518,7 +1526,9 @@ def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str) -> Column:
     for c, g in pdf.groupby("c", sort=False):
         sr = g["s"].to_numpy("int64")
         er = g["e"].to_numpy("int64")
-        per[c] = (np.sort(sr), np.sort(er), sr, er)
+        # point -> length-1 rewrite, mirroring effective_end()
+        ee = np.where(er == sr, er + 1, er)
+        per[c] = (np.sort(sr), np.sort(ee), sr, ee)
     bc = spark.sparkContext.broadcast(per)
 
     @F.pandas_udf("long")
@@ -1535,15 +1545,16 @@ def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str) -> Column:
             if ent is None:
                 continue
             m = cs == chrom
-            S, E, Sr, Er = ent
+            S, E, Sr, Ee = ent
             qs, qe = sv[m], ev[m]
-            cnt = (np.searchsorted(S, qe, side="left")
+            qe_eff = np.where(qe == qs, qe + 1, qe)
+            cnt = (np.searchsorted(S, qe_eff, side="left")
                    - np.searchsorted(E, qs, side="right"))
-            inv = qe <= qs
+            inv = qe < qs
             if inv.any():
                 for k in np.flatnonzero(inv):
                     cnt[k] = int(np.count_nonzero(
-                        (Sr < qe[k]) & (Er > qs[k])))
+                        (Sr < qe[k]) & (Ee > qs[k])))
             res[m] = cnt
         return pd.Series(res)
 
@@ -1582,11 +1593,15 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
         # from sorted endpoint arrays shipped to every task — a map-only
         # scan of df1 (no distinct, no join, no join-back; df1 may be
         # arbitrarily large). This is the 100 TB plan for the canonical
-        # "count annotations per interval" shape.
+        # "count annotations per interval" shape. Inverted df2 rows
+        # invalidate the sorted-array counting identity and fall
+        # through to the join formulation (which prices them via the
+        # overlap predicate row by row).
         pdf = _small_coords_pdf(df2, ck2, sk2, ek2)
-        out = df1.withColumn("count", _count_overlaps_col(
-            df1.sparkSession, pdf, ck1, sk1, ek1))
-        return out if return_input else out.select("count")
+        if len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all()):
+            out = df1.withColumn("count", _count_overlaps_col(
+                df1.sparkSession, pdf, ck1, sk1, ek1))
+            return out if return_input else out.select("count")
     keys = [ck1, sk1, ek1, *on]
     coords = df1.select(*keys).filter(F.col(ck1).isNotNull()).distinct()
     # resolve the strategy on the RAW inputs and pre-compute the span hint
@@ -1634,10 +1649,15 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     df2 is collected, merged locally (numpy sweep), and covered bp per
     df1 row comes from broadcast prefix-sum arrays via a vectorized
     searchsorted Pandas UDF — map-only over df1, which may be arbitrarily
-    large; no distinct, no join, no join-back. Otherwise the join
-    formulation: aggregate over DISTINCT (chrom,start,end) vs merged df2
-    (BOUNDED per-chrom product — merged intervals are disjoint) and
-    equi-join the sums back onto df1."""
+    large; no distinct, no join, no join-back. NOTE the kernel gate makes
+    plan construction EAGER for small df2 (one driver-side collect per
+    call, same bytes the broadcast would ship); if the collected frame
+    turns out to contain inverted intervals it is discarded and df2
+    re-executes in the join formulation — pathological input priced at
+    one extra small scan. Otherwise the join formulation: aggregate over
+    DISTINCT (chrom,start,end) vs merged df2 (BOUNDED per-chrom product
+    — merged intervals are disjoint) and equi-join the sums back onto
+    df1."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     if strategy == "auto" and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES:

@@ -448,24 +448,39 @@ def _rows(df, cols):
     return sorted((tuple(r[c] for c in cols) for r in df.collect()), key=str)
 
 
-def test_broadcast_kernels_match_join_path_on_degenerate_input(spark):
+def _pq(spark, tmp_path, name, data, schema="chrom string, start long, end long"):
+    """Parquet-backed frame: createDataFrame plans have UNKNOWN size
+    (2^63-1), which NEVER passes the _SMALL_INPUT_BYTES broadcast-kernel
+    gate — tests of the kernels must use frames with real scan stats."""
+    df = spark.createDataFrame(data, schema)
+    p = str(tmp_path / name)
+    df.write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_broadcast_kernels_match_join_path_on_degenerate_input(spark, tmp_path):
     """The coverage/count_overlaps broadcast kernels must be
     value-identical to the join formulation on adversarial queries:
-    inverted intervals, empty intervals, duplicate rows, chroms with no
-    annotation, and null coordinates."""
+    inverted intervals, empty/point intervals, duplicate rows, chroms
+    with no annotation, and null coordinates. df2 is parquet-backed so
+    the kernel gate actually fires (a plan-budget test pins that)."""
     import bioframe_spark as bf
+    from bioframe_spark.operators.ops import _plan_size_bytes, _SMALL_INPUT_BYTES
 
     a = spark.createDataFrame(
         [("chr1", 1, 10), ("chr1", 1, 10),      # duplicates
          ("chr1", 25, 22),                       # inverted query
-         ("chr1", 7, 7),                         # empty query
+         ("chr1", 7, 7),                         # point query
+         ("chr1", 12, 12),                       # point ON a df2 start
          ("chr9", 3, 8),                         # chrom absent from b
          ("chr1", None, 4), (None, 1, 2)],       # nulls -> 0
         "chrom string, start long, end long")
-    b = spark.createDataFrame(
-        [("chr1", 5, 12), ("chr1", 11, 15), ("chr1", 20, 30),
-         ("chr2", 1, 6)],
-        "chrom string, start long, end long")
+    b = _pq(spark, tmp_path, "b",
+            [("chr1", 5, 12), ("chr1", 11, 15), ("chr1", 20, 30),
+             ("chr1", 5, 5),                     # zero-length annotation
+             ("chr1", 12, 12),                   # point at a query start
+             ("chr2", 1, 6)])
+    assert _plan_size_bytes(b) <= _SMALL_INPUT_BYTES  # gate really fires
     cols = ["chrom", "start", "end", "coverage"]
     fast = _rows(bf.coverage(a, b), cols)
     join = _rows(bf.coverage(a, b, strategy="plain"), cols)
@@ -474,19 +489,45 @@ def test_broadcast_kernels_match_join_path_on_degenerate_input(spark):
     fast = _rows(bf.count_overlaps(a, b), cols)
     join = _rows(bf.count_overlaps(a, b, strategy="plain"), cols)
     assert fast == join
+    # the point-rewrite cases, pinned by value (not just parity):
+    # [5,10) overlaps the zero-length [5,5]->[5,6); [7,7)->[7,8) is
+    # inside [5,12); [12,12)->[12,13) hits [11,15) and [12,12)
+    cnt = {(r["start"], r["end"]): r["count"]
+           for r in bf.count_overlaps(a, b).collect()
+           if r["chrom"] == "chr1" and r["start"] is not None}
+    assert cnt[(1, 10)] == 2          # [5,12) + point [5,5]
+    assert cnt[(7, 7)] == 1           # inside [5,12)
+    assert cnt[(12, 12)] == 2         # [11,15) + point [12,12)
 
 
-def test_coverage_inverted_df2_falls_back(spark):
+def test_count_overlaps_inverted_df2_falls_back(spark, tmp_path):
+    """An inverted df2 row invalidates the sorted-array counting
+    identity; the kernel gate must route to the join formulation and
+    stay value-identical (and never emit negative counts)."""
+    import bioframe_spark as bf
+
+    a = spark.createDataFrame(
+        [("chr1", 5, 10), ("chr1", 0, 200)],
+        "chrom string, start long, end long")
+    b = _pq(spark, tmp_path, "binv",
+            [("chr1", 100, 0), ("chr1", 7, 12)])
+    cols = ["chrom", "start", "end", "count"]
+    fast = _rows(bf.count_overlaps(a, b), cols)
+    join = _rows(bf.count_overlaps(a, b, strategy="plain"), cols)
+    assert fast == join
+    assert all(t[3] >= 0 for t in fast)
+
+
+def test_coverage_inverted_df2_falls_back(spark, tmp_path):
     """Inverted df2 intervals route coverage to the join formulation
-    (the local sweep merge is only proven for valid intervals); values
-    still match the forced join path."""
+    (merged islands of inverted rows break end-array monotonicity);
+    values still match the forced join path."""
     import bioframe_spark as bf
 
     a = spark.createDataFrame(
         [("chr1", 0, 50)], "chrom string, start long, end long")
-    b = spark.createDataFrame(
-        [("chr1", 12, 5), ("chr1", 20, 30)],
-        "chrom string, start long, end long")
+    b = _pq(spark, tmp_path, "bcovinv",
+            [("chr1", 12, 5), ("chr1", 20, 30)])
     fast = _rows(bf.coverage(a, b), ["chrom", "start", "end", "coverage"])
     join = _rows(bf.coverage(a, b, strategy="plain"),
                  ["chrom", "start", "end", "coverage"])

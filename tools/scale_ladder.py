@@ -28,19 +28,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from bioframe_spark.session import get_spark  # noqa: E402
 import bioframe_spark as bf  # noqa: E402
 import __spark_entry__ as em  # noqa: E402
+from bench import force_count as _force_count  # noqa: E402
 
 SPAN = 500300  # CLEN from the entry module — one genome span per copy
-
-
-def _force_count(df) -> int:
-    """count + hash-of-every-column in one pass: .count() lets Catalyst
-    prune derived projections and even delete provably row-preserving
-    join-backs (see SCALING.md §16) — the ladder must time real work."""
-    cols = [F.map_entries(c).alias(c) if t.startswith("map") else F.col(c)
-            for c, t in df.dtypes]
-    row = df.select(F.count(F.lit(1)).alias("n"),
-                    F.max(F.xxhash64(*cols)).alias("h")).collect()[0]
-    return row["n"]
 
 
 def replicate(df, k: int):
@@ -115,10 +105,15 @@ def main():
         # (reported as prebin-write, not part of the join median); the
         # recurring join is what must scale. break-even query count =
         # write / (overlap(auto) - prebinned).
+        import tempfile
+
         from bioframe_spark.sources.fileops import write_prebinned
+        loc = tempfile.mkdtemp(prefix=f"ladder_prebin_{k}_")
         t0 = time.time()
-        write_prebinned(a, f"ladder_prebin_a_{k}")
-        write_prebinned(b, f"ladder_prebin_b_{k}")
+        # external-table paths: managed tables collide on their
+        # spark-warehouse location across ladder re-runs
+        write_prebinned(a, f"ladder_prebin_a_{k}", path=f"{loc}/a")
+        write_prebinned(b, f"ladder_prebin_b_{k}", path=f"{loc}/b")
         t_write = time.time() - t0
         results.setdefault("prebin-write(once)", {})[k] = t_write
         print(f"k={k:2d} {'prebin-write(once)':18s} once   {t_write:7.2f}s",
