@@ -1410,18 +1410,23 @@ def setdiff(df1: DataFrame, df2: DataFrame, cols1=None, cols2=None,
     return df1.join(r, cond, "left_anti")
 
 
-def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str):
-    """Driver-side pandas frame of df2's valid (chrom,start,end) rows.
-    Only called behind the ``_SMALL_INPUT_BYTES`` plan-size gate — the
-    same bound under which df2 would be broadcast anyway, so collecting
-    it is the identical data movement minus the JVM relation."""
-    return (
-        df2.select(F.col(ck).alias("c"), F.col(sk).cast("long").alias("s"),
-                   F.col(ek).cast("long").alias("e"))
-        .filter(F.col(ck).isNotNull() & F.col(sk).isNotNull()
-                & F.col(ek).isNotNull())
-        .toPandas()
-    )
+def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str,
+                      on: list | None = None):
+    """Driver-side pandas frame of df2's valid (chrom,[on...],start,end)
+    rows. Only called behind the ``_SMALL_INPUT_BYTES`` plan-size gate —
+    the same bound under which df2 would be broadcast anyway, so
+    collecting it is the identical data movement minus the JVM relation.
+    ``on`` columns are exported as o0,o1,... and null-filtered (a null
+    join key never matches in the join formulation either)."""
+    on = on or []
+    sel = [F.col(ck).alias("c"),
+           *[F.col(c).alias(f"o{i}") for i, c in enumerate(on)],
+           F.col(sk).cast("long").alias("s"),
+           F.col(ek).cast("long").alias("e")]
+    cond = F.col(ck).isNotNull() & F.col(sk).isNotNull() & F.col(ek).isNotNull()
+    for c in on:
+        cond = cond & F.col(c).isNotNull()
+    return df2.select(*sel).filter(cond).toPandas()
 
 
 def _coverage_lookup(pdf) -> dict:
@@ -1504,7 +1509,8 @@ def _broadcast_coverage_col(spark, per: dict, ck: str, sk: str, ek: str) -> Colu
     ).otherwise(F.lit(0).cast("long"))
 
 
-def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str) -> Column:
+def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str,
+                        on_cols: list | None = None) -> Column:
     """Overlap-count column from broadcast sorted endpoint arrays, with
     the point->length-1 rewrite (``effective_end``) applied on BOTH
     sides to match ``overlap_predicate`` exactly:
@@ -1518,35 +1524,47 @@ def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str) -> Column:
     (qe < qs) break that inclusion and fall back to an exact per-row
     predicate scan on the raw arrays (rare by contract). Callers must
     pre-check df2 for inverted rows — they invalidate the sorted-array
-    identity — and route them to the join formulation instead."""
+    identity — and route them to the join formulation instead.
+
+    ``on_cols``: extra equality keys; the lookup is then keyed by the
+    (chrom, *on) tuple. Null keys (either side) count 0, matching the
+    join formulation's null-never-matches rule."""
     import numpy as np
     import pandas as pd
 
+    on_cols = list(on_cols or [])
+    keycols = ["c"] + [f"o{i}" for i in range(len(on_cols))]
     per = {}
-    for c, g in pdf.groupby("c", sort=False):
+    for key, g in pdf.groupby(keycols, sort=False):
+        key = key if isinstance(key, tuple) else (key,)
         sr = g["s"].to_numpy("int64")
         er = g["e"].to_numpy("int64")
         # point -> length-1 rewrite, mirroring effective_end()
         ee = np.where(er == sr, er + 1, er)
-        per[c] = (np.sort(sr), np.sort(ee), sr, ee)
+        per[tuple(key)] = (np.sort(sr), np.sort(ee), sr, ee)
     bc = spark.sparkContext.broadcast(per)
 
     @F.pandas_udf("long")
-    def _cnt(c, s, e):
+    def _cnt(*args):
         import numpy as np
 
+        c, *ons, s, e = args
         tbl = bc.value
         res = np.zeros(len(c), dtype="int64")
-        cs = c.to_numpy(dtype=object)
         sv = s.to_numpy("int64")
         ev = e.to_numpy("int64")
-        for chrom in pd.unique(c):
-            ent = tbl.get(chrom)
+        keys = pd.DataFrame({"c": c.reset_index(drop=True),
+                             **{f"o{i}": o.reset_index(drop=True)
+                                for i, o in enumerate(ons)}})
+        # dropna-by-default: rows with a null chrom/on key stay 0, the
+        # join formulation's null-never-matches behavior
+        for key, idx in keys.groupby(keycols, sort=False).indices.items():
+            key = key if isinstance(key, tuple) else (key,)
+            ent = tbl.get(tuple(key))
             if ent is None:
                 continue
-            m = cs == chrom
             S, E, Sr, Ee = ent
-            qs, qe = sv[m], ev[m]
+            qs, qe = sv[idx], ev[idx]
             qe_eff = np.where(qe == qs, qe + 1, qe)
             cnt = (np.searchsorted(S, qe_eff, side="left")
                    - np.searchsorted(E, qs, side="right"))
@@ -1555,7 +1573,7 @@ def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str) -> Column:
                 for k in np.flatnonzero(inv):
                     cnt[k] = int(np.count_nonzero(
                         (Sr < qe[k]) & (Ee > qs[k])))
-            res[m] = cnt
+            res[idx] = cnt
         return pd.Series(res)
 
     valid = (F.col(ck).isNotNull() & F.col(sk).isNotNull()
@@ -1563,6 +1581,7 @@ def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str) -> Column:
     return F.when(
         valid,
         _cnt(F.coalesce(F.col(ck), F.lit("")),
+             *[F.col(c) for c in on_cols],
              F.coalesce(F.col(sk).cast("long"), F.lit(0)),
              F.coalesce(F.col(ek).cast("long"), F.lit(0))),
     ).otherwise(F.lit(0).cast("long"))
@@ -1587,20 +1606,20 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     on = list(on) if on else []
-    if (strategy == "auto" and not on
-            and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES):
+    if strategy == "auto" and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES:
         # Broadcast kernel: df2 fits the broadcast bound, so counts come
         # from sorted endpoint arrays shipped to every task — a map-only
         # scan of df1 (no distinct, no join, no join-back; df1 may be
         # arbitrarily large). This is the 100 TB plan for the canonical
-        # "count annotations per interval" shape. Inverted df2 rows
-        # invalidate the sorted-array counting identity and fall
-        # through to the join formulation (which prices them via the
-        # overlap predicate row by row).
-        pdf = _small_coords_pdf(df2, ck2, sk2, ek2)
+        # "count annotations per interval" shape; ``on`` columns become
+        # part of the lookup key. Inverted df2 rows invalidate the
+        # sorted-array counting identity and fall through to the join
+        # formulation (which prices them via the overlap predicate row
+        # by row).
+        pdf = _small_coords_pdf(df2, ck2, sk2, ek2, on)
         if len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all()):
             out = df1.withColumn("count", _count_overlaps_col(
-                df1.sparkSession, pdf, ck1, sk1, ek1))
+                df1.sparkSession, pdf, ck1, sk1, ek1, on))
             return out if return_input else out.select("count")
     keys = [ck1, sk1, ek1, *on]
     coords = df1.select(*keys).filter(F.col(ck1).isNotNull()).distinct()

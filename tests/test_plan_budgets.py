@@ -96,6 +96,9 @@ def test_window_family_budgets(spark, frames):
     assert _scans(bf.coverage(a, a)) <= 1
     assert n_exchanges(bf.count_overlaps(a, a)) == 0
     assert _scans(bf.count_overlaps(a, a)) <= 1
+    from pyspark.sql import functions as _F
+    a_str = a.withColumn("strand", _F.lit("+"))
+    assert n_exchanges(bf.count_overlaps(a_str, a_str, on=["strand"])) == 0
     # forced join formulations keep their historical budgets
     assert n_exchanges(bf.coverage(a, a, strategy="plain")) <= 3
     assert n_exchanges(bf.count_overlaps(a, a, strategy="plain")) <= 3

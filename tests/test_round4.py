@@ -556,3 +556,27 @@ def test_gopher_quality_filter_rules(spark):
     assert not out[3]["r_dup_lines"] and not out[3]["keep"]
     assert not out[4]["r_alpha_words"] and not out[4]["r_stopwords"]
     assert not out[4]["keep"]
+
+
+def test_count_overlaps_on_kernel_matches_join(spark, tmp_path):
+    """The on=-keyed broadcast count kernel == the join formulation,
+    including null on-keys on both sides (never match -> 0)."""
+    import bioframe_spark as bf
+
+    a = spark.createDataFrame(
+        [("chr1", 1, 10, "+"), ("chr1", 1, 10, "-"),
+         ("chr1", 5, 8, None), ("chr2", 1, 5, "+")],
+        "chrom string, start long, end long, strand string")
+    b = _pq(spark, tmp_path, "bon",
+            [("chr1", 5, 12, "+"), ("chr1", 6, 7, "+"),
+             ("chr1", 2, 9, "-"), ("chr2", 50, 60, "+"),
+             ("chr1", 3, 4, None)],
+            schema="chrom string, start long, end long, strand string")
+    cols = ["chrom", "start", "end", "strand", "count"]
+    fast = _rows(bf.count_overlaps(a, b, on=["strand"]), cols)
+    join = _rows(bf.count_overlaps(a, b, on=["strand"], strategy="plain"),
+                 cols)
+    assert fast == join
+    by = {(t[0], t[1], t[3]): t[4] for t in fast}
+    assert by[("chr1", 1, "+")] == 2 and by[("chr1", 1, "-")] == 1
+    assert by[("chr1", 5, None)] == 0
