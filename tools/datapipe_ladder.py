@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from bioframe_spark.session import get_spark  # noqa: E402
+from bench import force_count as _force_count  # noqa: E402
 from bioframe_spark.datapipe import dedup, similarity, text  # noqa: E402
 
 
@@ -119,7 +120,7 @@ def main():
                 spark.catalog.clearCache()
                 docs.cache().count(); emb.cache().count()
                 t0 = time.time()
-                n = thunk().count()
+                n = _force_count(thunk())
                 samples.append(time.time() - t0)
             med = sorted(samples)[len(samples) // 2]
             results.setdefault(name, {})[k] = med

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F, types as T, Window  # noqa: E402
 from bioframe_spark.session import get_spark  # noqa: E402
 import bioframe_spark as bf  # noqa: E402
 import __spark_entry__ as em  # noqa: E402
+from bench import force_count as _force_count  # noqa: E402
 
 
 def premerge(df, ck, sk, ek, on, min_dist):
@@ -119,7 +120,7 @@ def time_q(label, thunk, reps=5):
     n = 0
     for _ in range(reps):
         t0 = time.time()
-        n = thunk().count()
+        n = _force_count(thunk())
         samples.append(time.time() - t0)
     med = sorted(samples)[len(samples) // 2]
     print(f"{label}: median {med:.3f}s cold {samples[0]:.3f}s rows={n}")

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 import bioframe_spark as bf  # noqa: E402
 from bioframe_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as em  # noqa: E402
+from bench import force_count as _force_count  # noqa: E402
 
 
 def skewed(df, ck="chrom"):
@@ -38,7 +39,7 @@ def t(label, fn, results, reps=3):
     n = 0
     for _ in range(reps):
         t0 = time.time()
-        n = fn().count()
+        n = _force_count(fn())
         samples.append(time.time() - t0)
     med = sorted(samples)[len(samples) // 2]
     results[label] = round(med, 3)
