@@ -456,3 +456,45 @@ def test_stream_coverage_static_live(spark, tmp_path):
         if tot:
             want[(ac, as_, ae)] = tot
     assert latest == want
+
+
+def test_stream_gopher_filter_live(spark):
+    """The Gopher quality filter (repetition signals + token features) is
+    map-only, so it runs unchanged under Structured Streaming; stream
+    verdicts must match the batch computation on the same texts."""
+    from bioframe_spark.datapipe import text as T
+
+    good = ("the cat sat and the dog ran for the hill in the sun "
+            "it was that kind of day and all of them were happy "
+            "more and more words keep this document long enough here "
+            "extra filler tokens stretch the body to the bar now")
+    bad = "too short"
+    texts = F.when(F.col("value") % 2 == 0, F.lit(good)).otherwise(F.lit(bad))
+
+    batch = spark.createDataFrame([(0, good), (1, bad)],
+                                  "doc_id long, text string")
+    want = {r["doc_id"] % 2: r["keep"] for r in
+            T.gopher_quality_filter(batch, min_words=30).collect()}
+    assert want == {0: True, 1: False}
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        .select(F.col("value").alias("doc_id"), texts.alias("text"))
+    )
+    out = T.gopher_quality_filter(stream, min_words=30).select("doc_id", "keep")
+    q = (
+        out.writeStream.format("memory").queryName("gopher_live")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 30
+        got = {}
+        while time.time() < deadline:
+            got = {r["doc_id"] % 2: r["keep"] for r in
+                   spark.sql("select doc_id, keep from gopher_live").collect()}
+            if len(got) == 2:
+                break
+            time.sleep(1)
+        assert got == want, got
+    finally:
+        q.stop()
