@@ -369,6 +369,13 @@ _CLOSEST_COGROUP_BYTES = 128 << 20  # above this combined scan size the
 # 66 s vs binned 24 s (tools/scale_ladder.py)
 
 
+def _small_df2(df2: DataFrame) -> bool:
+    """df2 under the broadcast bound -> the broadcast kernel wins (no
+    shuffle of df1 at all). Same gate as ops' coverage/count kernels."""
+    from .ops import _SMALL_INPUT_BYTES, _plan_size_bytes
+    return _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES
+
+
 def _big_inputs(df1: DataFrame, df2: DataFrame) -> bool:
     from .ops import _plan_size_bytes, _threshold
 
@@ -555,6 +562,78 @@ def _closest_binned(
     return out
 
 
+def _closest_broadcast(
+    df1: DataFrame, df2: DataFrame, *, k, ignore_overlaps, ignore_upstream,
+    ignore_downstream, direction_col, tie_breaking_col, return_input,
+    return_distance, return_overlap, suffixes, cols1, cols2,
+) -> DataFrame:
+    """Broadcast-kernel closest for a small df2 (the "nearest gene
+    against a huge table" shape): df2 is collected ONCE at
+    plan-construction time into per-chromosome pandas frames and shipped
+    as a Spark broadcast; a ``mapInPandas`` over df1 runs the SAME
+    per-chromosome kernel and row assembly as the cogroup path
+    (:func:`_closest_pandas`), so every row is byte-identical — but df1
+    never shuffles and parallelism is scan partitions, not chromosome
+    count. Same collected-dim contract (and kernel reuse) as
+    ``streaming.stream_closest_static``."""
+    ck1, sk1, ek1 = _resolve_cols(cols1)
+    ck2, sk2, ek2 = _resolve_cols(cols2)
+    sfx1, sfx2 = suffixes
+    names1 = list(df1.columns)
+    names2 = list(df2.columns)
+    ann_pd = df2.toPandas()
+    ann_bc = df1.sparkSession.sparkContext.broadcast({
+        c: grp.reset_index(drop=True)
+        for c, grp in ann_pd.groupby(ck2, sort=False)
+    })
+
+    out_fields = [T.StructField(f.name + sfx1, f.dataType, True)
+                  for f in df1.schema.fields]
+    out_fields += [T.StructField(f.name + sfx2, f.dataType, True)
+                   for f in df2.schema.fields]
+    if return_overlap:
+        out_fields += [
+            T.StructField("have_overlap", T.BooleanType(), True),
+            T.StructField("overlap_start", T.LongType(), True),
+            T.StructField("overlap_end", T.LongType(), True),
+        ]
+    if return_distance:
+        out_fields.append(T.StructField("distance", T.LongType(), True))
+    out_schema = T.StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for chrom, p1 in pdf.groupby(ck1, sort=False, dropna=False):
+                p2 = None if pd.isna(chrom) else ann_bc.value.get(chrom)
+                outs.append(_closest_pandas(
+                    p1.reset_index(drop=True), p2,
+                    names1=names1, names2=names2, sfx1=sfx1, sfx2=sfx2,
+                    sk1=sk1, ek1=ek1, sk2=sk2, ek2=ek2, k=k,
+                    ignore_overlaps=ignore_overlaps,
+                    ignore_upstream=ignore_upstream,
+                    ignore_downstream=ignore_downstream,
+                    direction_col=direction_col,
+                    tie_breaking_col=tie_breaking_col,
+                    return_overlap=return_overlap,
+                    return_distance=return_distance,
+                ))
+            yield pd.concat(outs, ignore_index=True)[out_names]
+
+    out = df1.mapInPandas(kern, out_schema)
+    if not return_input:
+        keep = []
+        if return_overlap:
+            keep += ["have_overlap", "overlap_start", "overlap_end"]
+        if return_distance:
+            keep.append("distance")
+        out = out.select(*keep)
+    return out
+
+
 def closest(
     df1: DataFrame,
     df2: DataFrame | None = None,
@@ -576,10 +655,15 @@ def closest(
 
     ``strategy``: 'cogroup' = per-chrom vectorized kernel (fast, one task
     per chromosome); 'binned' = pure-DataFrame cap-escalation plan
-    (parallel within chromosomes — the huge-single-chrom path); 'auto'
-    picks binned when the combined input scan size exceeds
+    (parallel within chromosomes — the huge-single-chrom path);
+    'broadcast' = df2 collected once + per-chromosome pandas frames
+    shipped to a ``mapInPandas`` over df1 — zero shuffle of df1,
+    parallelism = scan partitions (the small-annotation / huge-df1
+    shape; same per-chrom kernel, byte-identical rows). 'auto' picks
+    broadcast when df2's scan size fits the broadcast bound (non-self
+    mode), else binned when the combined input scan size exceeds
     ``_CLOSEST_COGROUP_BYTES`` and the feature set allows it (self-mode
-    and callable tie-breakers need the cogroup kernel).
+    and callable tie-breakers need a kernel strategy).
     """
     if k < 1:
         raise ValueError("k>=1 required")
@@ -595,13 +679,29 @@ def closest(
     _verify_columns(df2, [ck2, sk2, ek2], "closest df2")
     sfx1, sfx2 = suffixes
 
-    if strategy not in ("auto", "cogroup", "binned"):
-        raise ValueError("strategy must be 'auto', 'cogroup' or 'binned'")
+    if strategy not in ("auto", "cogroup", "binned", "broadcast"):
+        raise ValueError(
+            "strategy must be 'auto', 'cogroup', 'binned' or 'broadcast'")
     binned_ok = not self_mode and not callable(tie_breaking_col)
     if strategy == "binned" and not binned_ok:
         raise ValueError(
             "strategy='binned' does not support self-mode or callable "
             "tie_breaking_col; use strategy='cogroup'"
+        )
+    if strategy == "broadcast" and self_mode:
+        raise ValueError(
+            "strategy='broadcast' does not support self-mode (df2 would "
+            "be df1 itself — unbounded); use strategy='cogroup'"
+        )
+    if strategy == "broadcast" or (strategy == "auto" and not self_mode
+                                   and _small_df2(df2)):
+        return _closest_broadcast(
+            df1, df2, k=k, ignore_overlaps=ignore_overlaps,
+            ignore_upstream=ignore_upstream, ignore_downstream=ignore_downstream,
+            direction_col=direction_col, tie_breaking_col=tie_breaking_col,
+            return_input=return_input, return_distance=return_distance,
+            return_overlap=return_overlap, suffixes=suffixes,
+            cols1=cols1, cols2=cols2,
         )
     if strategy == "binned" or (strategy == "auto" and binned_ok and _big_inputs(df1, df2)):
         return _closest_binned(

@@ -411,11 +411,12 @@ def test_closest_strategy_equivalence(spark, a, b, k):
     import bioframe_spark as bf
     d1, d2 = _df(spark, a), _df(spark, b)
     out = {}
-    for strat in ("cogroup", "binned"):
+    for strat in ("cogroup", "binned", "broadcast"):
         res = bf.closest(d1, d2, k=k, strategy=strat)
         out[strat] = sorted(
             tuple(None if v is None else v for v in r) for r in res.collect())
     assert out["cogroup"] == out["binned"]
+    assert out["cogroup"] == out["broadcast"]
     # distance values vs brute force (k=1: each unique df1 row gets
     # exactly one output row; its distance must be the true minimum)
     if k == 1:
@@ -439,13 +440,14 @@ def test_closest_k_gt2_ignore_strategy_equivalence(spark, a, b, k, ignore):
     import bioframe_spark as bf
     ig_up, ig_down = ignore
     out = {}
-    for strat in ("cogroup", "binned"):
+    for strat in ("cogroup", "binned", "broadcast"):
         res = bf.closest(_df(spark, a), _df(spark, b), k=k,
                          ignore_upstream=ig_up, ignore_downstream=ig_down,
                          strategy=strat)
         out[strat] = sorted(
             tuple(None if v is None else v for v in r) for r in res.collect())
     assert out["cogroup"] == out["binned"]
+    assert out["cogroup"] == out["broadcast"]
 
 
 @settings(max_examples=8, deadline=None,

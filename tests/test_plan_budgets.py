@@ -88,7 +88,7 @@ def _scans(df) -> int:
 
 
 def test_window_family_budgets(spark, frames):
-    a, _, _ = frames
+    a, b, _ = frames
     assert n_exchanges(bf.merge(a, min_dist=0)) <= 2        # distinct + window
     # broadcast kernels: df2 under the broadcast bound -> map-only over
     # df1 (ZERO shuffles, one scan; df1 may be arbitrarily large)
@@ -99,6 +99,9 @@ def test_window_family_budgets(spark, frames):
     from pyspark.sql import functions as _F
     a_str = a.withColumn("strand", _F.lit("+"))
     assert n_exchanges(bf.count_overlaps(a_str, a_str, on=["strand"])) == 0
+    # closest against a broadcast-bound annotation side: map-only too
+    assert n_exchanges(bf.closest(a, b)) == 0
+    assert _scans(bf.closest(a, b)) <= 1
     # forced join formulations keep their historical budgets
     assert n_exchanges(bf.coverage(a, a, strategy="plain")) <= 3
     assert n_exchanges(bf.count_overlaps(a, a, strategy="plain")) <= 3
