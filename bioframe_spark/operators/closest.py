@@ -254,8 +254,18 @@ def _closest_pandas(pdf1, pdf2, *, names1, names2, sfx1, sfx2,
     """One chromosome's closest output as a pandas frame: runs
     :func:`_closest_kernel` and assembles the suffixed left+right
     columns (left-join null row when ``pdf2`` is None/empty).  Shared by
-    the batch cogroup path and the streaming static-annotation kernel so
-    both emit byte-identical rows."""
+    the batch cogroup path, the broadcast strategy, and the streaming
+    static-annotation kernel so all emit byte-identical rows.
+
+    Null-coordinate pdf2 rows are dropped here — the engine-wide
+    null contract (null rows never match; the binned strategy gets this
+    from its join predicate). The reference rejects such input outright
+    (``is_bedframe(raise_errors=True)``, reference ``ops.py:1162``), so
+    filtering is a documented relaxation, not a semantics change."""
+    if pdf2 is not None and len(pdf2):
+        ok = pdf2[[sk2, ek2]].notna().all(axis=1)
+        if not ok.all():
+            pdf2 = pdf2[ok].reset_index(drop=True)
     if pdf2 is None or len(pdf2) == 0:
         left = pdf1.copy()
         left.columns = [c + sfx1 for c in names1]

@@ -1417,10 +1417,15 @@ def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str,
     the same bound under which df2 would be broadcast anyway, so
     collecting it is the identical data movement minus the JVM relation.
     ``on`` columns are exported as o0,o1,... and null-filtered (a null
-    join key never matches in the join formulation either)."""
+    join key never matches in the join formulation either). They are
+    cast to STRING with Spark's own cast — the kernel UDF casts df1's
+    on columns the same way, so keys compare exactly even for values a
+    pandas nullable column would degrade (a null in an int64 Arrow
+    batch turns the series float64, rounding keys above 2^53)."""
     on = on or []
     sel = [F.col(ck).alias("c"),
-           *[F.col(c).alias(f"o{i}") for i, c in enumerate(on)],
+           *[F.col(c).cast("string").alias(f"o{i}")
+             for i, c in enumerate(on)],
            F.col(sk).cast("long").alias("s"),
            F.col(ek).cast("long").alias("e")]
     cond = F.col(ck).isNotNull() & F.col(sk).isNotNull() & F.col(ek).isNotNull()
@@ -1581,7 +1586,7 @@ def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str,
     return F.when(
         valid,
         _cnt(F.coalesce(F.col(ck), F.lit("")),
-             *[F.col(c) for c in on_cols],
+             *[F.col(c).cast("string") for c in on_cols],
              F.coalesce(F.col(sk).cast("long"), F.lit(0)),
              F.coalesce(F.col(ek).cast("long"), F.lit(0))),
     ).otherwise(F.lit(0).cast("long"))
@@ -1606,16 +1611,23 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     on = list(on) if on else []
-    if strategy == "auto" and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES:
+    def _atomic(df, c):
+        t = dict(df.dtypes)[c]
+        return not t.startswith(("array", "map", "struct", "binary"))
+
+    if (strategy == "auto" and _plan_size_bytes(df2) <= _SMALL_INPUT_BYTES
+            and all(_atomic(df1, c) and _atomic(df2, c) for c in on)):
         # Broadcast kernel: df2 fits the broadcast bound, so counts come
         # from sorted endpoint arrays shipped to every task — a map-only
         # scan of df1 (no distinct, no join, no join-back; df1 may be
         # arbitrarily large). This is the 100 TB plan for the canonical
         # "count annotations per interval" shape; ``on`` columns become
-        # part of the lookup key. Inverted df2 rows invalidate the
-        # sorted-array counting identity and fall through to the join
-        # formulation (which prices them via the overlap predicate row
-        # by row).
+        # part of the lookup key (atomic types only — the key compare
+        # happens on Spark string casts, which are lossy for binary and
+        # unavailable for complex types; those route to the join).
+        # Inverted df2 rows invalidate the sorted-array counting
+        # identity and fall through to the join formulation (which
+        # prices them via the overlap predicate row by row).
         pdf = _small_coords_pdf(df2, ck2, sk2, ek2, on)
         if len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all()):
             out = df1.withColumn("count", _count_overlaps_col(

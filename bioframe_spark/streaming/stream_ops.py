@@ -295,51 +295,21 @@ def stream_closest_static(stream: DataFrame, annotations: DataFrame,
     immediately.  Chromosomes with no annotation produce the batch
     path's left-join null row.  k-NN against a MUTABLE or unbounded
     right side is not offered as a stream (it would need total
-    per-chromosome order); re-plan on annotation refresh instead."""
-    import pandas as pd
+    per-chromosome order); re-plan on annotation refresh instead.
 
-    from ..operators.closest import _closest_pandas
+    Delegates to the batch ``closest`` broadcast strategy
+    (``operators/closest.py::_closest_broadcast``) — ONE copy of the
+    collect/broadcast/mapInPandas machinery; ``mapInPandas`` composes
+    with streaming DataFrames unchanged."""
+    from ..operators.closest import _closest_broadcast
 
-    ck1, sk1, ek1 = _resolve_cols(cols1)
-    ck2, sk2, ek2 = _resolve_cols(cols2)
-    sfx1, sfx2 = suffixes
-    names1 = list(stream.columns)
-    names2 = list(annotations.columns)
-    # Collected once here (bounded dim — the construction-time Spark job
-    # is the price of a stateless stream plan), then shipped ONCE per
-    # executor as a Spark broadcast: embedding the frames in the task
-    # closure would re-serialize the whole table with every micro-batch's
-    # task binary.
-    ann_pd = annotations.toPandas()
-    ann_bc = stream.sparkSession.sparkContext.broadcast({
-        c: grp.reset_index(drop=True)
-        for c, grp in ann_pd.groupby(ck2, sort=False)
-    })
-
-    out_fields = [T.StructField(f.name + sfx1, f.dataType, True)
-                  for f in stream.schema.fields]
-    out_fields += [T.StructField(f.name + sfx2, f.dataType, True)
-                   for f in annotations.schema.fields]
-    if return_distance:
-        out_fields.append(T.StructField("distance", T.LongType(), True))
-    out_schema = T.StructType(out_fields)
-
-    def kern(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            outs = []
-            for chrom, p1 in pdf.groupby(ck1, sort=False, dropna=False):
-                p2 = None if pd.isna(chrom) else ann_bc.value.get(chrom)
-                outs.append(_closest_pandas(
-                    p1.reset_index(drop=True), p2,
-                    names1=names1, names2=names2, sfx1=sfx1, sfx2=sfx2,
-                    sk1=sk1, ek1=ek1, sk2=sk2, ek2=ek2, k=k,
-                    return_distance=return_distance,
-                ))
-            yield pd.concat(outs, ignore_index=True)
-
-    return stream.mapInPandas(kern, out_schema)
+    return _closest_broadcast(
+        stream, annotations, k=k, ignore_overlaps=False,
+        ignore_upstream=False, ignore_downstream=False, direction_col=None,
+        tie_breaking_col=None, return_input=True,
+        return_distance=return_distance, return_overlap=False,
+        suffixes=suffixes, cols1=cols1, cols2=cols2,
+    )
 
 
 def stream_count_overlaps_static(stream: DataFrame, annotations: DataFrame,

@@ -580,3 +580,42 @@ def test_count_overlaps_on_kernel_matches_join(spark, tmp_path):
     by = {(t[0], t[1], t[3]): t[4] for t in fast}
     assert by[("chr1", 1, "+")] == 2 and by[("chr1", 1, "-")] == 1
     assert by[("chr1", 5, None)] == 0
+
+
+def test_closest_null_coord_df2_never_matches(spark, tmp_path):
+    """Null-coordinate df2 rows must never be returned as a match by ANY
+    strategy (the binned join predicate ignores them naturally; the
+    kernel strategies drop them in _closest_pandas). The reference
+    rejects such input outright, so filtering is the engine-wide
+    null-rows-never-match contract."""
+    a = spark.createDataFrame([("chr1", 2, 5)],
+                              "chrom string, start long, end long")
+    b = _pq(spark, tmp_path, "bnull",
+            [("chr1", None, None), ("chr1", 100, 110)])
+    want = [("chr1", 2, 5, "chr1", 100, 110, 95)]
+    for strat in ("cogroup", "binned", "broadcast"):
+        got = [tuple(r) for r in bf.closest(a, b, strategy=strat).collect()]
+        assert got == want, (strat, got)
+    # auto (small parquet df2 -> broadcast) agrees too
+    got = [tuple(r) for r in bf.closest(a, b).collect()]
+    assert got == want
+
+
+def test_count_overlaps_on_big_int_keys_with_nulls(spark, tmp_path):
+    """An int64 on-key above 2^53 alongside a null in the same column:
+    the Arrow batch degrades nullable longs to float64, so raw key
+    compares would round and miss — the kernel compares Spark STRING
+    casts instead. Values must match the join formulation."""
+    big = (1 << 60) + 1
+    a = spark.createDataFrame(
+        [("chr1", 1, 10, big), ("chr1", 1, 10, None), ("chr1", 1, 10, big + 1)],
+        "chrom string, start long, end long, grp long")
+    b = _pq(spark, tmp_path, "bbig",
+            [("chr1", 5, 12, big)],
+            schema="chrom string, start long, end long, grp long")
+    cols = ["chrom", "start", "end", "grp", "count"]
+    fast = _rows(bf.count_overlaps(a, b, on=["grp"]), cols)
+    join = _rows(bf.count_overlaps(a, b, on=["grp"], strategy="plain"), cols)
+    assert fast == join
+    by = {t[3]: t[4] for t in fast}
+    assert by[big] == 1 and by[big + 1] == 0 and by[None] == 0
