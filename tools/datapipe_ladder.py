@@ -97,6 +97,15 @@ def main():
             "simhash_pairs": lambda: dedup.simhash_dup_pairs(docs),
             "quality_feats": lambda: text.quality_features(docs),
             "redact": lambda: text.redact_pii(docs),
+            "repetition": lambda: text.repetition_signals(docs),
+            "gopher_filter": lambda: text.gopher_quality_filter(docs),
+            # corpus-level first-occurrence line dedup: a shared header
+            # keeps one hot line whose keeper aggregate must stay
+            # map-side combinable as k grows
+            "dedup_lines": lambda: text.dedup_lines(
+                docs.withColumn(
+                    "text",
+                    F.concat(F.lit("SHARED-HEADER\n"), F.col("text")))),
             # eval set held constant while the corpus grows k x — the
             # realistic decontamination shape (corpus-side distinct
             # shingles dominate)
