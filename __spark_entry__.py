@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import bioframe_spark as bf
-from bioframe_spark.datapipe import dedup, sampling, similarity, text
+from bioframe_spark.datapipe import dedup, packing, sampling, similarity, text
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -465,6 +465,23 @@ def q_gopher(spark, sf_dir):
         "doc_id", "r_word_count", "r_mean_wordlen", "r_alpha_words",
         "r_stopwords", "r_dup_lines", "r_dup_line_chars", "r_top_bigram",
         "r_dup_ngrams", "keep")
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Context-window chunking: 20-token sliding windows, 5-token
+    overlap (stride 15). Map-only explode; chunk boundaries and the
+    short tail are integer-exact in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.chunk_documents(docs, chunk_tokens=20, overlap=5)
+
+
+def q_pack_seqs(spark, sf_dir):
+    """Next-fit sequence packing into 80-token bins, 8 deterministic
+    id-shards. Inherently sequential within a shard (exact next-fit in
+    applyInPandas), parallel across shards; the oracle replays the same
+    next-fit as a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, max_tokens=80, num_shards=8)
 
 
 def q_contamination(spark, sf_dir):
@@ -1033,7 +1050,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_binned": q_closest_binned,
         "subtract": q_subtract,
         "assign_view": q_assign_view,
-        "pair_by_distance": q_pair_by_distance,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "redact": q_redact,  # new this round
@@ -1041,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,  # new this round
         "dedup_lines": q_dedup_lines,  # new this round
         "gopher": q_gopher,  # new this round
+        "chunk_docs": q_chunk_docs,  # new this round
+        "pack_seqs": q_pack_seqs,  # new this round
         "jaccard_pairs": q_jaccard_pairs,
         "contamination": q_contamination,  # new this round
         "dedup_components": q_dedup_components,
@@ -1051,11 +1069,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
         "ann_lsh": q_ann_lsh,
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
+        "pair_by_distance": q_pair_by_distance,  # r03 green x2 + fuzz; displaced by chunk_docs
+        "ann_ivf": q_ann_ivf,  # r03 green; the newer ann_ivf_indexed stays in-gate
         "sessions": q_sessions,  # r03 green; displaced by gopher at r04
         "events_hourly": q_events_hourly,  # r01-stable; rotated at r04
         "overlap_on": q_overlap_on,  # r01-r03 green; inner/left/outer in-gate
@@ -1695,6 +1714,47 @@ SELECT *,
 FROM rules
 """
 
+    chunk_docs = """
+WITH p AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL),
+nch AS (
+  SELECT doc_id, toks, n,
+         GREATEST(1, CAST(ceil((n - 5) / 15.0) AS BIGINT)) AS m
+  FROM p)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(toks[i * 15 + 1 : i * 15 + 20], ' ') AS text,
+       CAST(LEAST(20, n - i * 15) AS BIGINT) AS n_tokens
+FROM nch, UNNEST(range(0, m)) AS r(i)
+"""
+
+    pack_seqs = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 8 AS INTEGER) AS shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+pack AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS seq_pos,
+         n_tokens AS run
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.run + t.n_tokens > 80 THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.run + t.n_tokens > 80
+              THEN CAST(0 AS BIGINT) ELSE p.seq_pos + 1 END,
+         CASE WHEN p.run + t.n_tokens > 80
+              THEN t.n_tokens ELSE p.run + t.n_tokens END
+  FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+SELECT doc_id, n_tokens, shard, seq, seq_pos, n_tokens > 80 AS oversize
+FROM pack
+"""
+
     curate = f"""
 WITH RECURSIVE d0 AS (
   SELECT doc_id, text FROM documents
@@ -2283,6 +2343,8 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "repetition": repetition,
         "dedup_lines": dedup_lines_sql,
         "gopher": gopher,
+        "chunk_docs": chunk_docs,
+        "pack_seqs": pack_seqs,
         "contamination": contamination,
         "text_fingerprints": text_fingerprints,
         "language_id": language_id,

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "repetition",
     "dedup_lines",
     "gopher",
+    "chunk_docs",
+    "pack_seqs",
     "jaccard_pairs",
     "contamination",
     "curate",

@@ -619,3 +619,60 @@ def test_count_overlaps_on_big_int_keys_with_nulls(spark, tmp_path):
     assert fast == join
     by = {t[3]: t[4] for t in fast}
     assert by[big] == 1 and by[big + 1] == 0 and by[None] == 0
+
+
+def test_chunk_documents_edges(spark):
+    from bioframe_spark.datapipe import packing
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  # 10 toks
+         (2, "a b"),                              # shorter than a chunk
+         (3, "x1 x2 x3 x4 x5 x6"),                # exact multiple of stride
+         (4, None)],                              # null -> no rows
+        "doc_id long, text string")
+    out = {}
+    for r in packing.chunk_documents(df, chunk_tokens=4, overlap=2).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["text"], r["n_tokens"]))
+    for v in out.values():
+        v.sort()
+    # stride 2: starts 0,2,4,6 cover all 10 tokens; tail chunks shrink
+    assert out[1] == [(0, "t1 t2 t3 t4", 4), (1, "t3 t4 t5 t6", 4),
+                      (2, "t5 t6 t7 t8", 4), (3, "t7 t8 t9 t10", 4)]
+    assert out[2] == [(0, "a b", 2)]
+    assert out[3] == [(0, "x1 x2 x3 x4", 4), (1, "x3 x4 x5 x6", 4)]
+    assert 4 not in out
+
+
+def test_pack_sequences_nextfit_and_determinism(spark):
+    from bioframe_spark.datapipe import packing
+
+    # shard 0 (num_shards=1): id order 1..5, sizes 40,50,30,90,20 at
+    # max 80 -> seqs [40],[50,30],[90(oversize)],[20]
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 40)), (2, " ".join(["w"] * 50)),
+         (3, " ".join(["w"] * 30)), (4, " ".join(["w"] * 90)),
+         (5, " ".join(["w"] * 20))],
+        "doc_id long, text string")
+    want = {1: (0, 0, False), 2: (1, 0, False), 3: (1, 1, False),
+            4: (2, 0, True), 5: (3, 0, False)}
+    got = {r["doc_id"]: (r["seq"], r["seq_pos"], r["oversize"])
+           for r in packing.pack_sequences(df, 80, num_shards=1).collect()}
+    assert got == want
+    # partitioning-independent: physical layout must not change packing
+    got2 = {r["doc_id"]: (r["seq"], r["seq_pos"], r["oversize"])
+            for r in packing.pack_sequences(
+                df.repartition(7), 80, num_shards=1).collect()}
+    assert got2 == want
+
+
+def test_chunk_documents_map_only(spark, tmp_path):
+    from bioframe_spark.datapipe import packing
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    p = str(tmp_path / "chunkdocs")
+    df.write.parquet(p)
+    plan = (packing.chunk_documents(spark.read.parquet(p), 4, 2)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    assert not re.findall(r"\bExchange (hash|range|RoundRobin|Single)", plan)
