@@ -31,7 +31,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from bioframe_spark.session import get_spark  # noqa: E402
 from bench import force_count as _force_count  # noqa: E402
-from bioframe_spark.datapipe import dedup, similarity, text  # noqa: E402
+from bioframe_spark.datapipe import dedup, packing, similarity, text  # noqa: E402
 
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -98,6 +98,12 @@ def main():
             "quality_feats": lambda: text.quality_features(docs),
             "redact": lambda: text.redact_pii(docs),
             "repetition": lambda: text.repetition_signals(docs),
+            "chunk_docs": lambda: packing.chunk_documents(docs, 20, 5),
+            # pack_sequences shards on id % num_shards (numeric id
+            # contract); the ladder's replicated ids are strings, so
+            # remap deterministically first
+            "pack_seqs": lambda: packing.pack_sequences(
+                docs.withColumn("doc_id", F.xxhash64("doc_id")), 80),
             "gopher_filter": lambda: text.gopher_quality_filter(docs),
             # corpus-level first-occurrence line dedup: a shared header
             # keeps one hot line whose keeper aggregate must stay
