@@ -95,11 +95,18 @@ def wav_feature_engine(dim: int = 8):
             with wave.open(io.BytesIO(payload or b"")) as w:
                 sw, nch = w.getsampwidth(), w.getnchannels()
                 raw = w.readframes(w.getnframes())
-        except (wave.Error, EOFError) as e:
+        except (wave.Error, EOFError, struct.error, ValueError, OSError) as e:
+            # a corrupt header can raise from readframes too, not just open
             raise DecodeUnavailable(f"not a WAV payload: {e}")
         if sw != 2:
             raise DecodeUnavailable(f"only 16-bit PCM supported, got {sw*8}-bit")
-        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        if len(raw) % 2:
+            raise DecodeUnavailable("corrupt WAV: odd-length 16-bit data chunk")
+        try:
+            # truncated data chunks can fail here, not at open
+            samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        except struct.error as e:
+            raise DecodeUnavailable(f"corrupt WAV data chunk: {e}")
         if nch > 1:  # mixdown: mean over channels per frame
             samples = [sum(samples[i:i + nch]) / nch
                        for i in range(0, len(samples) - nch + 1, nch)]

@@ -276,7 +276,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                       "__bi": F.array_sort(_grams(2))})
         .withColumn("__top", fold)
     )
-    return staged.withColumns({
+    sig = {
         "n_lines": F.size("__lines").cast("long"),
         "n_dup_lines": (F.size("__lines")
                         - F.size(F.array_distinct("__lines"))).cast("long"),
@@ -290,7 +290,13 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         "top_bigram_chars": F.coalesce(
             F.col("__top")["bc"] * F.length(F.col("__top")["best"]),
             F.lit(0)).cast("long"),
-    }).drop("__lines", "__toks", "__grams", "__bi", "__top")
+    }
+    # null text => every signal null TOGETHER (size(null array) is -1 in
+    # non-ANSI Spark, which would otherwise mix -1 counts with null char
+    # sums); downstream gopher verdicts then inherit null uniformly
+    sig = {k: F.when(t.isNotNull(), v) for k, v in sig.items()}
+    return staged.withColumns(sig).drop(
+        "__lines", "__toks", "__grams", "__bi", "__top")
 
 
 def gopher_quality_filter(df: DataFrame, text_col: str = "text",
@@ -353,10 +359,15 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
         "r_top_bigram": c("top_bigram_chars") * 5 <= c("__chars"),
         "r_dup_ngrams": c("n_dup_ngrams") * 20 <= c("n_ngrams") * 3,
     }
+    # null text: every verdict null together (repetition_signals already
+    # nulls its outputs; the per-token features here would otherwise mix
+    # -1 sizes with null sums into arbitrary booleans)
+    rules = {k: F.when(t.isNotNull(), v) for k, v in rules.items()}
     out = staged.withColumns(rules)
     keep = F.lit(True)
     for name in rules:
         keep = keep & F.col(name)
+    keep = F.when(t.isNotNull(), keep)
     return (out.withColumn("keep", keep)
             .drop("__ntok", "__tokchars", "__alpha", "__stop",
                   "__linechars", "__chars"))

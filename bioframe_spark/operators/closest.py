@@ -576,7 +576,8 @@ def _closest_broadcast(
     df1: DataFrame, df2: DataFrame, *, k, ignore_overlaps, ignore_upstream,
     ignore_downstream, direction_col, tie_breaking_col, return_input,
     return_distance, return_overlap, suffixes, cols1, cols2,
-) -> DataFrame:
+    max_rows: int | None = None,
+) -> DataFrame | None:
     """Broadcast-kernel closest for a small df2 (the "nearest gene
     against a huge table" shape): df2 is collected ONCE at
     plan-construction time into per-chromosome pandas frames and shipped
@@ -585,13 +586,23 @@ def _closest_broadcast(
     (:func:`_closest_pandas`), so every row is byte-identical — but df1
     never shuffles and parallelism is scan partitions, not chromosome
     count. Same collected-dim contract (and kernel reuse) as
-    ``streaming.stream_closest_static``."""
+    ``streaming.stream_closest_static``.
+
+    ``max_rows`` (the auto-gate path) bounds the driver collect at
+    ``limit(max_rows+1)``: Catalyst's size estimate alone admits df2
+    here, and a bad estimate must not become an unbounded toPandas —
+    over the cap, returns ``None`` so the caller falls back."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     sfx1, sfx2 = suffixes
     names1 = list(df1.columns)
     names2 = list(df2.columns)
-    ann_pd = df2.toPandas()
+    if max_rows is not None:
+        ann_pd = df2.limit(max_rows + 1).toPandas()
+        if len(ann_pd) > max_rows:
+            return None
+    else:
+        ann_pd = df2.toPandas()
     ann_bc = df1.sparkSession.sparkContext.broadcast({
         c: grp.reset_index(drop=True)
         for c, grp in ann_pd.groupby(ck2, sort=False)
@@ -705,14 +716,21 @@ def closest(
         )
     if strategy == "broadcast" or (strategy == "auto" and not self_mode
                                    and _small_df2(df2)):
-        return _closest_broadcast(
+        from .ops import _SMALL_INPUT_MAX_ROWS, _threshold
+        cap = (None if strategy == "broadcast"  # explicit request: trust it
+               else _threshold(df2, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS))
+        out = _closest_broadcast(
             df1, df2, k=k, ignore_overlaps=ignore_overlaps,
             ignore_upstream=ignore_upstream, ignore_downstream=ignore_downstream,
             direction_col=direction_col, tie_breaking_col=tie_breaking_col,
             return_input=return_input, return_distance=return_distance,
             return_overlap=return_overlap, suffixes=suffixes,
-            cols1=cols1, cols2=cols2,
+            cols1=cols1, cols2=cols2, max_rows=cap,
         )
+        if out is not None:
+            return out
+        # auto-gate mis-estimate: df2 exceeded the hard row cap — fall
+        # through to the distributed strategies
     if strategy == "binned" or (strategy == "auto" and binned_ok and _big_inputs(df1, df2)):
         return _closest_binned(
             df1, df2, k=k, ignore_overlaps=ignore_overlaps,

@@ -606,11 +606,24 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi,
         e_clip = F.least(ee, F.lit(hi))
         first = F.floor(s_clip / bin_size)
         last = F.greatest(F.floor((e_clip - 1) / bin_size), first)
+        # drop rows with ANY null coordinate: a null chrom/start/end can
+        # never match (overlap predicate is null), and a null start/end
+        # would explode(sequence(null,..)) to zero rows anyway — filter
+        # explicitly so the outer window paths and the null-row appends
+        # below partition the input exactly (no silently-vanishing rows)
         return (
-            df.filter(F.col(c).isNotNull())
+            df.filter(F.col(c).isNotNull() & F.col(s).isNotNull()
+                      & F.col(e).isNotNull())
             .withColumn("__first_bin", first)
             .withColumn("__bin", F.explode(F.sequence(first, last)))
         )
+
+    def null_rows(df, c, s, e):
+        # rows the binned frames exclude; outer joins retain them with
+        # null partner columns (the engine's "null rows never match"
+        # rule), the same way the plain and semi/anti paths do
+        return df.filter(F.col(c).isNull() | F.col(s).isNull()
+                         | F.col(e).isNull())
 
     def orderable(df):
         return not any(isinstance(f.dataType, _T.MapType) for f in df.schema.fields)
@@ -673,7 +686,7 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi,
             )
             .drop("__bin", "__bin2", "__fb1", "__fb2", "__any")
         )
-        nulls = L.filter(F.col(c1).isNull())
+        nulls = null_rows(L, c1, s1, e1)
         for c in R.columns:
             nulls = nulls.withColumn(c, F.lit(None).cast(R.schema[c].dataType))
         return out.unionByName(nulls, allowMissingColumns=True)
@@ -692,7 +705,7 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi,
             )
             .drop("__bin", "__bin2", "__fb1", "__fb2", "__any")
         )
-        nulls = R.filter(F.col(c2).isNull())
+        nulls = null_rows(R, c2, s2, e2)
         for c in L.columns:
             nulls = nulls.withColumn(c, F.lit(None).cast(L.schema[c].dataType))
         return out.unionByName(nulls, allowMissingColumns=True)
@@ -732,10 +745,10 @@ def _binned_overlap_join(L, R, lkeys, rkeys, on_pairs, jt, bin_size, lo, hi,
             )
             .drop("__bin", "__bin2", "__fb1", "__fb2", "__anyl", "__anyr")
         )
-        nl = L.filter(F.col(c1).isNull())
+        nl = null_rows(L, c1, s1, e1)
         for c in R.columns:
             nl = nl.withColumn(c, F.lit(None).cast(R.schema[c].dataType))
-        nr = R.filter(F.col(c2).isNull())
+        nr = null_rows(R, c2, s2, e2)
         for c in L.columns:
             nr = nr.withColumn(c, F.lit(None).cast(L.schema[c].dataType))
         return (out.unionByName(nl, allowMissingColumns=True)
@@ -1306,11 +1319,123 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
     return out.drop(*["__k_" + k for k in keys], "__ofs"), totals
 
 
+def _cluster_premerged(df: DataFrame, ck, sk, ek, on, min_dist):
+    """Map-side pre-shrunk cluster assignment (the ``merge`` premerge
+    move, adapted to cluster's per-row-id requirement).
+
+    1. ``_premerge_local``: per-Arrow-batch island collapse — a map-only
+       row reduction (often 10-100x on merge-friendly genomic data)
+       before anything shuffles.
+    2. ``_border_merge_weighted`` over the shrunken rows: the global
+       island SPANS (small — one row per cluster).
+    3. The spans table is collected (hard row cap; over the cap returns
+       None and the caller falls back), sorted driver-side in
+       (group-keys asc, start asc) order — exactly the classic path's
+       dense numbering — and broadcast as per-key sorted arrays.
+    4. A vectorized searchsorted Pandas UDF assigns (cluster,
+       cluster_start, cluster_end) per input row: under ``min_dist >= 0``
+       island spans within a group are strictly separated, so the owning
+       cluster is uniquely ``#(starts <= row_start) - 1``. The input
+       never shuffles — parallelism is scan partitions, the same shape
+       as the coverage/count_overlaps broadcast kernels.
+
+    Requires ``min_dist is not None``: under ``None`` duplicate POINT
+    intervals are each their own island with IDENTICAL spans
+    (reference ``arrops.py:470-471``), which containment cannot
+    distinguish — callers keep the classic/ranged construction there.
+    Input must be null-free in (chrom, start, end, *on).
+
+    Returns (assigned DataFrame with df's columns + cluster_start,
+    cluster_end, cluster; total number of real clusters) or None.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assert min_dist is not None
+    keys = [ck] + on
+    pm = _premerge_local(df.select(ck, sk, ek, *on), ck, sk, ek, on, min_dist)
+    spans = _border_merge_weighted(pm, ck, sk, ek, on, min_dist)
+    cap = _threshold(df, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
+    # native key copies drive the ordering (string-cast ordering would
+    # misnumber int-coded chroms: "10" < "2"); string casts drive the
+    # lookup so the kernel's Arrow-side keys compare exactly (same
+    # discipline as _small_coords_pdf / _count_overlaps_col)
+    sel = ([F.col(ck).alias("__nat0")]
+           + [F.col(c).alias(f"__nat{i+1}") for i, c in enumerate(on)]
+           + [F.col(ck).cast("string").alias("c")]
+           + [F.col(c).cast("string").alias(f"o{i}") for i, c in enumerate(on)]
+           + [F.col(sk).cast("long").alias("s"),
+              F.col(ek).cast("long").alias("e")])
+    cl = spans.select(*sel).limit(cap + 1).toPandas()
+    if len(cl) > cap:
+        return None
+    natcols = [f"__nat{i}" for i in range(len(keys))]
+    cl = cl.sort_values(natcols + ["s"], kind="mergesort").reset_index(drop=True)
+    keycols = ["c"] + [f"o{i}" for i in range(len(on))]
+    ids = np.arange(len(cl), dtype="int64")
+    per = {}
+    for key, idx in cl.groupby(keycols, sort=False).indices.items():
+        key = key if isinstance(key, tuple) else (key,)
+        per[tuple(key)] = (cl["s"].to_numpy("int64")[idx],
+                           cl["e"].to_numpy("int64")[idx], ids[idx])
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(per)
+
+    ret = T.StructType([
+        T.StructField("cluster", T.LongType()),
+        T.StructField("cluster_start", T.LongType()),
+        T.StructField("cluster_end", T.LongType()),
+    ])
+
+    @F.pandas_udf(ret)
+    def _asg(*args):
+        c, *ons, s = args
+        tbl = bc.value
+        n = len(c)
+        out_id = np.full(n, -1, dtype="int64")
+        out_s = np.zeros(n, dtype="int64")
+        out_e = np.zeros(n, dtype="int64")
+        sv = s.to_numpy("int64")
+        kdf = pd.DataFrame({"c": c.reset_index(drop=True),
+                            **{f"o{i}": o.reset_index(drop=True)
+                               for i, o in enumerate(ons)}})
+        for key, idx in kdf.groupby(keycols, sort=False).indices.items():
+            key = key if isinstance(key, tuple) else (key,)
+            # every valid input row premerged into some island, so a
+            # miss means a dtype/lookup bug — fail the task loudly
+            S, E, I = tbl[tuple(key)]
+            pos = np.searchsorted(S, sv[idx], side="right") - 1
+            if (pos < 0).any():
+                raise RuntimeError("cluster premerge kernel: row before "
+                                   "first island (lookup invariant broken)")
+            out_id[idx] = I[pos]
+            out_s[idx] = S[pos]
+            out_e[idx] = E[pos]
+        return pd.DataFrame({"cluster": out_id, "cluster_start": out_s,
+                             "cluster_end": out_e})
+
+    st, et = df.schema[sk].dataType, df.schema[ek].dataType
+    # classic path's equi-join reorders output to (keys, start, end, rest);
+    # match it so both constructions are drop-in interchangeable
+    rest = [c for c in df.columns if c not in set(keys + [sk, ek])]
+    assigned = df.withColumn("__cl", _asg(
+        F.col(ck).cast("string"),
+        *[F.col(c).cast("string") for c in on],
+        F.col(sk).cast("long"),
+    )).select(
+        *keys, sk, ek, *rest,
+        F.col("__cl.cluster_start").cast(st).alias("cluster_start"),
+        F.col("__cl.cluster_end").cast(et).alias("cluster_end"),
+        F.col("__cl.cluster").alias("cluster"),
+    )
+    return assigned, len(cl)
+
+
 def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
             on: list | None = None, return_input: bool = True,
             return_cluster_ids: bool = True,
             return_cluster_intervals: bool = True,
-            range_width="auto") -> DataFrame:
+            range_width="auto", premerge="auto") -> DataFrame:
     """Tag each interval with a dense cluster id + cluster span
     (reference ``ops.py:559-708``).
 
@@ -1319,15 +1444,49 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
     range-partitioned islands construction (identical ids, parallelism
     groups×ranges — see ``_distinct_islands_ranged``); default ``"auto"``
     picks it by input size, ``None`` forces the classic window.
+
+    ``premerge``: the map-side pre-shrink (``_cluster_premerged``) —
+    local island collapse before any shuffle, global spans from the
+    shrunken rows, per-row ids via a broadcast searchsorted kernel (the
+    input rows themselves never shuffle). Identical ids and spans to
+    the classic construction. Default ``"auto"`` engages it above
+    ``spark.bioframe.premergeBytes`` when ``min_dist`` is not None and
+    the on-columns are atomic; it falls back transparently if the
+    cluster count exceeds ``spark.bioframe.smallInputMaxRows``.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "cluster")
     on = list(on) if on else []
-    range_width = _auto_range_width(df, sk, ek, range_width)
+
+    def _atomic(c):
+        t = dict(df.dtypes)[c]
+        return not t.startswith(("array", "map", "struct", "binary"))
+
+    if premerge == "auto":
+        premerge = (min_dist is not None
+                    and all(_atomic(c) for c in on)
+                    and _plan_size_bytes(df) > _threshold(
+                        df, "premergeBytes", _PREMERGE_BYTES))
+    elif premerge and min_dist is None:
+        raise ValueError(
+            "premerge=True requires min_dist is not None (duplicate point "
+            "intervals are each their own island under min_dist=None, "
+            "which span containment cannot distinguish)")
     nulls, valid = _null_key_rows(df, ck, sk, ek, on)
-    clustered, totals = _cluster_islands(valid, ck, sk, ek, on, min_dist,
-                                         range_width=range_width)
-    clustered = clustered.drop("__island")
+    clustered = totals = None
+    if premerge:
+        if min_dist < 0:
+            raise ValueError("min_dist>=0 or None required")
+        res = _cluster_premerged(valid, ck, sk, ek, on, min_dist)
+        if res is not None:
+            clustered, n_real = res
+            totals = df.sparkSession.range(1).select(
+                F.lit(n_real).cast("long").alias("__base"))
+    if clustered is None:
+        range_width = _auto_range_width(df, sk, ek, range_width)
+        clustered, totals = _cluster_islands(valid, ck, sk, ek, on, min_dist,
+                                             range_width=range_width)
+        clustered = clustered.drop("__island")
     # null rows: singleton clusters numbered after the real ones; the
     # base comes from the aggregated island counts, NOT from
     # max(cluster) over the per-row result — that aggregate would
@@ -1410,20 +1569,32 @@ def setdiff(df1: DataFrame, df2: DataFrame, cols1=None, cols2=None,
     return df1.join(r, cond, "left_anti")
 
 
+_SMALL_INPUT_MAX_ROWS = 2_000_000  # hard row cap on the kernel-gate driver
+# collect: Catalyst's size estimate alone decides eligibility, and a bad
+# estimate (selective-looking filter over a large scan) must not turn a
+# lazy plan call into an unbounded toPandas. 2M coordinate rows ≈ 50 MB
+# of driver pandas — the same order as the broadcast the gate implies.
+
+
 def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str,
                       on: list | None = None):
     """Driver-side pandas frame of df2's valid (chrom,[on...],start,end)
-    rows. Only called behind the ``_SMALL_INPUT_BYTES`` plan-size gate —
-    the same bound under which df2 would be broadcast anyway, so
-    collecting it is the identical data movement minus the JVM relation.
-    ``on`` columns are exported as o0,o1,... and null-filtered (a null
-    join key never matches in the join formulation either). They are
-    cast to STRING with Spark's own cast — the kernel UDF casts df1's
-    on columns the same way, so keys compare exactly even for values a
+    rows, or ``None`` when df2 turns out to exceed the hard row cap
+    (``spark.bioframe.smallInputMaxRows``) despite Catalyst's size
+    estimate passing the ``_SMALL_INPUT_BYTES`` gate — callers treat
+    None as "fall back to the join formulation". The collect itself is
+    bounded by ``limit(cap+1)``, so a mis-estimated large df2 costs one
+    capped scan, never an unbounded driver materialization.
+
+    All key columns — chrom AND ``on`` — are cast to STRING with
+    Spark's own cast, and the kernel UDFs cast df1's key columns the
+    same way, so keys compare exactly across dtypes (an int-coded
+    chrom column would otherwise never match the string the UDF
+    receives, silently zeroing every count) and even for values a
     pandas nullable column would degrade (a null in an int64 Arrow
     batch turns the series float64, rounding keys above 2^53)."""
     on = on or []
-    sel = [F.col(ck).alias("c"),
+    sel = [F.col(ck).cast("string").alias("c"),
            *[F.col(c).cast("string").alias(f"o{i}")
              for i, c in enumerate(on)],
            F.col(sk).cast("long").alias("s"),
@@ -1431,7 +1602,11 @@ def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str,
     cond = F.col(ck).isNotNull() & F.col(sk).isNotNull() & F.col(ek).isNotNull()
     for c in on:
         cond = cond & F.col(c).isNotNull()
-    return df2.select(*sel).filter(cond).toPandas()
+    cap = _threshold(df2, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
+    pdf = df2.select(*sel).filter(cond).limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        return None
+    return pdf
 
 
 def _coverage_lookup(pdf) -> dict:
@@ -1508,7 +1683,7 @@ def _broadcast_coverage_col(spark, per: dict, ck: str, sk: str, ek: str) -> Colu
              & F.col(ek).isNotNull())
     return F.when(
         valid,
-        _cov(F.coalesce(F.col(ck), F.lit("")),
+        _cov(F.coalesce(F.col(ck).cast("string"), F.lit("")),
              F.coalesce(F.col(sk).cast("long"), F.lit(0)),
              F.coalesce(F.col(ek).cast("long"), F.lit(0))),
     ).otherwise(F.lit(0).cast("long"))
@@ -1585,7 +1760,7 @@ def _count_overlaps_col(spark, pdf, ck: str, sk: str, ek: str,
              & F.col(ek).isNotNull())
     return F.when(
         valid,
-        _cnt(F.coalesce(F.col(ck), F.lit("")),
+        _cnt(F.coalesce(F.col(ck).cast("string"), F.lit("")),
              *[F.col(c).cast("string") for c in on_cols],
              F.coalesce(F.col(sk).cast("long"), F.lit(0)),
              F.coalesce(F.col(ek).cast("long"), F.lit(0))),
@@ -1629,7 +1804,8 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
         # identity and fall through to the join formulation (which
         # prices them via the overlap predicate row by row).
         pdf = _small_coords_pdf(df2, ck2, sk2, ek2, on)
-        if len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all()):
+        if pdf is not None and (
+                len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all())):
             out = df1.withColumn("count", _count_overlaps_col(
                 df1.sparkSession, pdf, ck1, sk1, ek1, on))
             return out if return_input else out.select("count")
@@ -1700,7 +1876,8 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
         # the join formulation if df2 contains inverted intervals, whose
         # local-merge semantics would diverge from merge()'s islands.
         pdf = _small_coords_pdf(df2, ck2, sk2, ek2)
-        if len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all()):
+        if pdf is not None and (
+                len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all())):
             cov = _broadcast_coverage_col(
                 df1.sparkSession, _coverage_lookup(pdf), ck1, sk1, ek1)
             out = df1.withColumn("coverage", cov)

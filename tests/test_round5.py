@@ -1,0 +1,279 @@
+"""Round-5 additions: broadcast-kernel dtype parity (int-coded chroms),
+hard row caps on kernel-gate driver collects, binned-outer null-coordinate
+row retention, null-text repetition/gopher signals, WAV decode contract."""
+
+import io
+import struct
+import wave
+
+import pytest
+from pyspark.sql import functions as F
+
+import bioframe_spark as bf
+from bioframe_spark.datapipe import multimodal, text
+from bioframe_spark.operators import ops
+
+from helpers import ivals, rows
+
+
+# --------------------------------------------------------------------------
+# broadcast kernels with non-string chrom dtypes (r5 ADVICE medium)
+# --------------------------------------------------------------------------
+
+def _int_chrom(spark, tmp_path, name, data):
+    df = spark.createDataFrame(data, "chrom int, start long, end long")
+    p = str(tmp_path / name)
+    df.write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_count_overlaps_kernel_int_chrom(spark, tmp_path):
+    """Int-coded chrom columns must hit through the broadcast kernel:
+    df2's lookup keys and df1's UDF inputs both go through Spark's
+    string cast, so the auto-gated kernel agrees with the join path."""
+    d1 = _int_chrom(spark, tmp_path, "i1",
+                    [(1, 0, 10), (1, 20, 30), (2, 5, 15), (3, 0, 5)])
+    d2 = _int_chrom(spark, tmp_path, "i2",
+                    [(1, 5, 25), (2, 0, 100)])
+    auto = bf.count_overlaps(d1, d2)  # kernel (df2 tiny)
+    join = bf.count_overlaps(d1, d2, strategy="plain")
+    assert rows(auto) == rows(join)
+    # real non-zero counts, not silent zeros
+    got = {(r["chrom"], r["start"]): r["count"] for r in auto.collect()}
+    assert got[(1, 0)] == 1 and got[(2, 5)] == 1 and got[(3, 0)] == 0
+
+
+def test_coverage_kernel_int_chrom(spark, tmp_path):
+    d1 = _int_chrom(spark, tmp_path, "c1",
+                    [(1, 0, 10), (2, 5, 15), (3, 0, 5)])
+    d2 = _int_chrom(spark, tmp_path, "c2", [(1, 5, 25), (2, 0, 100)])
+    auto = bf.coverage(d1, d2)
+    join = bf.coverage(d1, d2, strategy="binned")
+    assert rows(auto) == rows(join)
+    got = {(r["chrom"], r["start"]): r["coverage"] for r in auto.collect()}
+    assert got[(1, 0)] == 5 and got[(2, 5)] == 10 and got[(3, 0)] == 0
+
+
+def test_count_overlaps_on_int_key_kernel(spark, tmp_path):
+    """`on` columns with int dtype keep working through the string-cast
+    key compare (regression guard around the chrom fix)."""
+    df1 = spark.createDataFrame(
+        [(1, 0, 10, 7), (1, 0, 10, 8)], "chrom int, start long, end long, g int")
+    df2 = spark.createDataFrame(
+        [(1, 5, 15, 7)], "chrom int, start long, end long, g int")
+    p1, p2 = str(tmp_path / "k1"), str(tmp_path / "k2")
+    df1.write.parquet(p1); df2.write.parquet(p2)
+    d1, d2 = spark.read.parquet(p1), spark.read.parquet(p2)
+    out = {(r["g"]): r["count"]
+           for r in bf.count_overlaps(d1, d2, on=["g"]).collect()}
+    assert out == {7: 1, 8: 0}
+
+
+# --------------------------------------------------------------------------
+# hard row caps on the kernel-gate collects (r5 ADVICE low #4)
+# --------------------------------------------------------------------------
+
+def test_small_coords_pdf_row_cap(spark, tmp_path):
+    """A frame whose Catalyst estimate passes the byte gate but whose
+    actual row count exceeds spark.bioframe.smallInputMaxRows returns
+    None from _small_coords_pdf — the operators fall back to the join
+    formulation instead of an unbounded driver collect."""
+    df = ivals(spark, [("chr1", i, i + 1) for i in range(50)])
+    spark.conf.set("spark.bioframe.smallInputMaxRows", "10")
+    try:
+        assert ops._small_coords_pdf(df, "chrom", "start", "end") is None
+        # operators still produce correct results via the fallback
+        d1 = ivals(spark, [("chr1", 0, 100)])
+        assert bf.count_overlaps(d1, df).collect()[0]["count"] == 50
+        assert bf.coverage(d1, df).collect()[0]["coverage"] == 50
+        out = bf.closest(d1, df)
+        assert out.count() == 1 and out.collect()[0]["distance"] == 0
+    finally:
+        spark.conf.unset("spark.bioframe.smallInputMaxRows")
+    pdf = ops._small_coords_pdf(df, "chrom", "start", "end")
+    assert pdf is not None and len(pdf) == 50
+
+
+def test_closest_explicit_broadcast_ignores_cap(spark):
+    """strategy='broadcast' is an explicit user request: no cap probing."""
+    d1 = ivals(spark, [("chr1", 0, 5)])
+    d2 = ivals(spark, [("chr1", 10, 20), ("chr1", 30, 40)])
+    spark.conf.set("spark.bioframe.smallInputMaxRows", "1")
+    try:
+        out = bf.closest(d1, d2, strategy="broadcast").collect()
+        assert len(out) == 1 and out[0]["distance"] == 5
+    finally:
+        spark.conf.unset("spark.bioframe.smallInputMaxRows")
+
+
+# --------------------------------------------------------------------------
+# binned outer joins retain null-start/end rows (r5 ADVICE low #2)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("how", ["left", "right", "outer"])
+@pytest.mark.parametrize("path", ["window", "anti"])
+def test_binned_outer_null_coords_retained(spark, how, path):
+    """Rows with non-null chrom but null start/end never match, and outer
+    joins must RETAIN them with null partner columns — identically in the
+    window and semi/anti reconstructions (they previously diverged)."""
+    data1 = [("chr1", 0, 10), ("chr1", None, None), ("chr2", 5, None),
+             (None, 1, 2)]
+    data2 = [("chr1", 5, 15), ("chr1", None, 3)]
+    d1 = ivals(spark, data1)
+    d2 = ivals(spark, data2)
+    spark.conf.set("spark.bioframe.outerPath", path)
+    try:
+        out = bf.overlap(d1, d2, how=how, strategy="binned",
+                         suffixes=("_a", "_b"))
+        got, _ = rows(out)
+    finally:
+        spark.conf.unset("spark.bioframe.outerPath")
+    ref = bf.overlap(d1, d2, how=how, strategy="plain",
+                     suffixes=("_a", "_b"))
+    exp, _ = rows(ref)
+    assert got == exp
+    n_left_nullish = 3  # null-coord df1 rows that must appear on left/outer
+    if how in ("left", "outer"):
+        lonely = [r for r in got if r[0] is not None or r[1] is not None]
+        assert out.count() >= n_left_nullish
+
+
+def test_binned_outer_null_coords_both_paths_agree(spark):
+    """Window vs anti row multisets are identical on the null-coord shape
+    (the auto path may pick either depending on stats)."""
+    d1 = ivals(spark, [("chr1", 0, 10), ("chr1", None, 5), ("chr1", 7, None)])
+    d2 = ivals(spark, [("chr1", 2, 4), ("chrX", None, None)])
+    outs = {}
+    for path in ("window", "anti"):
+        spark.conf.set("spark.bioframe.outerPath", path)
+        try:
+            outs[path] = rows(bf.overlap(d1, d2, how="outer",
+                                         strategy="binned",
+                                         suffixes=("_a", "_b")))
+        finally:
+            spark.conf.unset("spark.bioframe.outerPath")
+    assert outs["window"] == outs["anti"]
+
+
+# --------------------------------------------------------------------------
+# null-text repetition / gopher signals (r5 ADVICE low #3)
+# --------------------------------------------------------------------------
+
+def test_repetition_signals_null_text_all_null(spark):
+    df = spark.createDataFrame(
+        [("a", "x y " * 30), ("b", None)], "doc_id string, text string")
+    out = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    sig_cols = ["n_lines", "n_dup_lines", "n_dup_line_chars", "n_ngrams",
+                "n_dup_ngrams", "top_bigram", "top_bigram_count",
+                "top_bigram_chars"]
+    assert all(out["b"][c] is None for c in sig_cols)
+    assert all(out["a"][c] is not None for c in sig_cols)
+
+
+def test_gopher_null_text_all_null_verdicts(spark):
+    df = spark.createDataFrame([("b", None)], "doc_id string, text string")
+    r = text.gopher_quality_filter(df).collect()[0]
+    rule_cols = [c for c in r.asDict() if c.startswith("r_")] + ["keep"]
+    assert rule_cols and all(r[c] is None for c in rule_cols)
+
+
+# --------------------------------------------------------------------------
+# WAV decode contract (r5 ADVICE low #5)
+# --------------------------------------------------------------------------
+
+def _wav_bytes(frames=8):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{frames}h", *([1000] * frames)))
+    return buf.getvalue()
+
+
+def test_wav_engine_truncated_payload_raises_decode_unavailable():
+    eng = multimodal.wav_feature_engine(dim=4)
+    good = _wav_bytes()
+    assert len(eng(good, "audio/wav", None)) == 4
+    # truncate mid data chunk: must surface as DecodeUnavailable, never
+    # struct.error / wave.Error escaping the contract
+    for cut in (len(good) - 3, len(good) - 1, 20, 45):
+        with pytest.raises(multimodal.DecodeUnavailable):
+            eng(good[:cut], "audio/wav", None)
+
+
+def test_wav_engine_odd_data_chunk_raises():
+    """Hand-build a WAV whose data chunk length is odd (corrupt for
+    16-bit PCM)."""
+    good = _wav_bytes(frames=4)
+    # wave writes sizes consistently; chop one byte off the end and fix
+    # no headers — wave.readframes returns what's there, odd length
+    bad = good[:-1]
+    eng = multimodal.wav_feature_engine(dim=2)
+    with pytest.raises(multimodal.DecodeUnavailable):
+        eng(bad, "audio/wav", None)
+
+
+# --------------------------------------------------------------------------
+# cluster map-side pre-shrink (r5 directive #1)
+# --------------------------------------------------------------------------
+
+def _canon(df):
+    key = lambda t: tuple((v is None, str(type(v)), v) for v in t)
+    return sorted([tuple(r) for r in df.collect()], key=key), list(df.columns)
+
+
+@pytest.mark.parametrize("min_dist", [0, 7])
+def test_cluster_premerge_equivalence(spark, min_dist):
+    """Premerged construction = classic window construction, including
+    ids, spans, column order, null-row singletons, and duplicates."""
+    import random
+
+    rng = random.Random(51)
+    data = [(rng.choice(["chr1", "chr2"]), s, s + rng.randint(1, 40))
+            for _ in range(800) for s in [rng.randint(0, 3000)]]
+    data += data[:30]  # duplicates
+    data += [("chr1", None, None), (None, 0, 5)]
+    df = ivals(spark, data)
+    a = bf.cluster(df, min_dist=min_dist, premerge=True)
+    b = bf.cluster(df, min_dist=min_dist, premerge=False, range_width=None)
+    assert _canon(a) == _canon(b)
+
+
+def test_cluster_premerge_on_and_int_chrom(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 5, 15, "b"), (10, 0, 3, "a"), (2, 0, 3, "a"),
+         (1, 8, 12, "a"), (1, 30, 40, "a")],
+        "chrom int, start long, end long, g string")
+    a = bf.cluster(df, min_dist=0, on=["g"], premerge=True)
+    b = bf.cluster(df, min_dist=0, on=["g"], premerge=False, range_width=None)
+    assert _canon(a) == _canon(b)
+
+
+def test_cluster_premerge_cap_fallback_and_none_raises(spark):
+    df = ivals(spark, [("chr1", i * 10, i * 10 + 5) for i in range(40)])
+    spark.conf.set("spark.bioframe.smallInputMaxRows", "3")
+    try:
+        a = bf.cluster(df, min_dist=0, premerge=True)  # falls back
+        b = bf.cluster(df, min_dist=0, premerge=False, range_width=None)
+        assert _canon(a) == _canon(b)
+    finally:
+        spark.conf.unset("spark.bioframe.smallInputMaxRows")
+    with pytest.raises(ValueError, match="min_dist"):
+        bf.cluster(df, min_dist=None, premerge=True)
+
+
+def test_cluster_premerge_no_input_shuffle(spark, tmp_path):
+    """The kernel assignment over the INPUT rows is shuffle-free — a
+    map-only projection over the scan (the spans subtree was already
+    executed at plan-construction time; the null-singleton branch is a
+    separate pruned scan and exists on every construction)."""
+    df = ivals(spark, [("chr1", i, i + 20) for i in range(0, 4000, 3)])
+    p = str(tmp_path / "ck")
+    df.write.parquet(p)
+    d = spark.read.parquet(p)
+    assigned, n_real = ops._cluster_premerged(
+        d, "chrom", "start", "end", [], 0)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert n_real == assigned.select("cluster").distinct().count()
