@@ -37,21 +37,9 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
     return df.join(w_min, id_col, "left_semi")
 
 
-def _spread_if_underpartitioned(df: DataFrame) -> DataFrame:
-    """Map-only signature projections do ALL their hashing in the scan
-    stage, so their parallelism is the scan's: a small single-row-group
-    parquet arrives as ONE partition and serializes the whole corpus hash
-    onto one core (the explode+groupBy formulations they replaced were
-    accidentally rescued by their shuffle). Round-robin ONLY when the
-    scan is under-split — a well-split 100 TB scan keeps its partitioning
-    and this is a no-op. Streaming frames pass through (micro-batch
-    parallelism is the source's concern)."""
-    if df.isStreaming:
-        return df
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+from ..operators.ops import _spread_if_underpartitioned  # noqa: E402
+# (shared guard: map-only signature projections do all their hashing in
+# the scan stage; see ops._spread_if_underpartitioned)
 
 
 def shingle_array(text_col: Column, n: int = 3) -> Column:

@@ -404,10 +404,16 @@ def _closest_binned(
     chromosomes, unlike the per-chrom cogroup task): probe = df1 expanded
     by the cap. Rows that found ≥k candidates are complete (every candidate
     at distance ≤ cap is present, so their top-k is the global top-k);
-    the rest retry with an 8× cap. The ladder ends at the coordinate span
-    bound, where completeness is unconditional; rows with no candidates at
-    all (or a null chrom) left-complete with null df2 columns — exact
-    ``closest`` left semantics.
+    the rest retry with an 8× cap. Caps are PER-ROW columns seeded from a
+    per-chromosome density estimate (k-NN spacing ~ k·span_c/n_c), so a
+    heterogeneous genome neither overshoots its dense chromosomes nor
+    starves its sparse ones; a row whose cap reaches the global coordinate
+    span bound is unconditionally complete and leaves the ladder that rung
+    (matched rows with <k candidates keep what exists; zero-match rows —
+    including null/absent chroms — left-complete with null df2 columns,
+    exact ``closest`` left semantics). df2 is persisted across rungs and
+    each rung's binned join receives a driver-built span hint, so
+    escalations re-scan the cache instead of re-deriving stats.
     """
     from .ops import overlap
     from ..functions.intervals import effective_end, genomic_distance
@@ -431,29 +437,90 @@ def _closest_binned(
     )
 
     # cap ladder bound: global coordinate span (one tiny agg job). The
-    # FIRST rung is density-scaled, not span-scaled: span/1024 blows up on
-    # dense inputs (the round-1 candidate join is probes x cap-window x
-    # density — measured 28x wall at a 4x-replicated sf0.1 where the
-    # span-scaled cap admitted ~340 candidates/probe for a k=1 query).
-    # Expected k-NN spacing is ~ k x span / |df2| (an overestimate when
-    # the span covers many chromosomes — that only makes round 1 safer);
-    # 16x covers clustering, the 8x ladder escalates the sparse tail.
+    # FIRST rung is density-scaled PER CHROMOSOME, not span-scaled and
+    # not globally: span/1024 blows up on dense inputs (the round-1
+    # candidate join is probes x cap-window x density — measured 28x
+    # wall at a 4x-replicated sf0.1 where the span-scaled cap admitted
+    # ~340 candidates/probe for a k=1 query), and a GLOBAL density cap
+    # over/under-shoots every chromosome of a heterogeneous genome (the
+    # r4 ladder's 1.13 exponent came from dense chroms re-probing with
+    # an 8x-escalated overshoot). Expected k-NN spacing on chromosome c
+    # is ~ k x span_c / n_c; 16x covers clustering, the 8x ladder
+    # escalates the sparse tail per row. One agg job yields both the
+    # global bound and the per-chrom table (broadcast-joined onto df1;
+    # chroms absent from df2 get cap0 = bound — they can never match
+    # and left-complete in round 1).
     b1 = df1.agg(F.min(sk1).alias("lo"), F.max(ek1).alias("hi")).collect()[0]
     b2 = df2.agg(F.min(sk2).alias("lo"), F.max(ek2).alias("hi"),
                  F.count(F.lit(1)).alias("n")).collect()[0]
     los = [v for v in (b1["lo"], b2["lo"]) if v is not None]
     his = [v for v in (b1["hi"], b2["hi"]) if v is not None]
     bound = (max(his) - min(los) + 2) if los and his else 2
-    cap = min(max(16 * k * bound // max(b2["n"] or 1, 1), 64), bound)
-    caps = []
-    while cap < bound:
-        caps.append(cap)
-        cap *= 8
-    caps.append(bound)
+    per_chrom = df2.groupBy(F.col(ck2).alias("__cb_c")).agg(
+        F.min(sk2).alias("lo"), F.max(ek2).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).limit(65537).collect()
+
+    def _cap0(span_c, n_c):
+        return int(min(max(16 * k * span_c // max(n_c, 1), 64), bound))
+
+    if len(per_chrom) > 65536 or not per_chrom:
+        # implausibly many chromosomes (or empty df2): one global cap
+        cap_rows = None
+        min_cap0 = mean_cap0 = _cap0(bound, b2["n"] or 1)
+    else:
+        # null-chrom df2 groups are excluded: a null chrom never matches,
+        # so null-chrom df1 rows coalesce to cap0=bound and left-complete
+        # in round 1 instead of riding the ladder
+        cap_rows = [(r["__cb_c"], _cap0((r["hi"] - r["lo"] + 2), r["n"]))
+                    for r in per_chrom
+                    if r["lo"] is not None and r["__cb_c"] is not None]
+        caps_only = [c for _, c in cap_rows] or [bound]
+        min_cap0 = min(caps_only)
+        mean_cap0 = sum(caps_only) // len(caps_only)
+    n_rounds, c = 1, min_cap0
+    while c < bound:
+        c *= 8
+        n_rounds += 1
+
+    # attach the per-chromosome round-1 cap to each (deduped) df1 row;
+    # missing chroms (incl. null) coalesce to the bound — zero candidates
+    # by construction, so they complete (left-null) in round 1 instead of
+    # riding every rung
+    if cap_rows is not None:
+        ctype = df2.schema[ck2].dataType
+        caps_df = df1.sparkSession.createDataFrame(
+            cap_rows, T.StructType([T.StructField("__cb_c", ctype),
+                                    T.StructField("__cb_capc", T.LongType())]))
+        d1 = (
+            d1.join(F.broadcast(caps_df), d1[ck1].eqNullSafe(F.col("__cb_c")),
+                    "left")
+            .withColumn("__cb_cap0",
+                        F.coalesce(F.col("__cb_capc"), F.lit(bound)))
+            .drop("__cb_c", "__cb_capc")
+        )
+    else:
+        d1 = d1.withColumn("__cb_cap0", F.lit(min_cap0).cast("long"))
 
     rid1 = "__cb_rid" + sfx1
     s1o, e1o = F.col("__cb_s" + sfx1), F.col("__cb_e" + sfx1)
     s2c, e2c = F.col(sk2 + sfx2), F.col(ek2 + sfx2)
+
+    # bin hints for every rung, constructed DRIVER-SIDE from the stats
+    # already collected — without them each overlap(binned) round runs
+    # two more agg jobs over (expanded probe, df2) just to re-measure a
+    # span we already know. lo/hi from the raw global bounds (clipping
+    # stays lossless: pairs only exist inside df2's span); bin width from
+    # the expanded probe's typical length at that rung.
+    from .ops import _BinStats
+    hint_lo = min(los) if los else 0
+    hint_hi = max(his) if his else 1
+    span = max(hint_hi - hint_lo, 1)
+
+    def _hint(cap_est: int):
+        avg_len = min(float(2 * (cap_est + 1) + 64), float(span))
+        bin_size = int(min(max(avg_len * 16, span / 4096, 1024), span))
+        return _BinStats(hint_lo, hint_hi, bin_size)
 
     # The ladder is driver-EAGER: each round persists its `found` rows and
     # the shrinking `remaining` set and materializes the remaining-count.
@@ -465,17 +532,31 @@ def _closest_binned(
     # spills instead of evicting.
     from pyspark.storagelevel import StorageLevel
 
+    # df2 is scanned once per rung — persist it across the ladder so
+    # rungs 2+ read the cache, not the source (the r4 ladder re-scanned
+    # and re-measured df2 every escalation)
+    df2p = df2.persist(StorageLevel.MEMORY_AND_DISK) if n_rounds > 1 else df2
+
     done_parts = []
     remaining = d1
-    for i, cap in enumerate(caps):
-        last = i == len(caps) - 1
-        pad = cap + 1
+    for i in range(n_rounds):
+        last = i == n_rounds - 1
+        m = 8 ** i
+        # per-row cap at this rung: min(cap0 * 8^i, bound), overflow-safe
+        # (cap0 <= bound, so the multiply only runs when it can't overflow)
+        capc = F.when(
+            F.col("__cb_cap0") > F.lit(bound // m), F.lit(bound).cast("long")
+        ).otherwise(F.least(F.col("__cb_cap0") * F.lit(m),
+                            F.lit(bound)).cast("long"))
         probe = remaining.withColumns({
             "__cb_s": F.col(sk1), "__cb_e": F.col(ek1),
-            sk1: F.col(sk1) - F.lit(pad), ek1: F.col(ek1) + F.lit(pad),
+            "__cb_cap": capc,
+            sk1: F.col(sk1) - (capc + F.lit(1)),
+            ek1: F.col(ek1) + (capc + F.lit(1)),
         })
-        pairs = overlap(probe, df2, how="inner", suffixes=suffixes,
-                        cols1=cols1, cols2=cols2)
+        pairs = overlap(probe, df2p, how="inner", suffixes=suffixes,
+                        cols1=cols1, cols2=cols2,
+                        _bin_hint=_hint(min(mean_cap0 * m, bound)))
         is_ov = overlap_predicate(s1o, e1o, s2c, e2c)
         ee1 = effective_end(s1o, e1o)
         ee2 = effective_end(s2c, e2c)
@@ -484,7 +565,7 @@ def _closest_binned(
         along = (F.lit(True) if direction_col is None
                  else F.col(direction_col + sfx1) != F.lit("-"))
         dist = genomic_distance(s1o, e1o, s2c, e2c)
-        keep = dist <= F.lit(cap)
+        keep = dist <= F.col("__cb_cap" + sfx1)
         if ignore_overlaps:
             keep &= ~is_ov
         if ignore_upstream:
@@ -506,32 +587,50 @@ def _closest_binned(
             .filter(F.col("__rk") <= k)
             .withColumn("__cnt", F.count(F.lit(1)).over(wc))
         )
+        at_bound = F.col("__cb_cap" + sfx1) >= F.lit(bound)
         if not last:
-            ranked = ranked.filter(F.col("__cnt") >= k)
+            # a row is complete when it has k candidates within its cap
+            # (every closer candidate is inside the window), OR its cap
+            # already reached the span bound (completeness unconditional
+            # — it keeps whatever candidates exist)
+            ranked = ranked.filter((F.col("__cnt") >= k) | at_bound)
         found = (
             ranked
             .withColumns({sk1 + sfx1: s1o, ek1 + sfx1: e1o})
-            .drop("__rk", "__cnt", "__idist", "__cb_s" + sfx1, "__cb_e" + sfx1)
+            .drop("__rk", "__cnt", "__idist", "__cb_s" + sfx1,
+                  "__cb_e" + sfx1, "__cb_cap" + sfx1, "__cb_cap0" + sfx1)
         ).persist(StorageLevel.MEMORY_AND_DISK)
         done_parts.append(found)
-        if last:
-            # left-completion: rows that matched nothing at the full bound
-            matched_rids = found.select(F.col(rid1).alias("__cb_rid")).distinct()
-            misses = remaining.join(matched_rids, "__cb_rid", "left_anti")
+
+        def _left_null(misses):
             null_cols = {c.name + sfx2: F.lit(None).cast(c.dataType)
                          for c in df2.schema.fields}
-            left_null = misses.select(
+            return misses.select(
                 *[F.col(c).alias(c + sfx1) for c in names1],
                 F.col("__cb_rid").alias(rid1),
                 F.col("__cb_mult").alias("__cb_mult" + sfx1),
                 *[null_cols[c + sfx2].alias(c + sfx2) for c in names2],
                 F.lit(None).cast("long").alias("distance"),
             )
-            done_parts.append(left_null)
+
+        matched_rids = found.select(F.col(rid1).alias("__cb_rid")).distinct()
+        if last:
+            # left-completion: rows that matched nothing at the full bound
+            done_parts.append(_left_null(
+                remaining.join(matched_rids, "__cb_rid", "left_anti")))
         else:
-            nxt = remaining.join(
-                found.select(F.col(rid1).alias("__cb_rid")).distinct(),
-                "__cb_rid", "left_anti",
+            # rows whose cap hit the bound THIS rung leave the ladder now
+            # either way: matched ones are in `found`; zero-match ones
+            # left-complete here (re-probing them at full bound every
+            # remaining rung is the most expensive join there is)
+            cap_now = F.when(
+                F.col("__cb_cap0") > F.lit(bound // m), F.lit(bound)
+            ).otherwise(F.least(F.col("__cb_cap0") * F.lit(m), F.lit(bound)))
+            bound_rows = remaining.filter(cap_now >= F.lit(bound))
+            done_parts.append(_left_null(
+                bound_rows.join(matched_rids, "__cb_rid", "left_anti")))
+            nxt = remaining.filter(cap_now < F.lit(bound)).join(
+                matched_rids, "__cb_rid", "left_anti",
             ).persist(StorageLevel.MEMORY_AND_DISK)
             n_left = nxt.count()
             if remaining is not d1:
@@ -644,7 +743,8 @@ def _closest_broadcast(
                 ))
             yield pd.concat(outs, ignore_index=True)[out_names]
 
-    out = df1.mapInPandas(kern, out_schema)
+    from .ops import _spread_if_underpartitioned
+    out = _spread_if_underpartitioned(df1).mapInPandas(kern, out_schema)
     if not return_input:
         keep = []
         if return_overlap:

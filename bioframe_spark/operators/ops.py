@@ -131,6 +131,25 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 60  # unknown → assume large (prefer the scalable path)
 
 
+def _spread_if_underpartitioned(df: DataFrame) -> DataFrame:
+    """Broadcast-kernel / map-only-projection parallelism IS the scan's:
+    a small cached or single-row-group input arrives as ONE partition and
+    serializes the whole kernel onto one core (measured: closest's
+    broadcast path at 14.6 s single-task vs ~1 s spread on a 1-partition
+    cached df1). Round-robin ONLY when the scan is under-split — a
+    well-split 100 TB scan keeps its partitioning and this is a no-op.
+    Streaming frames pass through (micro-batch parallelism is the
+    source's concern). NOTE: apply BEFORE attaching kernel columns —
+    deterministic filters on derived columns can be pushed below the
+    repartition and re-serialize the work onto the scan task."""
+    if df.isStreaming:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _threshold(df: DataFrame, key: str, default: int) -> int:
     """Deployment knob: ``spark.bioframe.<key>`` (bytes) overrides a
     built-in strategy threshold — lets a cluster tune the plain/binned
@@ -1353,6 +1372,9 @@ def _cluster_premerged(df: DataFrame, ck, sk, ek, on, min_dist):
 
     assert min_dist is not None
     keys = [ck] + on
+    # both map passes (premerge shrink, kernel assignment) inherit scan
+    # parallelism — spread a 1-partition cached/small input first
+    df = _spread_if_underpartitioned(df)
     pm = _premerge_local(df.select(ck, sk, ek, *on), ck, sk, ek, on, min_dist)
     spans = _border_merge_weighted(pm, ck, sk, ek, on, min_dist)
     cap = _threshold(df, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
@@ -1806,8 +1828,9 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
         pdf = _small_coords_pdf(df2, ck2, sk2, ek2, on)
         if pdf is not None and (
                 len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all())):
-            out = df1.withColumn("count", _count_overlaps_col(
-                df1.sparkSession, pdf, ck1, sk1, ek1, on))
+            out = _spread_if_underpartitioned(df1).withColumn(
+                "count", _count_overlaps_col(
+                    df1.sparkSession, pdf, ck1, sk1, ek1, on))
             return out if return_input else out.select("count")
     keys = [ck1, sk1, ek1, *on]
     coords = df1.select(*keys).filter(F.col(ck1).isNotNull()).distinct()
@@ -1880,7 +1903,7 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
                 len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all())):
             cov = _broadcast_coverage_col(
                 df1.sparkSession, _coverage_lookup(pdf), ck1, sk1, ek1)
-            out = df1.withColumn("coverage", cov)
+            out = _spread_if_underpartitioned(df1).withColumn("coverage", cov)
             return out if return_input else out.select("coverage")
     merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
     coords = (

@@ -275,5 +275,9 @@ def test_cluster_premerge_no_input_shuffle(spark, tmp_path):
     assigned, n_real = ops._cluster_premerged(
         d, "chrom", "start", "end", [], 0)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    # the only admissible Exchange is the under-partitioned-input spread
+    # guard (round-robin); no key shuffle of the input rows exists
+    n_exchange = plan.count("Exchange")
+    n_rr = plan.count("RoundRobinPartitioning")
+    assert n_exchange == n_rr, plan
     assert n_real == assigned.select("cluster").distinct().count()
