@@ -427,7 +427,7 @@ def q_repetition(spark, sf_dir):
     )
     return text.repetition_signals(aug).select(
         "doc_id", "n_lines", "n_dup_lines", "n_dup_line_chars",
-        "n_ngrams", "n_dup_ngrams",
+        "n_ngrams", "n_dup_ngrams", "n_dup_ngram_chars",
         "top_bigram", "top_bigram_count", "top_bigram_chars")
 
 
@@ -1596,12 +1596,36 @@ lineagg AS (
            AS n_dup_line_chars,
          GREATEST(len(toks) - 4, 0) AS n_ngrams
   FROM p),
-grams AS (
-  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+gramsi AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS g
   FROM p, UNNEST(range(1, len(toks) - 5 + 2)) AS r(i)),
 gramagg AS (
   SELECT doc_id, COUNT(*) - COUNT(DISTINCT g) AS n_dup_ngrams
-  FROM grams GROUP BY doc_id),
+  FROM gramsi GROUP BY doc_id),
+tokpos AS (
+  SELECT doc_id, i, len(toks[i]) AS tl,
+         COALESCE(SUM(len(toks[i]) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+  FROM p, UNNEST(range(1, len(toks) + 1)) AS tr(i)),
+dupg AS (
+  SELECT doc_id, g FROM gramsi GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+spans AS (
+  SELECT gi.doc_id, t1.pos AS s, t2.pos + t2.tl AS e
+  FROM gramsi gi
+  JOIN dupg d ON gi.doc_id = d.doc_id AND gi.g = d.g
+  JOIN tokpos t1 ON t1.doc_id = gi.doc_id AND t1.i = gi.i
+  JOIN tokpos t2 ON t2.doc_id = gi.doc_id AND t2.i = gi.i + 4),
+sweep AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cur
+  FROM spans),
+dupchars AS (
+  SELECT doc_id,
+         SUM(GREATEST(0, e - GREATEST(s, COALESCE(cur, 0))))
+           AS n_dup_ngram_chars
+  FROM sweep GROUP BY doc_id),
 bi AS (
   SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
   FROM p, UNNEST(range(1, len(toks) - 2 + 2)) AS r(i)),
@@ -1617,12 +1641,15 @@ SELECT l.doc_id,
        CAST(COALESCE(l.n_dup_line_chars, 0) AS BIGINT) AS n_dup_line_chars,
        CAST(l.n_ngrams AS BIGINT) AS n_ngrams,
        CAST(COALESCE(g.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
+       CAST(COALESCE(dc.n_dup_ngram_chars, 0) AS BIGINT)
+         AS n_dup_ngram_chars,
        t.top_bigram AS top_bigram,
        CAST(COALESCE(t.cnt, 0) AS BIGINT) AS top_bigram_count,
        CAST(COALESCE(t.cnt * length(t.top_bigram), 0) AS BIGINT)
          AS top_bigram_chars
 FROM lineagg l
 LEFT JOIN gramagg g USING (doc_id)
+LEFT JOIN dupchars dc ON l.doc_id = dc.doc_id
 LEFT JOIN bitop t ON l.doc_id = t.doc_id
 """
 
@@ -1677,12 +1704,33 @@ feat AS (
            AS n_dup_line_chars,
          GREATEST(len(toks) - 4, 0) AS n_ngrams
   FROM p),
-grams AS (
-  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+gramsi AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS g
   FROM p, UNNEST(range(1, len(toks) - 5 + 2)) AS r(i)),
-gramagg AS (
-  SELECT doc_id, COUNT(*) - COUNT(DISTINCT g) AS n_dup_ngrams
-  FROM grams GROUP BY doc_id),
+tokpos AS (
+  SELECT doc_id, i, len(toks[i]) AS tl,
+         COALESCE(SUM(len(toks[i]) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+  FROM p, UNNEST(range(1, len(toks) + 1)) AS tr(i)),
+dupg AS (
+  SELECT doc_id, g FROM gramsi GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+spans AS (
+  SELECT gi.doc_id, t1.pos AS s, t2.pos + t2.tl AS e
+  FROM gramsi gi
+  JOIN dupg d ON gi.doc_id = d.doc_id AND gi.g = d.g
+  JOIN tokpos t1 ON t1.doc_id = gi.doc_id AND t1.i = gi.i
+  JOIN tokpos t2 ON t2.doc_id = gi.doc_id AND t2.i = gi.i + 4),
+sweep AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cur
+  FROM spans),
+dupchars AS (
+  SELECT doc_id,
+         SUM(GREATEST(0, e - GREATEST(s, COALESCE(cur, 0))))
+           AS n_dup_ngram_chars
+  FROM sweep GROUP BY doc_id),
 bi AS (
   SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
   FROM p, UNNEST(range(1, len(toks) - 2 + 2)) AS r(i)),
@@ -1703,9 +1751,10 @@ rules AS (
          f.n_dup_line_chars * 5 <= f.linechars AS r_dup_line_chars,
          COALESCE(t.cnt * length(t.top_bigram), 0) * 5 <= f.chars
            AS r_top_bigram,
-         COALESCE(g.n_dup_ngrams, 0) * 20 <= f.n_ngrams * 3 AS r_dup_ngrams
+         COALESCE(dc.n_dup_ngram_chars, 0) * 20 <= f.chars * 3
+           AS r_dup_ngrams
   FROM feat f
-  LEFT JOIN gramagg g USING (doc_id)
+  LEFT JOIN dupchars dc ON f.doc_id = dc.doc_id
   LEFT JOIN bitop t ON f.doc_id = t.doc_id)
 SELECT *,
        r_word_count AND r_mean_wordlen AND r_alpha_words AND r_stopwords

@@ -216,6 +216,14 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
       n_dup_line_chars   chars in those beyond-first occurrences
       n_ngrams           word ``ngram``-grams (whitespace tokens)
       n_dup_ngrams       n-gram occurrences beyond each gram's first
+      n_dup_ngram_chars  chars covered by the UNION of all occurrences of
+                         duplicated n-grams (the published Gopher char
+                         measure; overlapping spans count once). Spans
+                         start/end at token boundaries, so the union is
+                         exactly: chars of tokens inside >=1 duplicated
+                         occurrence + inter-token spaces interior to one.
+                         Denominator: ``length(text)`` (single-space
+                         tokenization makes split+join the identity).
       top_bigram         most frequent word 2-gram (ties: lexicographically
                          smallest — deterministic across engines)
       top_bigram_count   its occurrence count
@@ -274,8 +282,59 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                         "__toks": tokens(t)})
         .withColumns({"__grams": _grams(ngram),
                       "__bi": F.array_sort(_grams(2))})
-        .withColumn("__top", fold)
+        .withColumns({"__top": fold})
+        # (gram, index) pairs sorted by gram: equal-gram runs are
+        # adjacent, so an occurrence is duplicated iff its neighbor in
+        # the sorted order shares its gram. The filter's lambda may read
+        # the staged __zsrt via F.get (it is ALSO the HOF input, so
+        # codegen subexpression-elimination keeps it single-evaluated —
+        # a derived array referenced ONLY inside a lambda is re-inlined
+        # per element, measured 2.5x the whole op).
+        .withColumn("__zsrt", F.when(
+            F.size("__grams") > 0,
+            F.array_sort(F.arrays_zip(
+                F.col("__grams").alias("g"),
+                F.sequence(F.lit(0), F.size("__grams") - 1).alias("i"))),
+        ).otherwise(F.array().cast("array<struct<g:string,i:int>>")))
+        .withColumn("__dupidx", F.array_sort(F.transform(
+            F.filter(
+                "__zsrt",
+                lambda x, j:
+                x["g"].eqNullSafe(F.get(F.col("__zsrt"), j - 1)["g"])
+                | x["g"].eqNullSafe(F.get(F.col("__zsrt"), j + 1)["g"])),
+            lambda x: x["i"])))
     )
+    # char-union of duplicated-gram occurrences via ONE ascending sweep
+    # over the (sorted, usually tiny) duplicated-occurrence index array:
+    # occurrence i covers tokens [i, i+n-1] and the n-1 interior spaces
+    # [i, i+n-2]; the fold carries (chars, next uncovered token, next
+    # uncovered space) so every token is length-summed at most once.
+    # Cost: O(G log G) for the zip-sort + O(duplication) for the sweep
+    # — a dup-free doc's sweep input is empty. Map-only, no shuffle.
+    zero = F.lit(0).cast("long")
+
+    def _sweep(acc, i):
+        tc, sc = acc["tc"], acc["sc"]
+        a_tok = F.greatest(i, tc)
+        new_tok_chars = F.aggregate(
+            F.slice("__toks", a_tok + 1, i + (ngram - 1) - a_tok + 1),
+            zero, lambda s, x: s + F.length(x))
+        new_spaces = F.greatest(
+            zero, (i + (ngram - 2) - F.greatest(i, sc) + 1).cast("long"))
+        return F.struct(
+            (acc["chars"] + new_tok_chars + new_spaces).alias("chars"),
+            (i + ngram).alias("tc"),
+            (i + (ngram - 1)).alias("sc"),
+        )
+
+    dup_chars = F.aggregate(
+        "__dupidx",
+        F.struct(zero.alias("chars"),
+                 F.lit(0).alias("tc"), F.lit(0).alias("sc")),
+        _sweep,
+        lambda acc: acc["chars"],
+    )
+    staged = staged.withColumn("__gdupchars", dup_chars)
     sig = {
         "n_lines": F.size("__lines").cast("long"),
         "n_dup_lines": (F.size("__lines")
@@ -285,6 +344,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         "n_ngrams": F.size("__grams").cast("long"),
         "n_dup_ngrams": (F.size("__grams")
                          - F.size(F.array_distinct("__grams"))).cast("long"),
+        "n_dup_ngram_chars": F.col("__gdupchars"),
         "top_bigram": F.col("__top")["best"],
         "top_bigram_count": F.col("__top")["bc"],
         "top_bigram_chars": F.coalesce(
@@ -296,12 +356,14 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     # sums); downstream gopher verdicts then inherit null uniformly
     sig = {k: F.when(t.isNotNull(), v) for k, v in sig.items()}
     return staged.withColumns(sig).drop(
-        "__lines", "__toks", "__grams", "__bi", "__top")
+        "__lines", "__toks", "__grams", "__bi", "__top",
+        "__zsrt", "__dupidx", "__gdupchars")
 
 
 def gopher_quality_filter(df: DataFrame, text_col: str = "text",
                           min_words: int = 50, max_words: int = 100_000,
-                          sep: str = "\n", ngram: int = 5) -> DataFrame:
+                          sep: str = "\n", ngram: int = 5,
+                          dup_ngram_measure: str = "chars") -> DataFrame:
     """Gopher/MassiveText-family document quality filter (Rae et al.
     2021 §A1.1 — the published rule set for pre-training corpora),
     composed from :func:`repetition_signals` plus per-token features.
@@ -317,11 +379,13 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
       r_dup_line_chars duplicate-line char fraction <= 20%
                       (denominator: total line chars)
       r_top_bigram    top-bigram char fraction <= 20% of text chars
-      r_dup_ngrams    duplicate n-gram fraction <= 15% of n-grams
-                      (deviation from the paper, documented: count
-                      fraction, not char fraction — chars of duplicate
-                      n-grams overlap and the published char measure is
-                      ambiguous under overlap)
+      r_dup_ngrams    duplicate n-gram fraction <= 15%. Default measure
+                      ``dup_ngram_measure='chars'`` is the published
+                      char-union fraction (chars inside the union of
+                      duplicated n-gram occurrences / text chars —
+                      overlapping spans count once);
+                      ``'count'`` uses the occurrence-count fraction
+                      (duplicate occurrences / total n-grams) instead.
       keep            all of the above
 
     Scale shape: inherits repetition_signals' map-only plan; the extra
@@ -357,8 +421,14 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
         "r_dup_lines": c("n_dup_lines") * 10 <= c("n_lines") * 3,
         "r_dup_line_chars": c("n_dup_line_chars") * 5 <= c("__linechars"),
         "r_top_bigram": c("top_bigram_chars") * 5 <= c("__chars"),
-        "r_dup_ngrams": c("n_dup_ngrams") * 20 <= c("n_ngrams") * 3,
     }
+    if dup_ngram_measure == "chars":
+        rules["r_dup_ngrams"] = (
+            c("n_dup_ngram_chars") * 20 <= c("__chars") * 3)
+    elif dup_ngram_measure == "count":
+        rules["r_dup_ngrams"] = c("n_dup_ngrams") * 20 <= c("n_ngrams") * 3
+    else:
+        raise ValueError("dup_ngram_measure must be 'chars' or 'count'")
     # null text: every verdict null together (repetition_signals already
     # nulls its outputs; the per-token features here would otherwise mix
     # -1 sizes with null sums into arbitrary booleans)

@@ -181,15 +181,23 @@ class UCSCClient:
                 "name string, gieStain string"),
         )
 
-    def fetch_mrna(self, path: str | None = None):
+    def fetch_mrna(self, path: str | None = None, sample: bool = True):
         """mRNA alignment table (reference ``resources.py:289-296`` reads
         UCSC ``all_mrna.txt.gz`` with the all_mrna schema).
 
-        ``path=``: a local ``all_mrna.txt(.gz)``. Default: an EMPTY,
-        correctly-typed frame — mRNA alignments are per-accession
-        experimental data with no derivable packaged form, so offline
-        the honest answer is zero rows with the right schema (callers'
-        plans compile and run; nothing is fabricated)."""
+        ``path=``: a local ``all_mrna.txt(.gz)`` — the full track, no
+        network. Default: a deterministic, clearly-LABELED SAMPLE table
+        (qName = ``SAMPLE_mRNA_*``) for assemblies with packaged
+        chromsizes — mRNA alignments are per-accession experimental data
+        with no derivable packaged form, so offline the choices are an
+        empty frame or labeled synthetic rows; the sample keeps every
+        downstream plan (joins, select, PSL arithmetic) runnable and
+        schema-exact without fabricating real accessions. Three
+        single-block alignments per chromosome at fixed fractions of its
+        length, internally-consistent PSL fields (matches = aligned bp,
+        qSize = qEnd, blockSizes/qStarts/tStarts comma-terminated like
+        UCSC's format). ``sample=False``: the empty, correctly-typed
+        frame. Assemblies without packaged chromsizes return empty."""
         from .fileops import read_table
         from .schemas import SCHEMAS
 
@@ -197,4 +205,29 @@ class UCSCClient:
             return read_table(path, schema="all_mrna")
         from pyspark.sql import SparkSession
 
-        return SparkSession.active().createDataFrame([], SCHEMAS["all_mrna"])
+        from ._assembly_data import ALIASES, CHROMSIZES
+
+        db = ALIASES.get(self._db, self._db)
+        spark = SparkSession.active()
+        if not sample or db not in CHROMSIZES:
+            return spark.createDataFrame([], SCHEMAS["all_mrna"])
+        rows = []
+        i = 0
+        for chrom, clen in sorted(CHROMSIZES[db].items()):
+            for frac_num in (1, 2, 3):
+                t_start = clen * frac_num // 5
+                size = min(2000, max(clen - t_start, 1))
+                t_end = t_start + size
+                i += 1
+                rows.append((
+                    0,                      # bin (unused placeholder)
+                    size, 0, 0, 0,          # matches, misMatches, repMatches, nCount
+                    0, 0, 0, 0,             # q/t NumInsert, BaseInsert
+                    "+" if i % 2 else "-",  # strand
+                    f"SAMPLE_mRNA_{i:04d}",  # qName — labeled synthetic
+                    size, 0, size,          # qSize, qStart, qEnd
+                    chrom, clen, t_start, t_end,
+                    1,                      # blockCount
+                    f"{size},", "0,", f"{t_start},",
+                ))
+        return spark.createDataFrame(rows, SCHEMAS["all_mrna"])

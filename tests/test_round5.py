@@ -281,3 +281,79 @@ def test_cluster_premerge_no_input_shuffle(spark, tmp_path):
     n_rr = plan.count("RoundRobinPartitioning")
     assert n_exchange == n_rr, plan
     assert n_real == assigned.select("cluster").distinct().count()
+
+
+# --------------------------------------------------------------------------
+# Gopher char-union dup-ngram measure (r5 directive #6)
+# --------------------------------------------------------------------------
+
+def test_dup_ngram_chars_union_semantics(spark):
+    """Char measure counts the UNION of duplicated-gram spans once:
+    'a b c d e f a b c d e f' has overlapping duplicated 5-gram
+    occurrences whose union is the whole 23-char text minus the middle
+    space... verified against a brute-force span sweep."""
+    def brute(txt, n=5):
+        toks = txt.split(" ")
+        grams = [" ".join(toks[i:i + n])
+                 for i in range(max(len(toks) - n + 1, 0))]
+        from collections import Counter
+        cnt = Counter(grams)
+        pos, p = [], 0
+        for tk in toks:
+            pos.append(p)
+            p += len(tk) + 1
+        spans = sorted(
+            (pos[i], pos[i + n - 1] + len(toks[i + n - 1]))
+            for i, g in enumerate(grams) if cnt[g] >= 2)
+        cov = cur = 0
+        for s, e in spans:
+            cov += max(0, e - max(s, cur))
+            cur = max(cur, e)
+        return cov
+
+    cases = ["a b c d e a b c d e x", "a a a a a a a a",
+             "w1 w2 w3 w4 w5 w6", "a b c d e f a b c d e f", "", "x",
+             ("tok " * 40).strip()]
+    df = spark.createDataFrame(list(enumerate(cases)),
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["n_dup_ngram_chars"]
+           for r in text.repetition_signals(df).collect()}
+    for i, c in enumerate(cases):
+        assert out[i] == brute(c), (i, c, out[i], brute(c))
+
+
+def test_gopher_dup_ngram_measures(spark):
+    """'chars' (default, published) vs 'count' measures both run and can
+    disagree on a doc whose duplicated grams overlap heavily."""
+    base = " ".join(f"w{i}" for i in range(60))
+    spam = base + " " + " ".join(["r1 r2 r3 r4 r5"] * 4)
+    df = spark.createDataFrame([(0, spam)], "doc_id long, text string")
+    chars = text.gopher_quality_filter(df, min_words=10).collect()[0]
+    count = text.gopher_quality_filter(
+        df, min_words=10, dup_ngram_measure="count").collect()[0]
+    assert chars["r_dup_ngrams"] is not None
+    assert count["r_dup_ngrams"] is not None
+    with pytest.raises(ValueError):
+        text.gopher_quality_filter(df, dup_ngram_measure="nope")
+
+
+# --------------------------------------------------------------------------
+# packaged SAMPLE mRNA table (r5 directive #4)
+# --------------------------------------------------------------------------
+
+def test_fetch_mrna_sample_schema_and_labels(spark):
+    from bioframe_spark.sources.resources import UCSCClient
+    from bioframe_spark.sources.schemas import SCHEMAS
+
+    mrna = UCSCClient("hg38").fetch_mrna()
+    assert mrna.schema == SCHEMAS["all_mrna"]
+    rows_ = mrna.collect()
+    assert len(rows_) > 0
+    for r in rows_:
+        assert r["qName"].startswith("SAMPLE_mRNA_")  # labeled synthetic
+        assert r["tStart"] < r["tEnd"] <= r["tSize"]
+        assert r["matches"] == r["tEnd"] - r["tStart"] == r["qEnd"]
+        assert r["blockSizes"].endswith(",")
+    # unknown assembly and sample=False stay empty but typed
+    assert UCSCClient("noSuchDb").fetch_mrna().count() == 0
+    assert UCSCClient("hg38").fetch_mrna(sample=False).count() == 0
