@@ -252,6 +252,16 @@ def q_closest_k2(spark, sf_dir):
                       k=2, suffixes=("", "_s"))
 
 
+def q_closest_broadcast(spark, sf_dir):
+    """The broadcast-kernel closest shape: a LARGE probe table annotated
+    against a small collected dimension — df1 never shuffles, parallelism
+    is scan partitions (strategy pinned so the bench row always times the
+    kernel). Chromosomes absent from the annotation side (a spans chr0-7,
+    s only chr0-3) left-complete with null partner columns."""
+    return bf.closest(ivals_a(spark, sf_dir), ivals_s(spark, sf_dir),
+                      k=1, suffixes=("", "_s"), strategy="broadcast")
+
+
 def q_subtract(spark, sf_dir):
     a, b = ivals_a(spark, sf_dir), ivals_b(spark, sf_dir)
     return bf.subtract(a, b.select("chrom", "start", "end"))
@@ -1048,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complement": q_complement,
         "closest": q_closest,
         "closest_binned": q_closest_binned,
+        "closest_broadcast": q_closest_broadcast,
         "subtract": q_subtract,
         "assign_view": q_assign_view,
         "dedup_exact": q_dedup_exact,
@@ -1213,6 +1224,30 @@ FROM gaps WHERE start < "end"
 SELECT p.pid, p.chrom, p.start, p."end",
        h.cs AS chrom_s, h.ss AS start_s, h.se AS end_s, h.sid AS sid_s, h.distance
 FROM p LEFT JOIN hits h USING (pid, chrom, start, "end")
+"""
+    # NB: aid is NOT unique in a (unlike pid in p) — rank and join back
+    # on the FULL row value so colliding aids keep independent neighbors
+    closest_broadcast_sql = _CTE + """, cand AS (
+  SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+         s.sid, s.chrom AS cs, s.start AS ss, s."end" AS se,
+         CASE WHEN a.start < s."end" AND s.start < a."end" THEN 0
+              ELSE GREATEST(a.start, s.start) - LEAST(a."end", s."end") + 1
+         END AS idist
+  FROM a JOIN s ON a.chrom = s.chrom
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY aid, chrom, start, "end", strand, qty
+    ORDER BY idist, ss, se) AS rk
+  FROM cand
+), hits AS (
+  SELECT aid, chrom, start, "end", strand, qty, cs, ss, se, sid,
+         CASE WHEN idist = 0 THEN 0 ELSE idist - 1 END AS distance
+  FROM ranked WHERE rk <= 1
+)
+SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
+       h.sid AS sid_s, h.cs AS chrom_s, h.ss AS start_s, h.se AS end_s,
+       h.distance
+FROM a LEFT JOIN hits h USING (aid, chrom, start, "end", strand, qty)
 """
     # NB: p join hits back on pid alone suffices (pid unique); extra keys harmless
     subtract = _CTE + f""", b3 AS (SELECT chrom, start, "end" FROM b),
@@ -2374,6 +2409,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "complement": complement,
         "closest": closest_tmpl.replace("{K}", "1"),
         "closest_k2": closest_tmpl.replace("{K}", "2"),
+        "closest_broadcast": closest_broadcast_sql,
         "subtract": subtract,
         "trim_expand": trim_expand,
         "expand_scale": expand_scale,

@@ -61,9 +61,14 @@ BENCH_QUERIES = [
     "gene_coverage",
     # scale-path variants (the 100 TB plans, value-identical to classic)
     "closest_binned",
+    "closest_broadcast",
     "merge_ranged",
     "complement_ranged",
     "pileup_ranged",
+    # streaming time-to-snapshot: drive the stateful island merge to
+    # completion (availableNow) and hash the final snapshot — the whole
+    # micro-batch pipeline is inside the timer
+    "stream_merge",
     # datapipe ops
     "dedup_exact",
     "text_stats",
