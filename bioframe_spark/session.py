@@ -18,8 +18,30 @@ def get_spark(app: str = "bioframe_spark", cpus: int | None = None,
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     shuffle = shuffle_partitions or max(cpus, 8)
+    # SPARK_GRAFT_MASTER lets every tool (bench, ladders, oracle replica)
+    # run unchanged against a real cluster, e.g. spark://127.0.0.1:7077
+    # (tools/standalone_cluster_check.py) — the default stays local[n]
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.master(master)
+    if not master.startswith("local"):
+        # executor Python workers import this package by reference
+        # (cloudpickle pickles module functions by name) — point them at
+        # the package root. A production deployment ships a wheel via
+        # --py-files instead; this covers the in-container standalone
+        # validation cluster (tools/standalone_cluster_check.py).
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra = os.environ.get("PYTHONPATH", "")
+        builder = (
+            builder
+            .config("spark.executor.memory",
+                    os.environ.get("SPARK_EXECUTOR_MEM", "8g"))
+            .config("spark.executor.cores",
+                    os.environ.get("SPARK_EXECUTOR_CORES", "10"))
+            .config("spark.executorEnv.PYTHONPATH",
+                    f"{pkg_root}:{extra}" if extra else pkg_root)
+        )
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
