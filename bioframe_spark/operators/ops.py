@@ -1041,6 +1041,9 @@ def _null_key_rows(df, ck, sk, ek, on):
     return df.filter(pred), df.filter(~pred)
 
 
+_CLUSTER_PREMERGE_BYTES = 8 << 20  # cluster's premerge crossover (see
+# cluster(); measured round 5 — its classic construction is ~3x merge's)
+
 _PREMERGE_BYTES = 64 << 20  # above this scan size merge shrinks its rows
 # MAP-SIDE before any shuffle. Measured on the 16x ladder (SCALING §8):
 # the Arrow round trip loses at 14 MB (1.35 s vs 0.78 s), washes at
@@ -1472,9 +1475,11 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
     shrunken rows, per-row ids via a broadcast searchsorted kernel (the
     input rows themselves never shuffle). Identical ids and spans to
     the classic construction. Default ``"auto"`` engages it above
-    ``spark.bioframe.premergeBytes`` when ``min_dist`` is not None and
-    the on-columns are atomic; it falls back transparently if the
-    cluster count exceeds ``spark.bioframe.smallInputMaxRows``.
+    ``spark.bioframe.clusterPremergeBytes`` (8 MB — cluster's classic
+    path is ~3x merge's, so its crossover sits far below merge's 64 MB)
+    when ``min_dist`` is not None and the on-columns are atomic; it
+    falls back transparently if the cluster count exceeds
+    ``spark.bioframe.smallInputMaxRows``.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "cluster")
@@ -1485,10 +1490,16 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
         return not t.startswith(("array", "map", "struct", "binary"))
 
     if premerge == "auto":
+        # cluster's crossover sits far below merge's 64 MB: its classic
+        # path pays distinct-islands + join-back + a spans window, so
+        # the premerge shrink + map-only kernel wins from ~10 MB up
+        # (measured: classic 0.97 s vs premerge 1.50 s at 1.4 MB;
+        # premerge ties at 13 MB uniform, 2.1x faster at 14 MB skewed,
+        # 1.7x at 16x scale). Own knob: spark.bioframe.clusterPremergeBytes.
         premerge = (min_dist is not None
                     and all(_atomic(c) for c in on)
                     and _plan_size_bytes(df) > _threshold(
-                        df, "premergeBytes", _PREMERGE_BYTES))
+                        df, "clusterPremergeBytes", _CLUSTER_PREMERGE_BYTES))
     elif premerge and min_dist is None:
         raise ValueError(
             "premerge=True requires min_dist is not None (duplicate point "

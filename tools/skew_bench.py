@@ -95,9 +95,22 @@ def main():
     spark.conf.unset("spark.bioframe.outerPath")
 
     # window-family under skew: classic one-window-partition-per-chrom vs
-    # range-partitioned islands / scan-sum
-    t("merge_classic_skew", lambda: bf.merge(a3, min_dist=0, range_width=None), r)
-    t("merge_ranged_skew", lambda: bf.merge(a3, min_dist=0, range_width=20_000), r)
+    # range-partitioned islands / scan-sum vs (merge/cluster) the r5
+    # map-side premerge — the hot chromosome is where a per-chrom window
+    # serializes, and where the premerge shrink + broadcast-kernel
+    # assignment should be immune (map-only over scan partitions)
+    t("merge_classic_skew", lambda: bf.merge(
+        a3, min_dist=0, range_width=None, premerge=False), r)
+    t("merge_ranged_skew", lambda: bf.merge(
+        a3, min_dist=0, range_width=20_000, premerge=False), r)
+    t("merge_premerge_skew", lambda: bf.merge(
+        a3, min_dist=0, premerge=True, range_width=None), r)
+    t("cluster_classic_skew", lambda: bf.cluster(
+        a3, min_dist=0, range_width=None, premerge=False), r)
+    t("cluster_ranged_skew", lambda: bf.cluster(
+        a3, min_dist=0, range_width=20_000, premerge=False), r)
+    t("cluster_premerge_skew", lambda: bf.cluster(
+        a3, min_dist=0, premerge=True), r)
     t("complement_classic_skew", lambda: bf.complement(a3, range_width=None), r)
     t("complement_ranged_skew", lambda: bf.complement(a3, range_width=20_000), r)
     t("pileup_classic_skew", lambda: bf.pileup(a3, range_width=None), r)
