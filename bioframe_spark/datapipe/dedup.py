@@ -431,7 +431,8 @@ def _simhash_kernel(bits: int):
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+                      bits: int = 64, hash_fn: str = "xxhash64",
+                      cache="auto") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Scale path: block on ``max_hamming + 1`` bit-slices of the 64-bit
@@ -440,10 +441,24 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     slice, dedup, then exact bit_count filter. Wider max_hamming means
     narrower slices and larger candidate buckets — the standard recall/cost
     dial of block-based SimHash dedup.
+
+    ``cache``: the signature frame feeds BOTH self-join sides, and the
+    slice-key exchanges do not canonicalize equal across the aliased
+    sides, so without a cache the Arrow signature kernel (and the scan
+    under it) runs twice — measured 1.76 s vs 1.04 s at sf0.1. The
+    cached frame is tiny (~16 bytes/doc: id + one long), so the
+    ``"auto"`` gate (input plan size ≤
+    ``spark.bioframe.simhashCacheBytes``, 4 GB) is generous; the handle
+    rides on the result for ``release_cache()``, same lifecycle as
+    :func:`ngram_jaccard_pairs`.
     """
     if not 0 <= max_hamming <= 31:
         # >31 → slices of <2 bits: blocking degenerates to all-pairs
         raise ValueError("max_hamming must be in [0, 31]")
+    if cache == "auto":
+        from ..operators.ops import _plan_size_bytes, _threshold
+        cache = _plan_size_bytes(df) <= _threshold(
+            df, "simhashCacheBytes", 4 << 30)
     n_chunks = max_hamming + 1
     bounds = [bits * i // n_chunks for i in range(n_chunks + 1)]
 
@@ -460,6 +475,8 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     ])
     sig = simhash(df, text_col=text_col, id_col=id_col, bits=bits,
                   hash_fn=hash_fn)
+    if cache:
+        sig = sig.cache()
     chunks = sig.select(
         id_col, "simhash", F.explode(chunks_arr).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
@@ -480,6 +497,8 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
         .select("id1", "id2", "hamming")
         .distinct()
     )
+    if cache:
+        pairs._bioframe_cache = [sig]
     return pairs
 
 
