@@ -386,6 +386,43 @@ def q_train_split(spark, sf_dir):
         docs, 0.2, key_col="doc_id", seed=5).select("doc_id", "split")
 
 
+def q_domain_cap(spark, sf_dir):
+    """URL hygiene + per-domain caps (the RefinedWeb/C4 source-filter
+    stage): synthesize a deterministic URL per doc (some unparseable,
+    some www./sub.-prefixed), drop blocklisted domains (suffix matching
+    blocks subdomains), then keep at most 5 docs per domain via the
+    skew-safe two-phase smallest-hash top-n."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.when(d % 11 == 0, F.lit("not a url")).otherwise(F.concat(
+        F.lit("https://"),
+        F.when(d % 7 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("sub.")).otherwise(F.lit("")),
+        F.lit("d"), (d % 13).cast("string"),
+        F.when(d % 3 == 0, F.lit(".com"))
+        .when(d % 3 == 1, F.lit(".org")).otherwise(F.lit(".net")),
+        F.lit("/p/"), d.cast("string")))
+    aug = docs.select("doc_id", url.alias("url"))
+    kept = text.filter_blocked_domains(aug, ["d1.org", "d2.net"],
+                                       url_col="url")
+    dom = kept.withColumn("domain", text.extract_domain(F.col("url")))
+    capped = sampling.cap_per_group(dom, 5, group_col="domain",
+                                    key_col="doc_id")
+    return capped.select("doc_id", "url", "domain")
+
+
+def q_mixture(spark, sf_dir):
+    """Exact-count mixture sampling: downsample sources src0/src1/src2
+    to a 50/30/20 recipe at the largest total the data supports (the
+    binding stratum kept ~whole), per-stratum smallest-hash top-k —
+    counts exact, selection deterministic, engine-reproducible."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_to_mixture(
+        docs.select("doc_id", "source"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        strata_col="source", key_col="doc_id")
+
+
 def q_redact(spark, sf_dir):
     """PII redaction + audit counts over the documents table. The
     corpus text is deterministically augmented with one email, URL, and
@@ -1076,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "sample_users": q_sample_users,
         "train_split": q_train_split,
+        "domain_cap": q_domain_cap,
+        "mixture": q_mixture,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -1509,6 +1548,65 @@ WHERE {_duck_hash60('doc_id', 3)} <
               WHEN 'src2' THEN {_threshold(0.25)}
               ELSE {_threshold(0.1)} END
 """
+    domain_cap = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'not a url'
+              ELSE 'https://'
+                   || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END
+                   || 'd' || CAST(doc_id % 13 AS VARCHAR)
+                   || CASE doc_id % 3 WHEN 0 THEN '.com'
+                                      WHEN 1 THEN '.org' ELSE '.net' END
+                   || '/p/' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents),
+dom0 AS (
+  SELECT doc_id, url,
+         NULLIF(lower(regexp_extract(url,
+           '^(?:[A-Za-z][A-Za-z0-9+.\\-]*:)?//([^/?#@]*@)?([^/?#:]+)', 2)),
+           '') AS host
+  FROM aug),
+dom AS (
+  SELECT doc_id, url,
+         CASE WHEN host LIKE 'www.%' THEN substring(host, 5) ELSE host END
+           AS domain
+  FROM dom0),
+keep AS (
+  SELECT * FROM dom
+  WHERE domain IS NULL OR NOT (
+    domain = 'd1.org' OR domain LIKE '%.d1.org'
+    OR domain = 'd2.net' OR domain LIKE '%.d2.net')),
+ranked AS (
+  SELECT doc_id, url, domain,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain
+           ORDER BY {_duck_hash60('doc_id', 0)}, doc_id) AS rk
+  FROM keep)
+SELECT doc_id, url, domain FROM ranked WHERE rk <= 5
+"""
+
+    mixture = f"""
+WITH d AS (
+  SELECT doc_id, source FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')),
+shares(source, share) AS (
+  VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+t AS (SELECT MIN(CAST(FLOOR(n / share) AS BIGINT)) AS total
+      FROM c JOIN shares USING (source)),
+caps AS (SELECT source, CAST(FLOOR(share * total + 0.5) AS BIGINT) AS cap
+         FROM shares, t),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_duck_hash60('doc_id', 0)}, doc_id) AS rk
+  FROM d)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN caps USING (source) WHERE r.rk <= caps.cap
+"""
+
     train_split = f"""
 SELECT doc_id,
        CASE WHEN {_duck_hash60('doc_id', 5)} < {_threshold(0.2)}
@@ -2439,6 +2537,8 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "dedup_canonical": dedup_canonical,
         "curate": curate,
         "sample_users": sample_users,
+        "domain_cap": domain_cap,
+        "mixture": mixture,
         "sample_mix": sample_mix,
         "train_split": train_split,
         "minhash_lsh": minhash_lsh,

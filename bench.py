@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "dedup_components",
     "sample_users",
     "train_split",
+    "domain_cap",
+    "mixture",
     "embedding_dups",
     "ann_topk",
     "ann_ivf_indexed",

@@ -22,7 +22,7 @@ the shape that avoids train/eval leakage through entity overlap.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_SPACE = 1 << 60
@@ -81,6 +81,112 @@ def stratified_sample(
         F.lit(_threshold(default_fraction)),
     )
     return df.filter(_key_hash60(F.col(key_col), seed) < thr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    n,
+    group_col: str = "domain",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """At most ``n`` rows per group — deterministic uniform
+    without-replacement (keep the n smallest key hashes), the
+    RefinedWeb/C4-style per-domain cap that stops one hot site from
+    dominating a corpus.
+
+    ``n``: an int (same cap everywhere) or a dict {group value: cap}
+    with ints (groups absent from the dict are uncapped).
+
+    Scale shape — skew-safe two-phase top-n: a hot group (one domain =
+    30% of the crawl) would serialize a single rank window, so phase 1
+    ranks within (group, scan partition) — the salt spreads the hot
+    group over its scan parallelism and keeps ≤ n rows per salt, a
+    SUPERSET of the global top-n under any partitioning (each of the
+    true top-n beats all but ≤ n-1 rows globally, hence ranks ≤ n in
+    its own salt) — and phase 2 ranks the pruned (n × #salts bounded)
+    survivors per group exactly. Result is independent of the physical
+    partitioning; ties beyond the 60-bit hash break on the key itself.
+
+    Rows with a NULL group value form one group like any other (they
+    are capped together) — pre-filter them if unparsed domains should
+    pass uncapped.
+    """
+    salt = F.spark_partition_id()
+    h = _key_hash60(F.col(key_col), seed)
+    if isinstance(n, dict):
+        pairs = []
+        for k, cap in sorted(n.items()):
+            if int(cap) < 0:
+                raise ValueError(f"cap must be >= 0, got {cap} for {k!r}")
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(int(cap)))
+        cap_col = F.coalesce(F.create_map(*pairs)[F.col(group_col)],
+                             F.lit(None).cast("int"))
+        max_cap = max([int(c) for c in n.values()], default=0)
+    else:
+        if int(n) < 0:
+            raise ValueError(f"n must be >= 0, got {n}")
+        cap_col = F.lit(int(n))
+        max_cap = int(n)
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(
+        h.asc(), F.col(key_col).asc())
+    pruned = (
+        df.withColumn("__cap", cap_col)
+        .withColumn("__rk", F.row_number().over(w1))
+        # uncapped groups (__cap null) keep everything; phase-1 prune
+        # uses the LARGEST cap as the bound so dict caps stay exact
+        .filter(F.col("__cap").isNull() | (F.col("__rk") <= F.lit(max_cap)))
+        .drop("__rk")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        pruned.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__cap").isNull() | (F.col("__rk") <= F.col("__cap")))
+        .drop("__rk", "__cap")
+    )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    shares: dict,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT-count downsampling to a target mixture: keep
+    ``round(share_g * T)`` rows of stratum g, where ``T = min_g
+    floor(n_g / share_g)`` is the largest total the data supports
+    (the scarcest stratum is kept ~whole; everything else downsampled
+    to match its proportion). The per-stratum keep set is the
+    smallest-hash top-k — deterministic, reproducible from the seed,
+    and exact in COUNT (unlike Bernoulli hash-threshold sampling,
+    whose realized mixture wobbles by ±sqrt(n)).
+
+    Strata present in the data but absent from ``shares`` are DROPPED
+    (a mixture is a closed recipe). One tiny count aggregate decides
+    the caps driver-side; the selection itself is the skew-safe
+    :func:`cap_per_group` two-phase top-n.
+    """
+    tot = sum(shares.values())
+    if not shares or abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"shares must sum to 1, got {tot}")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["g"] in shares
+    }
+    missing = [g for g in shares if shares[g] > 0 and counts.get(g, 0) == 0]
+    if missing:
+        raise ValueError(f"strata with share > 0 but no rows: {missing}")
+    total = min(int(counts[g] / s) for g, s in shares.items() if s > 0)
+    # half-UP rounding (not Python's banker's round): matches SQL ROUND
+    # so the recipe is reproducible in any engine
+    caps = {g: int(s * total + 0.5) for g, s in shares.items()}
+    kept = df.filter(F.col(strata_col).isin(*list(shares)))
+    return cap_per_group(kept, caps, group_col=strata_col,
+                         key_col=key_col, seed=seed)
 
 
 def train_val_split(

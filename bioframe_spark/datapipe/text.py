@@ -553,3 +553,57 @@ def remove_boilerplate_lines(docs: DataFrame, text_col: str = "text",
             .otherwise(F.coalesce("__clean", F.lit(""))))
         .drop("__clean")
     )
+
+
+# --------------------------------------------------------------------------
+# URL / domain hygiene (the C4/RefinedWeb source-filtering stage)
+# --------------------------------------------------------------------------
+
+_DOMAIN_RE = r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//([^/?#@]*@)?([^/?#:]+)"
+
+
+def extract_domain(url: Column, strip_www: bool = True) -> Column:
+    """Registered host of a URL as a lowercase column — pure regex
+    (engine-portable: the DuckDB oracle runs the same pattern), no UDF.
+    Handles scheme and scheme-relative (``//host``) forms, strips
+    userinfo and port; URLs without an authority yield null.
+    ``strip_www`` drops ONE leading ``www.`` label (the standard
+    normalization before per-domain grouping)."""
+    host = F.lower(F.regexp_extract(url, _DOMAIN_RE, 2))
+    host = F.when(host == "", F.lit(None)).otherwise(host)
+    if strip_www:
+        host = F.when(host.startswith("www."),
+                      F.substring(host, 5, 1 << 30)).otherwise(host)
+    return host
+
+
+def domain_suffixes(domain: Column) -> Column:
+    """All dot-suffixes of a domain (``a.b.com`` → [a.b.com, b.com,
+    com]) as an array column — the blocklist-matching key set (blocking
+    ``b.com`` must block every subdomain)."""
+    parts = F.split(domain, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n)),
+    )
+
+
+def filter_blocked_domains(df: DataFrame, blocked: list,
+                           url_col: str = "url",
+                           block_subdomains: bool = True) -> DataFrame:
+    """Drop rows whose URL's domain (or any parent domain, with
+    ``block_subdomains``) appears in ``blocked``. Rows with no
+    parseable domain are KEPT (hygiene filters must not silently eat
+    schemeless rows — run a null-domain audit separately).
+
+    Scale shape: map-only — the blocklist ships as a broadcast literal
+    array and membership is an ``exists`` over the row's ≤ #labels
+    suffixes; no join, no shuffle. For million-entry blocklists switch
+    to a broadcast anti join on the exploded suffix (same semantics;
+    this literal form covers the usual 10k-entry curated lists)."""
+    blk = F.array(*[F.lit(b.lower()) for b in sorted(set(blocked))])
+    dom = extract_domain(F.col(url_col))
+    keys = domain_suffixes(dom) if block_subdomains else F.array(dom)
+    hit = F.exists(keys, lambda s: F.array_contains(blk, s))
+    return df.filter(dom.isNull() | ~F.coalesce(hit, F.lit(False)))

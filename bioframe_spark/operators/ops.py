@@ -264,9 +264,16 @@ def select(df: DataFrame, region, cols=None) -> DataFrame:
 def select_mask(df: DataFrame, region, cols=None, mask_col: str = "mask") -> DataFrame:
     """df + boolean column marking rows overlapping the region.
 
-    The reference returns a positional boolean array (``ops.py:29-67``);
-    Spark rows have no positions, so the mask is a column.
-    """
+    DEVIATION (documented, intentional): the reference returns a
+    POSITIONAL boolean numpy array aligned to the input frame's row
+    order (``ops.py:29-67``); Spark rows have no stable positions, so
+    this returns the input WITH a boolean ``mask_col`` instead — same
+    information, row-aligned by construction rather than by index. Do
+    NOT collect this expecting the reference's array: Spark output
+    order is undefined. For a positional array over the CANONICAL
+    (chrom, start, end) order, collect ``select_mask(df, r)`` sorted by
+    that key, or use :func:`select_indices` (dense canonical-order ids
+    of the matching rows)."""
     ck, sk, ek = _resolve_cols(cols)
     chrom, start, end = parse_region(region)
     return df.withColumn(

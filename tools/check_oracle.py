@@ -6,6 +6,12 @@ row count, column-name set, and an order-insensitive value comparison
 (rows sorted over name-sorted columns; floats to 9 significant digits).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --json OUT.json [sf_dir] [query ...]
+
+``--json``: additionally write {query: verdict} as JSON — the round
+ritual commits the FULL registry run as CHECKFULL_r{N}.json (the driver
+gate caps at 50 rows; this is the artifact proving the rotated-out rows
+stay green).
 """
 
 from __future__ import annotations
@@ -44,8 +50,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from bioframe_spark.session import get_spark
@@ -111,6 +122,13 @@ def main():
 
     n_ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only"))
     print(f"\n{n_ok}/{len(results)} clean")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_clean": n_ok,
+                       "n_total": len(results), "results": results}, f,
+                      indent=1)
 
 
 if __name__ == "__main__":
