@@ -964,6 +964,29 @@ def q_stream_merge(spark, sf_dir):
         data, "chrom string, start long, end long, n_intervals long")
 
 
+def q_stream_complement(spark, sf_dir):
+    """STREAMING complement driven to completion: per-chrom gap
+    snapshots against the fixed view (state = the running island set,
+    shared machinery with stream_merge). The final snapshot equals the
+    batch complement over every streamed row for the touched
+    chromosomes — the DuckDB oracle replays exactly that (zero-width
+    snapshot-clear sentinels are dropped on capture)."""
+    from bioframe_spark.streaming import stream_ops
+
+    view = chromsizes()
+
+    def cap(pdf, snap):
+        for chrom, grp in pdf.groupby("chrom"):
+            snap[chrom] = [(int(s), int(e))
+                           for s, e in zip(grp["start"], grp["end"])
+                           if s < e]
+
+    snap = _drive_stream(
+        spark, sf_dir, lambda s: stream_ops.stream_complement(s, view), cap)
+    data = [(c, s, e) for c, gaps in snap.items() for s, e in gaps]
+    return spark.createDataFrame(data, "chrom string, start long, end long")
+
+
 def q_stream_count(spark, sf_dir):
     """STREAMING running count-overlaps against a static annotation
     table, driven to completion (broadcast stream-static join + an
@@ -1153,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deliberately past the driver's 50-row cap (a streaming query in
         # the gate harness would risk the whole run on a hang)
         "stream_merge": q_stream_merge,
+        "stream_complement": q_stream_complement,
         "stream_count": q_stream_count,
         "stream_closest": q_stream_closest,
         "stream_coverage": q_stream_coverage,
@@ -1245,6 +1269,23 @@ merged AS (
 SELECT chrom, start, "end", chrom AS view_region
 FROM gaps WHERE start < "end"
 """
+    stream_complement_sql = _CTE + f""", a3 AS (
+  SELECT chrom, start, "end" FROM a),
+merged AS (
+  SELECT chrom, MIN(start) AS s, MAX("end") AS e
+  FROM ({_islands_sql('a3')}) GROUP BY chrom, island
+), gaps AS (
+  SELECT chrom,
+         COALESCE(LAG(e) OVER (PARTITION BY chrom ORDER BY s), 0) AS start,
+         s AS "end"
+  FROM merged
+  UNION ALL
+  SELECT m.chrom, MAX(m.e) AS start, ANY_VALUE(c.clen) AS "end"
+  FROM merged m JOIN chroms c ON m.chrom = c.chrom GROUP BY m.chrom
+)
+SELECT chrom, start, "end" FROM gaps WHERE start < "end"
+"""
+
     closest_tmpl = _CTE + """, cand AS (
   SELECT p.pid, p.chrom, p.start, p."end",
          s.sid, s.chrom AS cs, s.start AS ss, s."end" AS se,
@@ -2574,6 +2615,9 @@ LEFT JOIN hits h USING (chrom, start, "end")
         # the streaming merge's final snapshot is definitionally the batch
         # merge of everything streamed — same islands oracle
         "stream_merge": merge,
+        # streaming complement: batch complement restricted to touched
+        # chroms (every a chrom is touched, so no untouched-branch rows)
+        "stream_complement": stream_complement_sql,
         "stream_count": stream_count,
         "stream_closest": stream_closest,
         "stream_coverage": stream_coverage,

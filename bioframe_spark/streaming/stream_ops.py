@@ -252,6 +252,95 @@ def stream_merge(stream: DataFrame, min_dist: int | None = 0,
     )
 
 
+def stream_complement(stream: DataFrame, view: dict,
+                      cols=None) -> DataFrame:
+    """Stateful streaming complement: per chromosome, emit the GAPS of
+    the running island set against a fixed view ``{chrom: length}``
+    (update mode — each trigger re-emits the touched chromosome's full
+    gap snapshot, which only ever shrinks as more coverage arrives).
+
+    Same state machinery as :func:`stream_merge` (the island set is the
+    sufficient statistic for both: islands are emitted there, their
+    set-complement here), hence exact under any arrival order. Island
+    semantics are ``min_dist=0`` (touching intervals fuse), matching
+    batch ``complement``'s merge step; intervals are clipped to the
+    view span. Chromosomes in the view that the stream has not touched
+    emit nothing (stateful operators only fire on keyed input) — a
+    snapshot consumer unions ``[0, length)`` for untouched chroms, the
+    same convention as the batch operator's view join; chromosomes NOT
+    in the view are ignored. Batch equivalence is live-tested against
+    ``bf.complement`` of every injected row.
+
+    State per chrom = the island arrays, bounded by the island count
+    (output-sized, not stream-length-sized)."""
+    import pandas as pd
+
+    ck, sk, ek = _resolve_cols(cols)
+    view = {str(k): int(v) for k, v in view.items()}
+    out_schema = T.StructType([
+        T.StructField(ck, T.StringType()),
+        T.StructField(sk, T.LongType()),
+        T.StructField(ek, T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key, pdfs, state):
+        chrom = key[0]
+        length = view.get(chrom)
+        rows = []
+        if state.exists:
+            starts, ends = state.get
+            rows.extend((s, e, 1) for s, e in zip(starts, ends))
+        for pdf in pdfs:
+            rows.extend(zip(pdf[sk].astype("int64"),
+                            pdf[ek].astype("int64"),
+                            [1] * len(pdf)))
+        if not rows or length is None:
+            return
+        islands = _weighted_island_merge(rows, 0)
+        state.update((
+            [int(s) for s, _, _ in islands],
+            [int(e) for _, e, _ in islands],
+        ))
+        gaps = []
+        cur = 0
+        for s, e, _ in islands:
+            s, e = max(int(s), 0), min(int(e), length)
+            if e <= 0 or s >= length:
+                continue
+            if s > cur:
+                gaps.append((cur, s))
+            cur = max(cur, e)
+        if cur < length:
+            gaps.append((cur, length))
+        if not gaps:
+            # a chromosome that became FULLY covered must still overwrite
+            # its previous snapshot at the consumer (update-mode replace
+            # fires per emitted key): emit one zero-width row [L, L) —
+            # it carries no gap (start < end filters it) but keys the
+            # replacement
+            gaps = [(length, length)]
+        yield pd.DataFrame({
+            ck: [chrom] * len(gaps),
+            sk: [s for s, _ in gaps],
+            ek: [e for _, e in gaps],
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.filter(F.col(ck).isNotNull() & F.col(sk).isNotNull()
+                      & F.col(ek).isNotNull()
+                      & F.col(ck).isin(*list(view)))
+        .groupBy(ck)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
 def _duration_ms(s: str) -> int:
     n, unit = s.split()
     mult = {"millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000}

@@ -498,3 +498,56 @@ def test_stream_gopher_filter_live(spark):
         assert got == want, got
     finally:
         q.stop()
+
+
+def test_stream_complement_live(spark, tmp_path):
+    """Live gaps snapshot: the final per-chrom snapshot must equal the
+    batch bf.complement of every injected row against the same view;
+    a chromosome driven to FULL coverage must overwrite its snapshot
+    with the zero-width sentinel (no stale gaps)."""
+    import bioframe_spark as bf
+    from pyspark.sql import functions as F
+
+    view = {"chr1": 400, "chr2": 100, "chrU": 50}
+    src = tmp_path / "iv_stream_c"
+    src.mkdir()
+    batch1 = [("chr1", 0, 50), ("chr1", 100, 150), ("chr2", 0, 60),
+              ("chrX", 0, 10)]          # chrX not in view: ignored
+    batch2 = [("chr1", 40, 110), ("chr2", 50, 100)]  # chr2 fully covered
+    schema = "chrom string, start long, end long"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "*")))
+    out = stream_ops.stream_complement(stream, view)
+
+    snap = {}
+
+    def capture(bdf, bid):
+        pdf = bdf.toPandas()
+        for chrom, grp in pdf.groupby("chrom"):
+            snap[chrom] = sorted(
+                (int(s), int(e)) for s, e in zip(grp["start"], grp["end"])
+                if s < e)  # zero-width sentinel clears the snapshot
+
+    q = (out.writeStream.foreachBatch(capture).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted((c, s, e) for c, gaps in snap.items() for s, e in gaps)
+    view_df = spark.createDataFrame(list(view.items()),
+                                    "chrom string, length long")
+    want_df = bf.complement(
+        spark.createDataFrame(batch1 + batch2, schema),
+        view_df={k: v for k, v in view.items()})
+    # batch complement also emits full-view gaps for UNTOUCHED chroms
+    # (chrU); the stream's contract is touched-chroms-only
+    want = sorted((r["chrom"], r["start"], r["end"])
+                  for r in want_df.collect() if r["chrom"] in snap)
+    assert got == want
+    assert snap["chr2"] == []          # fully covered -> snapshot cleared
+    assert "chrX" not in snap and "chrU" not in snap
