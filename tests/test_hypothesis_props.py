@@ -567,3 +567,25 @@ def test_differential_select(spark, ref, a, q):
     s1 = to_spark(spark, p1)
     assert_match(ref.select(p1, region), bfs_op("select")(s1, region))
     assert_match(ref.select(p1, chrom), bfs_op("select")(s1, chrom))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_frames, min_dist=st.sampled_from([0, 3]))
+def test_cluster_premerge_equals_classic(spark, rows, min_dist):
+    """r5: the map-side premerged cluster construction (local island
+    collapse + broadcast searchsorted id assignment) is row-identical —
+    ids, spans, column order — to the classic per-chrom window, on
+    arbitrary frames including duplicates and empty inputs."""
+    import bioframe_spark as bf
+
+    df = _df(spark, rows)
+
+    def canon(out):
+        key = lambda t: tuple((v is None, str(type(v)), v) for v in t)
+        return sorted([tuple(r) for r in out.collect()], key=key)
+
+    a = bf.cluster(df, min_dist=min_dist, premerge=True)
+    b = bf.cluster(df, min_dist=min_dist, premerge=False, range_width=None)
+    assert a.columns == b.columns
+    assert canon(a) == canon(b)
