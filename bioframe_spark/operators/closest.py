@@ -697,11 +697,11 @@ def _closest_broadcast(
     names1 = list(df1.columns)
     names2 = list(df2.columns)
     if max_rows is not None:
-        ann_pd = df2.limit(max_rows + 1).toPandas()
-        if len(ann_pd) > max_rows:
+        # parallel count probe, then a plain collect — limit(n+1) would
+        # single-thread the collect (see ops._small_coords_pdf)
+        if df2.count() > max_rows:
             return None
-    else:
-        ann_pd = df2.toPandas()
+    ann_pd = df2.toPandas()
     ann_bc = df1.sparkSession.sparkContext.broadcast({
         c: grp.reset_index(drop=True)
         for c, grp in ann_pd.groupby(ck2, sort=False)

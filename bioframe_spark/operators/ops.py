@@ -1643,10 +1643,14 @@ def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str,
     for c in on:
         cond = cond & F.col(c).isNotNull()
     cap = _threshold(df2, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
-    pdf = df2.select(*sel).filter(cond).limit(cap + 1).toPandas()
-    if len(pdf) > cap:
+    sub = df2.select(*sel).filter(cond)
+    # cap probe as a COUNT, not limit(cap+1).toPandas(): CollectLimit
+    # executes single-threaded with incremental partition probing
+    # (measured +1.2 s on a 600k-row cached frame vs +0.2 s for a
+    # parallel column-pruned count + plain collect)
+    if sub.count() > cap:
         return None
-    return pdf
+    return sub.toPandas()
 
 
 def _coverage_lookup(pdf) -> dict:
@@ -1846,9 +1850,14 @@ def count_overlaps(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
         pdf = _small_coords_pdf(df2, ck2, sk2, ek2, on)
         if pdf is not None and (
                 len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all())):
-            out = _spread_if_underpartitioned(df1).withColumn(
-                "count", _count_overlaps_col(
-                    df1.sparkSession, pdf, ck1, sk1, ek1, on))
+            # no spread guard here: the searchsorted kernel is tens of
+            # ns/row, so on under-partitioned (small/cached) inputs the
+            # round-robin shuffle costs more than single-task vectorized
+            # work saves (A/B: 1.79 s vs 0.96 s on a 3-partition cached
+            # 600k-row input). The heavy pandas kernels (closest
+            # broadcast, cluster premerge) DO spread.
+            out = df1.withColumn("count", _count_overlaps_col(
+                df1.sparkSession, pdf, ck1, sk1, ek1, on))
             return out if return_input else out.select("count")
     keys = [ck1, sk1, ek1, *on]
     coords = df1.select(*keys).filter(F.col(ck1).isNotNull()).distinct()
@@ -1921,7 +1930,8 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
                 len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all())):
             cov = _broadcast_coverage_col(
                 df1.sparkSession, _coverage_lookup(pdf), ck1, sk1, ek1)
-            out = _spread_if_underpartitioned(df1).withColumn("coverage", cov)
+            # no spread guard — see count_overlaps (light kernel rule)
+            out = df1.withColumn("coverage", cov)
             return out if return_input else out.select("coverage")
     merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
     coords = (
