@@ -899,7 +899,12 @@ def _distinct_islands(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     if min_dist is None:
         border = F.col(sk) >= prev_max_end
     else:
-        border = F.col(sk) > prev_max_end + F.lit(min_dist)
+        # try_add: a running max at INT64_MAX (complement sentinel ends)
+        # + min_dist overflows under ANSI; overflow means nothing can
+        # start beyond it, so the border is false (coalesce)
+        border = F.coalesce(
+            F.col(sk) > F.try_add(prev_max_end, F.lit(min_dist)),
+            F.lit(False))
     border = F.when(prev_max_end.isNull(), F.lit(True)).otherwise(border)
     return dd.withColumn(
         "__island",
@@ -953,8 +958,12 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
         local_border = F.col(sk) >= local_prev
         carry_clear = F.col(sk) >= F.col("__M")
     else:
-        local_border = F.col(sk) > local_prev + F.lit(min_dist)
-        carry_clear = F.col(sk) > F.col("__M") + F.lit(min_dist)
+        local_border = F.coalesce(
+            F.col(sk) > F.try_add(local_prev, F.lit(min_dist)),
+            F.lit(False))  # try_add: sentinel-end overflow = no border
+        carry_clear = F.coalesce(
+            F.col(sk) > F.try_add(F.col("__M"), F.lit(min_dist)),
+            F.lit(False))
     local_border = F.when(local_prev.isNull(), F.lit(True)).otherwise(local_border)
 
     ragg = dd.groupBy(*keys, "__rng").agg(F.max(ek).alias("__rmax"))
@@ -1082,19 +1091,38 @@ def _premerge_local(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     )
 
     def gen(batches):
+        import numpy as np
+
         for pdf in batches:
             pdf = pdf[cols_]
             if not len(pdf):
                 continue
             vd = pdf.sort_values(keys + [sk, ek], kind="mergesort")
-            cm = vd.groupby(keys, sort=False)[ek].cummax()
-            prev = cm.groupby([vd[k] for k in keys], sort=False).shift()
+            # EXACT int64 border arithmetic: a groupby().shift() would
+            # inject NaN and degrade the whole column to float64, which
+            # rounds sentinel ends (INT64_MAX) UP and can OVER-fuse —
+            # an error the global pass cannot repair (under-fusing is
+            # the only safe direction). Group firsts come from key-array
+            # change detection instead.
+            run = vd.groupby(keys, sort=False)[ek].cummax().to_numpy()
+            s_arr = vd[sk].to_numpy()
+            first = np.zeros(len(vd), dtype=bool)
+            first[0] = True
+            for k in keys:
+                kv = vd[k].to_numpy()
+                first[1:] |= kv[1:] != kv[:-1]
+            prev = np.empty_like(run)
+            prev[1:] = run[:-1]
+            prev[0] = 0
             if min_dist is None:
-                border = vd[sk] >= prev
+                border = s_arr >= prev
             else:
-                border = vd[sk] > prev + min_dist
-            border = border | prev.isna()
-            isl = border.cumsum()
+                # mask before adding: int64 + min_dist wraps silently
+                safe = prev <= np.iinfo("int64").max - min_dist
+                border = safe & (s_arr > prev + min_dist)
+            border = border | first
+            import pandas as pd
+            isl = pd.Series(border, index=vd.index).cumsum()
             agg = vd.groupby(isl, sort=False).agg(
                 **{k: (k, "first") for k in keys},
                 **{sk: (sk, "min"), ek: (ek, "max")},
@@ -1128,7 +1156,9 @@ def _border_merge_weighted(d: DataFrame, ck: str, sk: str, ek: str,
     if min_dist is None:
         border = F.col(sk) >= F.col("__pm")
     else:
-        border = F.col(sk) > F.col("__pm") + F.lit(min_dist)
+        border = F.coalesce(
+            F.col(sk) > F.try_add(F.col("__pm"), F.lit(min_dist)),
+            F.lit(False))  # try_add: sentinel-end overflow = no border
     d = d.filter(F.when(F.col("__pm").isNull(), F.lit(True)).otherwise(border))
     w2 = Window.partitionBy(*keys).orderBy("__rn")
     return d.select(
@@ -1140,9 +1170,81 @@ def _border_merge_weighted(d: DataFrame, ck: str, sk: str, ek: str,
     )
 
 
+def _merge_local(df: DataFrame, ck, sk, ek, on, min_dist):
+    """Driver-side merge kernel for SMALL inputs — the broadcast-kernel
+    philosophy applied to merge itself: a frame under the collect caps
+    does not deserve a distributed plan (shuffle + two window stages
+    cost ~3x the reference's single numpy sweep; this path is one
+    column-pruned count probe + one Arrow collect + the sweep).
+
+    Exactness: collection goes through Arrow (``toArrow``), so int64
+    coordinates — including INT64_MAX sentinels from complement outputs
+    — never round-trip through float64. The sweep replicates the
+    distributed border rules bit-for-bit: sort by (start, end) per
+    (chrom, *on) group; border where ``start > running_max + min_dist``
+    (strict ``>=`` under ``min_dist=None`` — coincident points stay
+    separate islands). Null-key rows pass through untouched with null
+    ``n_intervals``. Returns None when the input exceeds
+    ``spark.bioframe.smallInputMaxRows`` (callers fall back to the
+    distributed constructions)."""
+    import numpy as np
+    import pandas as pd
+
+    cap = _threshold(df, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
+    sub = df.select(ck, sk, ek, *on)
+    # count probe only for overridden caps or estimates within 8x of
+    # the byte gate (see _small_coords_pdf — the probe guards
+    # catastrophic estimates)
+    probe = (cap != _SMALL_INPUT_MAX_ROWS
+             or _plan_size_bytes(df) > _SMALL_INPUT_BYTES // 8)
+    if probe and sub.count() > cap:
+        return None
+    pdf = sub.toArrow().to_pandas(types_mapper=pd.ArrowDtype)
+    keys = [ck] + on
+    valid = pdf[[ck, sk, ek, *on]].notna().all(axis=1)
+    v = pdf[valid]
+    cols_out = {c: [] for c in [ck, sk, ek, *on, "n_intervals"]}
+    for key, g in (v.groupby(keys, sort=False) if len(v) else ()):
+        key = key if isinstance(key, tuple) else (key,)
+        s = g[sk].to_numpy("int64")
+        e = g[ek].to_numpy("int64")
+        o = np.lexsort((e, s))
+        s, e = s[o], e[o]
+        run = np.maximum.accumulate(e)
+        border = np.ones(len(s), dtype=bool)
+        if min_dist is None:
+            border[1:] = s[1:] >= run[:-1]
+        else:
+            # mask before adding: int64 run + min_dist WRAPS silently in
+            # numpy for sentinel ends (INT64_MAX); overflow = no border
+            safe = run[:-1] <= np.iinfo("int64").max - min_dist
+            border[1:] = safe & (s[1:] > run[:-1] + min_dist)
+        idx = np.flatnonzero(border)
+        ends = run[np.append(idx[1:] - 1, len(s) - 1)]
+        cnts = np.diff(np.append(idx, len(s)))
+        chrom_v, *on_v = key
+        n_isl = len(idx)
+        cols_out[ck].extend([chrom_v] * n_isl)
+        cols_out[sk].extend(int(x) for x in s[idx])
+        cols_out[ek].extend(int(x) for x in ends)
+        for c, val in zip(on, on_v):
+            cols_out[c].extend([val] * n_isl)
+        cols_out["n_intervals"].extend(int(x) for x in cnts)
+    nn = pdf[~valid]
+    for c in [ck, sk, ek, *on]:
+        cols_out[c].extend(None if pd.isna(x) else x for x in nn[c])
+    cols_out["n_intervals"].extend([None] * len(nn))
+    schema = T.StructType(
+        [df.schema[c] for c in [ck, sk, ek, *on]]
+        + [T.StructField("n_intervals", T.LongType(), True)]
+    )
+    rows = list(zip(*[cols_out[c] for c in [ck, sk, ek, *on, "n_intervals"]]))
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
 def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
           on: list | None = None, range_width="auto",
-          premerge="auto") -> DataFrame:
+          premerge="auto", local="auto") -> DataFrame:
     """Collapse overlapping/nearby intervals into union spans + count
     (reference ``ops.py:711-839``). One shuffle by (chrom,*on); the final
     groupBy reuses the window partitioning, aggregation is partial+final.
@@ -1165,10 +1267,39 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
     default ``"auto"`` turns it on above ``spark.bioframe.premergeBytes``
     (64 MB). Value-identical on every path (equivalence-tested; the
     weighted multiplicity preserves the point-duplicate island rule).
+
+    ``local``: driver-side numpy kernel for SMALL inputs
+    (``_merge_local`` — plan size ≤ ``spark.bioframe.smallInputBytes``
+    with a hard row-cap probe): one count + one Arrow collect + the
+    sweep instead of a shuffle and two window stages. NOTE it makes
+    plan construction EAGER for gated inputs (same contract as the
+    coverage/count_overlaps broadcast kernels). Value-identical; falls
+    back transparently over the caps.
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "merge")
     on = list(on) if on else []
+    if min_dist is not None and min_dist < 0:
+        raise ValueError("min_dist>=0 or None required")
+
+    def _atomic(c):
+        t = dict(df.dtypes)[c]
+        return not t.startswith(("array", "map", "struct", "binary"))
+
+    if local == "auto":
+        # an EXPLICIT range_width / premerge is a request for that
+        # distributed construction (benchmarks and plan tests rely on
+        # it) — auto-local only competes with the auto-chosen paths
+        local = (range_width == "auto" and premerge == "auto"
+                 and all(_atomic(c) for c in [ck] + on)
+                 and _plan_size_bytes(df) <= _threshold(
+                     df, "smallInputBytes", _SMALL_INPUT_BYTES))
+    if local:
+        # small-input driver kernel (see _merge_local) — None = over the
+        # row cap, fall through to the distributed constructions
+        out = _merge_local(df, ck, sk, ek, on, min_dist)
+        if out is not None:
+            return out
     if premerge == "auto":
         premerge = _plan_size_bytes(df) > _threshold(
             df, "premergeBytes", _PREMERGE_BYTES)
@@ -1255,7 +1386,9 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
     if min_dist is None:
         border = F.col(sk) >= F.col("__pm")
     else:
-        border = F.col(sk) > F.col("__pm") + F.lit(min_dist)
+        border = F.coalesce(
+            F.col(sk) > F.try_add(F.col("__pm"), F.lit(min_dist)),
+            F.lit(False))  # try_add: sentinel-end overflow = no border
     border = (
         F.when(~F.col("__v"), F.lit(True))          # null rows: singleton islands
         .when(F.col("__pm").isNull(), F.lit(True))
@@ -1647,8 +1780,14 @@ def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str,
     # cap probe as a COUNT, not limit(cap+1).toPandas(): CollectLimit
     # executes single-threaded with incremental partition probing
     # (measured +1.2 s on a 600k-row cached frame vs +0.2 s for a
-    # parallel column-pruned count + plain collect)
-    if sub.count() > cap:
+    # parallel column-pruned count + plain collect). With the DEFAULT
+    # cap, skip even the count when the estimate sits 8x under the byte
+    # gate — the probe guards CATASTROPHIC mis-estimates and that low
+    # an estimate leaves an 8x margin; a user-overridden cap is always
+    # probed exactly
+    probe = (cap != _SMALL_INPUT_MAX_ROWS
+             or _plan_size_bytes(df2) > _SMALL_INPUT_BYTES // 8)
+    if probe and sub.count() > cap:
         return None
     return sub.toPandas()
 

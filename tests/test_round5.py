@@ -454,3 +454,63 @@ def test_sample_to_mixture_exact_counts(spark):
     with pytest.raises(ValueError, match="no rows"):
         S.sample_to_mixture(d, {"web": 0.5, "nope": 0.5},
                             strata_col="source")
+
+
+# --------------------------------------------------------------------------
+# driver-side local merge kernel + ANSI sentinel-overflow fix (r5)
+# --------------------------------------------------------------------------
+
+INT64_MAX = (1 << 63) - 1
+
+
+def _canon_cols(df):
+    key = lambda t: tuple((v is None, str(type(v)), v) for v in t)
+    return sorted([tuple(r) for r in df.collect()], key=key), df.columns
+
+
+@pytest.mark.parametrize("min_dist", [0, 7, None])
+def test_merge_local_kernel_equivalence(spark, min_dist):
+    """The small-input driver kernel is value-identical to every
+    distributed construction — including on INT64_MAX sentinel ends
+    (complement output), duplicate points, and null rows."""
+    data = [("chr1", 0, 10), ("chr1", 8, 20), ("chr1", 20, 25),
+            ("chr1", 5, 5), ("chr1", 5, 5), ("chr2", 0, 3),
+            ("chrX", 100, INT64_MAX), ("chrX", 50, INT64_MAX),
+            ("chrX", INT64_MAX - 3, INT64_MAX),
+            (None, 1, 2), ("chr1", None, None)]
+    df = ivals(spark, data)
+    base = _canon_cols(
+        bf.merge(df, min_dist=min_dist, local=False, premerge=False,
+                 range_width=None))
+    assert _canon_cols(bf.merge(df, min_dist=min_dist, local=True)) == base
+    assert _canon_cols(
+        bf.merge(df, min_dist=min_dist, local=False, premerge=True,
+                 range_width=None)) == base
+    assert _canon_cols(
+        bf.merge(df, min_dist=min_dist, local=False, premerge=False,
+                 range_width=7)) == base
+
+
+def test_merge_sentinel_min_dist_no_ansi_overflow(spark):
+    """Pre-r5 bug: merge(min_dist>0) on sentinel ends crashed every
+    distributed path with ARITHMETIC_OVERFLOW under ANSI mode
+    (running_max + min_dist). Now an overflowing border is simply
+    false (nothing can start beyond INT64_MAX)."""
+    df = ivals(spark, [("chr1", 0, INT64_MAX), ("chr1", 5, 10)])
+    for kw in (dict(local=False, premerge=False, range_width=None),
+               dict(local=False, premerge=True, range_width=None),
+               dict(local=False, premerge=False, range_width=100),
+               dict(local=True)):
+        out = bf.merge(df, min_dist=9, **kw).collect()
+        assert len(out) == 1 and out[0]["n_intervals"] == 2
+
+
+def test_merge_local_cap_fallback(spark):
+    df = ivals(spark, [("chr1", i * 10, i * 10 + 5) for i in range(30)])
+    spark.conf.set("spark.bioframe.smallInputMaxRows", "3")
+    try:
+        a = _canon_cols(bf.merge(df, local="auto"))
+    finally:
+        spark.conf.unset("spark.bioframe.smallInputMaxRows")
+    assert a == _canon_cols(bf.merge(df, local=False, premerge=False,
+                                     range_width=None))
