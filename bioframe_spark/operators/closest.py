@@ -453,9 +453,14 @@ def _closest_binned(
     b1 = df1.agg(F.min(sk1).alias("lo"), F.max(ek1).alias("hi")).collect()[0]
     b2 = df2.agg(F.min(sk2).alias("lo"), F.max(ek2).alias("hi"),
                  F.count(F.lit(1)).alias("n")).collect()[0]
+    from .ops import INT64_MAX
     los = [v for v in (b1["lo"], b2["lo"]) if v is not None]
     his = [v for v in (b1["hi"], b2["hi"]) if v is not None]
-    bound = (max(his) - min(los) + 2) if los and his else 2
+    # clamp: sentinel ends (INT64_MAX) would push the span past int64
+    # (py4j cannot even ship the literal) — the bound only terminates
+    # the ladder, so clamping keeps completeness (nothing is farther
+    # than INT64_MAX away)
+    bound = (min(max(his) - min(los) + 2, INT64_MAX)) if los and his else 2
     per_chrom = df2.groupBy(F.col(ck2).alias("__cb_c")).agg(
         F.min(sk2).alias("lo"), F.max(ek2).alias("hi"),
         F.count(F.lit(1)).alias("n"),
@@ -548,11 +553,17 @@ def _closest_binned(
             F.col("__cb_cap0") > F.lit(bound // m), F.lit(bound).cast("long")
         ).otherwise(F.least(F.col("__cb_cap0") * F.lit(m),
                             F.lit(bound)).cast("long"))
+        # try_add/try_subtract: a sentinel end (INT64_MAX) + pad
+        # overflows under ANSI; the padded probe window only needs to
+        # CONTAIN the true window, so overflow saturates to the extremes
+        # (the binned join clips to the observed span anyway)
         probe = remaining.withColumns({
             "__cb_s": F.col(sk1), "__cb_e": F.col(ek1),
             "__cb_cap": capc,
-            sk1: F.col(sk1) - (capc + F.lit(1)),
-            ek1: F.col(ek1) + (capc + F.lit(1)),
+            sk1: F.coalesce(F.try_subtract(F.col(sk1), capc + F.lit(1)),
+                            F.lit(-INT64_MAX)),
+            ek1: F.coalesce(F.try_add(F.col(ek1), capc + F.lit(1)),
+                            F.lit(INT64_MAX)),
         })
         pairs = overlap(probe, df2p, how="inner", suffixes=suffixes,
                         cols1=cols1, cols2=cols2,

@@ -514,3 +514,19 @@ def test_merge_local_cap_fallback(spark):
         spark.conf.unset("spark.bioframe.smallInputMaxRows")
     assert a == _canon_cols(bf.merge(df, local=False, premerge=False,
                                      range_width=None))
+
+
+def test_closest_sentinel_ends_all_strategies(spark):
+    """Pre-r5 bug: binned closest on INT64_MAX sentinel ends crashed
+    (span literal past int64; probe pad overflow under ANSI). All three
+    strategies must run and agree."""
+    d1 = ivals(spark, [("chr1", 0, 10), ("chr1", 50, INT64_MAX),
+                       ("chr1", 200, 250)])
+    d2 = ivals(spark, [("chr1", 20, 30), ("chr1", 500, 600)])
+    outs = {}
+    for strat in ("cogroup", "broadcast", "binned"):
+        out = bf.closest(d1, d2, strategy=strat, suffixes=("", "_x"))
+        outs[strat] = sorted((r["start"], r["start_x"], r["distance"])
+                             for r in out.collect())
+    assert outs["cogroup"] == outs["broadcast"] == outs["binned"]
+    assert outs["binned"] == [(0, 20, 10), (50, 500, 0), (200, 20, 170)]
