@@ -319,6 +319,11 @@ def expand(df: DataFrame, pad: int | None = None, scale: float | None = None,
     Negative ``pad`` shrinks but not past the midpoint
     ``start + floor((end-start)/2)``. ``scale`` rescales around the
     midpoint with half-to-even rounding (numpy ``round`` parity → bround).
+
+    Coordinates SATURATE at ±INT64_MAX instead of raising: expanding a
+    complement output (sentinel ends at INT64_MAX) is a normal
+    composition, and under ANSI mode a raw ``end + pad`` would throw
+    ARITHMETIC_OVERFLOW (numpy in the reference silently wraps — worse).
     """
     ck, sk, ek = _resolve_cols(cols)
     _verify_columns(df, [ck, sk, ek], "expand")
@@ -330,9 +335,20 @@ def expand(df: DataFrame, pad: int | None = None, scale: float | None = None,
     if pad is not None:
         if not isinstance(pad, int):
             raise ValueError("additive pad must be integer")
-        new_s = s - F.lit(pad) if side in ("both", "left") else s
-        new_e = e + F.lit(pad) if side in ("both", "right") else e
+        new_s = (F.coalesce(F.try_subtract(s, F.lit(pad)),
+                            F.lit(-INT64_MAX))
+                 if side in ("both", "left") else s)
+        new_e = (F.coalesce(F.try_add(e, F.lit(pad)), F.lit(INT64_MAX))
+                 if side in ("both", "right") else e)
         if pad < 0:
+            # negative pad: try_* fallbacks invert (a - (-p) overflows
+            # UP, e + (-p) overflows DOWN)
+            new_s = (F.coalesce(F.try_subtract(s, F.lit(pad)),
+                                F.lit(INT64_MAX))
+                     if side in ("both", "left") else s)
+            new_e = (F.coalesce(F.try_add(e, F.lit(pad)),
+                                F.lit(-INT64_MAX))
+                     if side in ("both", "right") else e)
             mid = s + F.floor((e - s) * F.lit(0.5)).cast("long")
             new_s = F.least(new_s, mid)
             new_e = F.greatest(new_e, mid)
@@ -340,8 +356,16 @@ def expand(df: DataFrame, pad: int | None = None, scale: float | None = None,
     if scale < 0:
         raise ValueError("multiplicative scale must be >=0")
     pads = F.lit(0.5) * F.lit(scale - 1.0) * (e - s).cast("double")
-    new_s = F.bround(s - pads).cast("long") if side in ("both", "left") else s
-    new_e = F.bround(e + pads).cast("long") if side in ("both", "right") else e
+    sat_lo, sat_hi = F.lit(-INT64_MAX), F.lit(INT64_MAX)
+
+    def _sat_cast(x):
+        # double -> long saturating: double(INT64_MAX) rounds UP to 2^63,
+        # so even the clamp boundary must go through try_cast
+        return F.coalesce(x.try_cast("long"),
+                          F.when(x > 0, sat_hi).otherwise(sat_lo))
+
+    new_s = _sat_cast(F.bround(s - pads)) if side in ("both", "left") else s
+    new_e = _sat_cast(F.bround(e + pads)) if side in ("both", "right") else e
     return df.withColumns({sk: new_s, ek: new_e})
 
 

@@ -530,3 +530,18 @@ def test_closest_sentinel_ends_all_strategies(spark):
                              for r in out.collect())
     assert outs["cogroup"] == outs["broadcast"] == outs["binned"]
     assert outs["binned"] == [(0, 20, 10), (50, 500, 0), (200, 20, 170)]
+
+
+def test_expand_sentinel_saturates(spark):
+    """expand on complement output (INT64_MAX sentinel ends) saturates
+    at +/-INT64_MAX instead of raising ARITHMETIC_OVERFLOW (pad mode)
+    or CAST_OVERFLOW (scale mode)."""
+    df = ivals(spark, [("chr1", 0, 10), ("chr1", 50, INT64_MAX)])
+    out = {r["start"]: r["end"] for r in bf.expand(df, pad=100).collect()}
+    assert out == {-100: 110, -50: INT64_MAX}
+    got = sorted((r["start"], r["end"])
+                 for r in bf.expand(df, scale=2.0).collect())
+    assert got[0][1] == INT64_MAX and got[1] == (-5, 15)
+    # negative pad midpoint rule unchanged on normal data
+    d2 = ivals(spark, [("chr1", 0, 10)])
+    assert tuple(bf.expand(d2, pad=-8).collect()[0][1:3]) == (5, 5)
