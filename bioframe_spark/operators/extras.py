@@ -156,7 +156,10 @@ def pair_by_distance(
     # reference sorts before pairing, ``extras.py:456``).
     from .ops import _auto_range_width
 
-    mid = F.floor((F.col(sk) + F.col(ek)) / 2).cast("long")
+    # midpoint as s + (e-s)/2, NOT (s+e)/2: the sum overflows int64 for
+    # sentinel ends (complement output) under ANSI
+    mid = (F.col(sk)
+           + F.floor((F.col(ek) - F.col(sk)) / 2).cast("long"))
     range_width = _auto_range_width(df, sk, ek, range_width)
     if range_width is None:
         w = Window.partitionBy(ck).orderBy(sk, ek)
@@ -189,17 +192,29 @@ def pair_by_distance(
     else:
         raise ValueError("relative_to must be 'midpoints' or 'endpoints'")
     sfx1, sfx2 = suffixes
+    # probe arithmetic saturates (try_add/try_subtract): a reference
+    # point at a sentinel coordinate has no candidates in the direction
+    # that overflowed, and the saturated empty/degenerate probe encodes
+    # exactly that
+    from .ops import INT64_MAX as _I64
+
+    def _sat_add(x, k):
+        return F.coalesce(F.try_add(x, F.lit(k)), F.lit(_I64))
+
+    def _sat_sub(x, k):
+        return F.coalesce(F.try_subtract(x, F.lit(k)), F.lit(-_I64))
+
     left = base.select(
         *[F.col(c).alias(c + sfx1) for c in df.columns],
         F.col("__rank").alias("__rank1"),
-        (ref_r + min_sep // 2).alias("__rs"),
-        (ref_r + (max_sep + 1) // 2).alias("__re"),
+        _sat_add(ref_r, min_sep // 2).alias("__rs"),
+        _sat_add(ref_r, (max_sep + 1) // 2).alias("__re"),
     )
     right = base.select(
         *[F.col(c).alias(c + sfx2) for c in df.columns],
         F.col("__rank").alias("__rank2"),
-        (ref_l - max_sep // 2).alias("__ls"),
-        (ref_l - (min_sep + 1) // 2).alias("__le"),
+        _sat_sub(ref_l, max_sep // 2).alias("__ls"),
+        _sat_sub(ref_l, (min_sep + 1) // 2).alias("__le"),
     )
     cond = (
         (F.col(ck + sfx1) == F.col(ck + sfx2))

@@ -545,3 +545,14 @@ def test_expand_sentinel_saturates(spark):
     # negative pad midpoint rule unchanged on normal data
     d2 = ivals(spark, [("chr1", 0, 10)])
     assert tuple(bf.expand(d2, pad=-8).collect()[0][1:3]) == (5, 5)
+
+
+def test_pair_by_distance_sentinel_no_overflow(spark):
+    """Midpoint is s+(e-s)/2 (the naive (s+e)/2 SUM overflows int64 on
+    sentinel ends) and probe arithmetic saturates — pairing a
+    complement output works in both relative_to modes."""
+    df = ivals(spark, [("chr1", 0, 10), ("chr1", 50, INT64_MAX),
+                       ("chr1", 100, 200)])
+    assert bf.pair_by_distance(df, min_sep=0, max_sep=1000).count() == 1
+    assert bf.pair_by_distance(df, min_sep=0, max_sep=1000,
+                               relative_to="endpoints").count() == 2
