@@ -17,8 +17,16 @@ from pyspark.sql import functions as F
 
 
 def effective_end(start: Column, end: Column) -> Column:
-    """End with the point→length-1 rewrite applied (arrops.py:271-287)."""
-    return F.when(end == start, end + F.lit(1)).otherwise(end)
+    """End with the point→length-1 rewrite applied (arrops.py:271-287).
+
+    Saturating: a point AT INT64_MAX keeps INT64_MAX (zero effective
+    width — nothing exists beyond the coordinate space to match it);
+    a raw ``end + 1`` would raise ARITHMETIC_OVERFLOW under ANSI, and
+    the reference's numpy silently wraps negative."""
+    return F.when(
+        end == start,
+        F.coalesce(F.try_add(end, F.lit(1)), end),
+    ).otherwise(end)
 
 
 def overlap_predicate(

@@ -354,7 +354,8 @@ def closest_within(
     dist = genomic_distance(s1o, e1o, s2c, e2c)
     # internal rank distance: overlaps (0) sort before abutting neighbors
     # (gap 0 → 1) — matching `closest` and the reference kernel
-    idist = F.when(overlap_predicate(s1o, e1o, s2c, e2c), F.lit(0)).otherwise(dist + 1)
+    idist = F.when(overlap_predicate(s1o, e1o, s2c, e2c), F.lit(0)).otherwise(
+        F.coalesce(F.try_add(dist, F.lit(1)), dist))  # saturate at extremes
     w = Window.partitionBy(ridc).orderBy(
         F.asc("__idist"), F.asc(sk2 + sfx2), F.asc(ek2 + sfx2)
     )
@@ -487,6 +488,13 @@ def _closest_binned(
     while c < bound:
         c *= 8
         n_rounds += 1
+    # bound the ladder: each rung is driver-EAGER, and a pathological
+    # span (sentinel coordinates push the bound toward INT64_MAX) would
+    # otherwise take log8(bound/cap0) ~ 21 rounds of re-probing a few
+    # stragglers. Five rungs cover any real genome (cap0 >= 64 ->
+    # 8^4 * 64 = 262 Mb span); the FINAL rung always probes at the full
+    # bound, so completeness never depends on the schedule.
+    n_rounds = min(n_rounds, 5)
 
     # attach the per-chromosome round-1 cap to each (deduped) df1 row;
     # missing chroms (incl. null) coalesce to the bound — zero candidates
@@ -548,22 +556,32 @@ def _closest_binned(
         last = i == n_rounds - 1
         m = 8 ** i
         # per-row cap at this rung: min(cap0 * 8^i, bound), overflow-safe
-        # (cap0 <= bound, so the multiply only runs when it can't overflow)
-        capc = F.when(
-            F.col("__cb_cap0") > F.lit(bound // m), F.lit(bound).cast("long")
-        ).otherwise(F.least(F.col("__cb_cap0") * F.lit(m),
-                            F.lit(bound)).cast("long"))
+        # (cap0 <= bound, so the multiply only runs when it can't
+        # overflow); the final rung always probes the full bound (the
+        # ladder length is clamped, see n_rounds above)
+        if last:
+            capc = F.lit(bound).cast("long")
+        else:
+            capc = F.when(
+                F.col("__cb_cap0") > F.lit(bound // m),
+                F.lit(bound).cast("long")
+            ).otherwise(F.least(F.col("__cb_cap0") * F.lit(m),
+                                F.lit(bound)).cast("long"))
         # try_add/try_subtract: a sentinel end (INT64_MAX) + pad
         # overflows under ANSI; the padded probe window only needs to
         # CONTAIN the true window, so overflow saturates to the extremes
         # (the binned join clips to the observed span anyway)
+        pad = F.least(capc, F.lit(INT64_MAX - 1)) + F.lit(1)  # cap+1 itself
+        # can overflow when the cap IS the clamped INT64_MAX bound
         probe = remaining.withColumns({
             "__cb_s": F.col(sk1), "__cb_e": F.col(ek1),
             "__cb_cap": capc,
-            sk1: F.coalesce(F.try_subtract(F.col(sk1), capc + F.lit(1)),
-                            F.lit(-INT64_MAX)),
-            ek1: F.coalesce(F.try_add(F.col(ek1), capc + F.lit(1)),
-                            F.lit(INT64_MAX)),
+            sk1: F.when(F.col(sk1).isNull(), F.col(sk1)).otherwise(
+                F.coalesce(F.try_subtract(F.col(sk1), pad),
+                           F.lit(-INT64_MAX))),
+            ek1: F.when(F.col(ek1).isNull(), F.col(ek1)).otherwise(
+                F.coalesce(F.try_add(F.col(ek1), pad),
+                           F.lit(INT64_MAX))),
         })
         pairs = overlap(probe, df2p, how="inner", suffixes=suffixes,
                         cols1=cols1, cols2=cols2,
@@ -583,7 +601,8 @@ def _closest_binned(
             keep &= ~((along & left_side) | (~along & right_side))
         if ignore_downstream:
             keep &= ~((along & right_side) | (~along & left_side))
-        idist = F.when(is_ov, F.lit(0)).otherwise(dist + 1)
+        idist = F.when(is_ov, F.lit(0)).otherwise(
+            F.coalesce(F.try_add(dist, F.lit(1)), dist))  # saturating
         order = [F.asc("__idist")]
         if tie_breaking_col is not None:
             order.append(F.asc(tie_breaking_col + sfx2))

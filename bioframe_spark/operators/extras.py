@@ -199,10 +199,13 @@ def pair_by_distance(
     from .ops import INT64_MAX as _I64
 
     def _sat_add(x, k):
-        return F.coalesce(F.try_add(x, F.lit(k)), F.lit(_I64))
+        # nulls stay null — saturate only on genuine overflow
+        return F.when(x.isNull(), x).otherwise(
+            F.coalesce(F.try_add(x, F.lit(k)), F.lit(_I64)))
 
     def _sat_sub(x, k):
-        return F.coalesce(F.try_subtract(x, F.lit(k)), F.lit(-_I64))
+        return F.when(x.isNull(), x).otherwise(
+            F.coalesce(F.try_subtract(x, F.lit(k)), F.lit(-_I64)))
 
     left = base.select(
         *[F.col(c).alias(c + sfx1) for c in df.columns],

@@ -335,20 +335,32 @@ def expand(df: DataFrame, pad: int | None = None, scale: float | None = None,
     if pad is not None:
         if not isinstance(pad, int):
             raise ValueError("additive pad must be integer")
-        new_s = (F.coalesce(F.try_subtract(s, F.lit(pad)),
-                            F.lit(-INT64_MAX))
-                 if side in ("both", "left") else s)
-        new_e = (F.coalesce(F.try_add(e, F.lit(pad)), F.lit(INT64_MAX))
-                 if side in ("both", "right") else e)
+        # null-preserving saturation: the coalesce fallback must fire
+        # only on OVERFLOW (try_* null on non-null inputs), never turn a
+        # null coordinate into a saturated one (reference passes nulls
+        # through untouched)
+        new_s = (
+            F.when(s.isNull(), s).otherwise(
+                F.coalesce(F.try_subtract(s, F.lit(pad)),
+                           F.lit(-INT64_MAX)))
+            if side in ("both", "left") else s)
+        new_e = (
+            F.when(e.isNull(), e).otherwise(
+                F.coalesce(F.try_add(e, F.lit(pad)), F.lit(INT64_MAX)))
+            if side in ("both", "right") else e)
         if pad < 0:
             # negative pad: try_* fallbacks invert (a - (-p) overflows
             # UP, e + (-p) overflows DOWN)
-            new_s = (F.coalesce(F.try_subtract(s, F.lit(pad)),
-                                F.lit(INT64_MAX))
-                     if side in ("both", "left") else s)
-            new_e = (F.coalesce(F.try_add(e, F.lit(pad)),
-                                F.lit(-INT64_MAX))
-                     if side in ("both", "right") else e)
+            new_s = (
+                F.when(s.isNull(), s).otherwise(
+                    F.coalesce(F.try_subtract(s, F.lit(pad)),
+                               F.lit(INT64_MAX)))
+                if side in ("both", "left") else s)
+            new_e = (
+                F.when(e.isNull(), e).otherwise(
+                    F.coalesce(F.try_add(e, F.lit(pad)),
+                               F.lit(-INT64_MAX)))
+                if side in ("both", "right") else e)
             mid = s + F.floor((e - s) * F.lit(0.5)).cast("long")
             new_s = F.least(new_s, mid)
             new_e = F.greatest(new_e, mid)
@@ -360,9 +372,11 @@ def expand(df: DataFrame, pad: int | None = None, scale: float | None = None,
 
     def _sat_cast(x):
         # double -> long saturating: double(INT64_MAX) rounds UP to 2^63,
-        # so even the clamp boundary must go through try_cast
-        return F.coalesce(x.try_cast("long"),
-                          F.when(x > 0, sat_hi).otherwise(sat_lo))
+        # so even the clamp boundary must go through try_cast; nulls
+        # stay null (saturate only on genuine overflow)
+        return F.when(x.isNull(), F.lit(None).cast("long")).otherwise(
+            F.coalesce(x.try_cast("long"),
+                       F.when(x > 0, sat_hi).otherwise(sat_lo)))
 
     new_s = _sat_cast(F.bround(s - pads)) if side in ("both", "left") else s
     new_e = _sat_cast(F.bround(e + pads)) if side in ("both", "right") else e

@@ -589,3 +589,70 @@ def test_cluster_premerge_equals_classic(spark, rows, min_dist):
     b = bf.cluster(df, min_dist=min_dist, premerge=False, range_width=None)
     assert a.columns == b.columns
     assert canon(a) == canon(b)
+
+
+_I64 = (1 << 63) - 1
+# coordinates clustered at BOTH ends of the int64 line: the round-5
+# sentinel sweep found four ANSI-overflow crashes (merge borders,
+# closest span/pads, expand, pair_by_distance midpoints) that small-
+# coordinate strategies can never reach
+_extreme_coord = st.one_of(
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=_I64 - 500, max_value=_I64),
+)
+_extreme_iv = st.tuples(
+    st.sampled_from(["chr1", "chr2"]), _extreme_coord,
+    st.integers(min_value=0, max_value=300),
+)
+_extreme_frames = st.lists(_extreme_iv, min_size=1, max_size=12).map(
+    lambda rows: [(c, s, min(s + l, _I64)) for c, s, l in rows]
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_extreme_frames, min_dist=st.sampled_from([0, 7, None]))
+def test_extreme_coordinates_merge_family(spark, rows, min_dist):
+    """No path of the merge/cluster family may crash or disagree on
+    frames whose coordinates hug INT64_MAX (sentinel ends)."""
+    import bioframe_spark as bf
+
+    df = _df(spark, rows)
+
+    def canon(out):
+        key = lambda t: tuple((v is None, str(type(v)), v) for v in t)
+        return sorted([tuple(r) for r in out.collect()], key=key)
+
+    base = canon(bf.merge(df, min_dist=min_dist, local=False,
+                          premerge=False, range_width=None))
+    assert canon(bf.merge(df, min_dist=min_dist, local=True)) == base
+    assert canon(bf.merge(df, min_dist=min_dist, local=False,
+                          premerge=True, range_width=None)) == base
+    if min_dist is not None:
+        a = canon(bf.cluster(df, min_dist=min_dist, premerge=True))
+        b = canon(bf.cluster(df, min_dist=min_dist, premerge=False,
+                             range_width=None))
+        assert a == b
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_extreme_frames, b=_extreme_frames)
+def test_extreme_coordinates_join_family(spark, a, b):
+    """overlap strategies agree and closest strategies agree on
+    sentinel-hugging coordinates (no ANSI overflow, no lit() failure)."""
+    import bioframe_spark as bf
+
+    d1, d2 = _df(spark, a), _df(spark, b)
+
+    def canon(out):
+        key = lambda t: tuple((v is None, str(type(v)), v) for v in t)
+        return sorted([tuple(r) for r in out.collect()], key=key)
+
+    assert canon(bf.overlap(d1, d2, how="inner", strategy="plain",
+                            suffixes=("", "_b"))) == \
+        canon(bf.overlap(d1, d2, how="inner", strategy="binned",
+                         suffixes=("", "_b")))
+    assert canon(bf.closest(d1, d2, strategy="cogroup",
+                            suffixes=("", "_b"))) == \
+        canon(bf.closest(d1, d2, strategy="binned", suffixes=("", "_b")))
