@@ -514,6 +514,29 @@ def q_gopher(spark, sf_dir):
         "r_dup_ngrams", "keep")
 
 
+def q_gopher_count(spark, sf_dir):
+    """Gopher filter with the occurrence-COUNT dup-ngram measure
+    (dup_ngram_measure='count'): thresholds duplicate n-gram
+    occurrences / total n-grams instead of the char-union fraction —
+    and therefore skips the char-union sweep entirely (r6: the sweep
+    is computed only when the configured measure references it)."""
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring(F.col("text"), 1, 20)
+    uniq = F.concat(F.lit("U-"), F.col("doc_id").cast("string"))
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat_ws("\n", F.col("text"), head, head))
+        .otherwise(F.concat_ws("\n", F.col("text"), uniq, head))
+        .alias("text"),
+    )
+    return text.gopher_quality_filter(
+        aug, min_words=30, dup_ngram_measure="count").select(
+        "doc_id", "r_word_count", "r_mean_wordlen", "r_alpha_words",
+        "r_stopwords", "r_dup_lines", "r_dup_line_chars", "r_top_bigram",
+        "r_dup_ngrams", "keep")
+
+
 def q_chunk_docs(spark, sf_dir):
     """Context-window chunking: 20-token sliding windows, 5-token
     overlap (stride 15). Map-only explode; chunk boundaries and the
@@ -1128,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,  # new this round
         "dedup_lines": q_dedup_lines,  # new this round
         "gopher": q_gopher,  # new this round
+        "gopher_count": q_gopher_count,  # r6: count-measure A/B, no char sweep
         "chunk_docs": q_chunk_docs,  # new this round
         "pack_seqs": q_pack_seqs,  # new this round
         "jaccard_pairs": q_jaccard_pairs,
@@ -1937,6 +1961,74 @@ SELECT *,
 FROM rules
 """
 
+    gopher_count = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || substr(text, 1, 20)
+                        || chr(10) || substr(text, 1, 20)
+              ELSE text || chr(10) || 'U-' || CAST(doc_id AS VARCHAR)
+                        || chr(10) || substr(text, 1, 20)
+         END AS text
+  FROM documents),
+p AS (SELECT doc_id, text, string_split(text, chr(10)) AS parts,
+             string_split(text, ' ') AS toks
+      FROM aug),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS ntok,
+         list_sum(list_transform(toks, x -> len(x))) AS tokchars,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+         len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','that','it','for'], x)))
+           AS stop,
+         list_sum(list_transform(parts, x -> len(x))) AS linechars,
+         length(text) AS chars,
+         len(parts) AS n_lines,
+         len(parts) - len(list_distinct(parts)) AS n_dup_lines,
+         COALESCE(list_sum(list_transform(parts, x -> len(x)))
+           - list_sum(list_transform(list_distinct(parts), x -> len(x))), 0)
+           AS n_dup_line_chars,
+         GREATEST(len(toks) - 4, 0) AS n_ngrams
+  FROM p),
+gramsi AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS g
+  FROM p, UNNEST(range(1, len(toks) - 5 + 2)) AS r(i)),
+gramagg AS (
+  SELECT doc_id, COUNT(*) - COUNT(DISTINCT g) AS n_dup_ngrams
+  FROM gramsi GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS b
+  FROM p, UNNEST(range(1, len(toks) - 2 + 2)) AS r(i)),
+bicnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY doc_id, b),
+bimax AS (SELECT doc_id, MAX(c) AS mx FROM bicnt GROUP BY doc_id),
+bitop AS (
+  SELECT bicnt.doc_id, MIN(b) AS top_bigram, MAX(mx) AS cnt
+  FROM bicnt JOIN bimax ON bicnt.doc_id = bimax.doc_id AND c = mx
+  GROUP BY bicnt.doc_id),
+rules AS (
+  SELECT f.doc_id,
+         f.ntok >= 30 AND f.ntok <= 100000 AS r_word_count,
+         f.tokchars >= 3 * f.ntok AND f.tokchars <= 10 * f.ntok
+           AS r_mean_wordlen,
+         f.alpha * 5 >= f.ntok * 4 AS r_alpha_words,
+         f.stop >= 2 AS r_stopwords,
+         f.n_dup_lines * 10 <= f.n_lines * 3 AS r_dup_lines,
+         f.n_dup_line_chars * 5 <= f.linechars AS r_dup_line_chars,
+         COALESCE(t.cnt * length(t.top_bigram), 0) * 5 <= f.chars
+           AS r_top_bigram,
+         COALESCE(g.n_dup_ngrams, 0) * 20 <= f.n_ngrams * 3
+           AS r_dup_ngrams
+  FROM feat f
+  LEFT JOIN gramagg g ON f.doc_id = g.doc_id
+  LEFT JOIN bitop t ON f.doc_id = t.doc_id)
+SELECT *,
+       r_word_count AND r_mean_wordlen AND r_alpha_words AND r_stopwords
+       AND r_dup_lines AND r_dup_line_chars AND r_top_bigram
+       AND r_dup_ngrams AS keep
+FROM rules
+"""
+
     chunk_docs = """
 WITH p AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
@@ -2567,6 +2659,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "repetition": repetition,
         "dedup_lines": dedup_lines_sql,
         "gopher": gopher,
+        "gopher_count": gopher_count,
         "chunk_docs": chunk_docs,
         "pack_seqs": pack_seqs,
         "contamination": contamination,

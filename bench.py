@@ -113,6 +113,28 @@ def main():
     # warm the JVM / parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # CONTENTION SENTINEL (r5 verdict #4): a fixed trivial probe (cached
+    # 1M-row count + hash) timed before and after the query loop. Its
+    # cost is machine-dependent but workload-independent, so a sentinel
+    # that reads far above its solo value (~0.1-0.2 s here) marks the
+    # whole snapshot as contention-polluted — compare sentinels FIRST
+    # when reading round-over-round deltas (r4 and r5 both needed solo
+    # re-runs to separate real regressions from fleet noise).
+    sentinel_df = spark.range(1_000_000).select(
+        F.col("id"), F.xxhash64("id").alias("h")).cache()
+    sentinel_df.count()  # materialize the cache outside the probe
+
+    def probe_sentinel(reps: int = 3) -> float:
+        sentinel_df.cache().count()  # re-pin (query-loop cache resets drop it)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            sentinel_df.agg(F.max(F.xxhash64("id", "h"))).collect()
+            samples.append(time.time() - t0)
+        return round(sorted(samples)[len(samples) // 2], 3)
+
+    sentinel_pre = probe_sentinel()
+
     # Pre-materialize the synthetic DERIVED interval tables (cache +
     # count), then point the entry module's derivation helpers at the
     # cached frames. The reference baseline (BASELINE.md / VERDICT) is
@@ -200,6 +222,7 @@ def main():
             file=sys.stderr,
         )
 
+    sentinel_post = probe_sentinel()
     print(json.dumps({
         "metric": "bench_total",
         "value": round(total, 3),
@@ -208,6 +231,8 @@ def main():
         "cold": cold,
         "reps": reps,
         "sf": sf,
+        # solo value ~0.1-0.2 s; 2x+ above that = contended snapshot
+        "sentinel": {"pre": sentinel_pre, "post": sentinel_post},
     }))
 
 

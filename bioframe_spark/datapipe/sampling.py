@@ -180,10 +180,19 @@ def sample_to_mixture(
     missing = [g for g in shares if shares[g] > 0 and counts.get(g, 0) == 0]
     if missing:
         raise ValueError(f"strata with share > 0 but no rows: {missing}")
-    total = min(int(counts[g] / s) for g, s in shares.items() if s > 0)
+    # exact rational arithmetic (r5 ADVICE): float division diverges
+    # from exact floor at boundaries (30/0.3 == 99.999... -> 99, while
+    # DuckDB's decimal division gives 100), breaking engine
+    # reproducibility exactly when a stratum count is a whole multiple
+    # of a non-binary-representable share. Fraction(str(s)) parses the
+    # share's decimal literal, matching SQL decimal semantics.
+    from fractions import Fraction
+    total = min(int(Fraction(counts[g]) / Fraction(str(s)))
+                for g, s in shares.items() if s > 0)
     # half-UP rounding (not Python's banker's round): matches SQL ROUND
     # so the recipe is reproducible in any engine
-    caps = {g: int(s * total + 0.5) for g, s in shares.items()}
+    caps = {g: int(Fraction(str(s)) * total + Fraction(1, 2))
+            for g, s in shares.items()}
     kept = df.filter(F.col(strata_col).isin(*list(shares)))
     return cap_per_group(kept, caps, group_col=strata_col,
                          key_col=key_col, seed=seed)

@@ -204,7 +204,8 @@ def redaction_counts(df: DataFrame, text_col: str = "text",
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text",
-                       sep: str = "\n", ngram: int = 5) -> DataFrame:
+                       sep: str = "\n", ngram: int = 5,
+                       char_union: bool = True) -> DataFrame:
     """Within-document repetition signals in the Gopher/MassiveText family
     (duplicate-line and duplicate/top-n-gram fractions are the published
     repetition filters for pre-training corpora). All outputs are INTEGER
@@ -224,6 +225,11 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                          occurrence + inter-token spaces interior to one.
                          Denominator: ``length(text)`` (single-space
                          tokenization makes split+join the identity).
+                         ``char_union=False`` skips the zip-sort + sweep
+                         that produce it (the most expensive expression
+                         here, ~+25% on the whole op) and emits the
+                         column as NULL — schema-stable opt-out for
+                         callers thresholding on counts only.
       top_bigram         most frequent word 2-gram (ties: lexicographically
                          smallest — deterministic across engines)
       top_bigram_count   its occurrence count
@@ -283,6 +289,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         .withColumns({"__grams": _grams(ngram),
                       "__bi": F.array_sort(_grams(2))})
         .withColumns({"__top": fold})
+    )
+    if char_union:
         # (gram, index) pairs sorted by gram: equal-gram runs are
         # adjacent, so an occurrence is duplicated iff its neighbor in
         # the sorted order shares its gram. The filter's lambda may read
@@ -290,51 +298,57 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         # codegen subexpression-elimination keeps it single-evaluated —
         # a derived array referenced ONLY inside a lambda is re-inlined
         # per element, measured 2.5x the whole op).
-        .withColumn("__zsrt", F.when(
-            F.size("__grams") > 0,
-            F.array_sort(F.arrays_zip(
-                F.col("__grams").alias("g"),
-                F.sequence(F.lit(0), F.size("__grams") - 1).alias("i"))),
-        ).otherwise(F.array().cast("array<struct<g:string,i:int>>")))
-        .withColumn("__dupidx", F.array_sort(F.transform(
-            F.filter(
-                "__zsrt",
-                lambda x, j:
-                x["g"].eqNullSafe(F.get(F.col("__zsrt"), j - 1)["g"])
-                | x["g"].eqNullSafe(F.get(F.col("__zsrt"), j + 1)["g"])),
-            lambda x: x["i"])))
-    )
-    # char-union of duplicated-gram occurrences via ONE ascending sweep
-    # over the (sorted, usually tiny) duplicated-occurrence index array:
-    # occurrence i covers tokens [i, i+n-1] and the n-1 interior spaces
-    # [i, i+n-2]; the fold carries (chars, next uncovered token, next
-    # uncovered space) so every token is length-summed at most once.
-    # Cost: O(G log G) for the zip-sort + O(duplication) for the sweep
-    # — a dup-free doc's sweep input is empty. Map-only, no shuffle.
-    zero = F.lit(0).cast("long")
-
-    def _sweep(acc, i):
-        tc, sc = acc["tc"], acc["sc"]
-        a_tok = F.greatest(i, tc)
-        new_tok_chars = F.aggregate(
-            F.slice("__toks", a_tok + 1, i + (ngram - 1) - a_tok + 1),
-            zero, lambda s, x: s + F.length(x))
-        new_spaces = F.greatest(
-            zero, (i + (ngram - 2) - F.greatest(i, sc) + 1).cast("long"))
-        return F.struct(
-            (acc["chars"] + new_tok_chars + new_spaces).alias("chars"),
-            (i + ngram).alias("tc"),
-            (i + (ngram - 1)).alias("sc"),
+        staged = (
+            staged
+            .withColumn("__zsrt", F.when(
+                F.size("__grams") > 0,
+                F.array_sort(F.arrays_zip(
+                    F.col("__grams").alias("g"),
+                    F.sequence(F.lit(0), F.size("__grams") - 1).alias("i"))),
+            ).otherwise(F.array().cast("array<struct<g:string,i:int>>")))
+            .withColumn("__dupidx", F.array_sort(F.transform(
+                F.filter(
+                    "__zsrt",
+                    lambda x, j:
+                    x["g"].eqNullSafe(F.get(F.col("__zsrt"), j - 1)["g"])
+                    | x["g"].eqNullSafe(F.get(F.col("__zsrt"), j + 1)["g"])),
+                lambda x: x["i"])))
         )
+        # char-union of duplicated-gram occurrences via ONE ascending
+        # sweep over the (sorted, usually tiny) duplicated-occurrence
+        # index array: occurrence i covers tokens [i, i+n-1] and the n-1
+        # interior spaces [i, i+n-2]; the fold carries (chars, next
+        # uncovered token, next uncovered space) so every token is
+        # length-summed at most once. Cost: O(G log G) for the zip-sort
+        # + O(duplication) for the sweep — a dup-free doc's sweep input
+        # is empty. Map-only, no shuffle.
+        zero = F.lit(0).cast("long")
 
-    dup_chars = F.aggregate(
-        "__dupidx",
-        F.struct(zero.alias("chars"),
-                 F.lit(0).alias("tc"), F.lit(0).alias("sc")),
-        _sweep,
-        lambda acc: acc["chars"],
-    )
-    staged = staged.withColumn("__gdupchars", dup_chars)
+        def _sweep(acc, i):
+            tc, sc = acc["tc"], acc["sc"]
+            a_tok = F.greatest(i, tc)
+            new_tok_chars = F.aggregate(
+                F.slice("__toks", a_tok + 1, i + (ngram - 1) - a_tok + 1),
+                zero, lambda s, x: s + F.length(x))
+            new_spaces = F.greatest(
+                zero, (i + (ngram - 2) - F.greatest(i, sc) + 1).cast("long"))
+            return F.struct(
+                (acc["chars"] + new_tok_chars + new_spaces).alias("chars"),
+                (i + ngram).alias("tc"),
+                (i + (ngram - 1)).alias("sc"),
+            )
+
+        dup_chars = F.aggregate(
+            "__dupidx",
+            F.struct(zero.alias("chars"),
+                     F.lit(0).alias("tc"), F.lit(0).alias("sc")),
+            _sweep,
+            lambda acc: acc["chars"],
+        )
+        staged = staged.withColumn("__gdupchars", dup_chars)
+    else:
+        staged = staged.withColumn(
+            "__gdupchars", F.lit(None).cast("long"))
     sig = {
         "n_lines": F.size("__lines").cast("long"),
         "n_dup_lines": (F.size("__lines")
@@ -390,8 +404,11 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
 
     Scale shape: inherits repetition_signals' map-only plan; the extra
     token features are array expressions over the same staged token
-    column. No shuffle, no UDF."""
-    rep = repetition_signals(df, text_col=text_col, sep=sep, ngram=ngram)
+    column. No shuffle, no UDF. The char-union sweep (the most
+    expensive repetition expression) is computed ONLY when the
+    configured measure actually thresholds on it."""
+    rep = repetition_signals(df, text_col=text_col, sep=sep, ngram=ngram,
+                             char_union=dup_ngram_measure == "chars")
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)

@@ -447,33 +447,55 @@ def _closest_binned(
     # r4 ladder's 1.13 exponent came from dense chroms re-probing with
     # an 8x-escalated overshoot). Expected k-NN spacing on chromosome c
     # is ~ k x span_c / n_c; 16x covers clustering, the 8x ladder
-    # escalates the sparse tail per row. One agg job yields both the
-    # global bound and the per-chrom table (broadcast-joined onto df1;
-    # chroms absent from df2 get cap0 = bound — they can never match
-    # and left-complete in round 1).
-    b1 = df1.agg(F.min(sk1).alias("lo"), F.max(ek1).alias("hi")).collect()[0]
-    b2 = df2.agg(F.min(sk2).alias("lo"), F.max(ek2).alias("hi"),
-                 F.count(F.lit(1)).alias("n")).collect()[0]
+    # escalates the sparse tail per row. ONE union-agg job yields the
+    # global bound and df2's row count (a second stats job costs a
+    # ~0.15 s scheduling floor locally — r5's separate b1/b2 collects
+    # were pure fixed cost); the per-chrom table is a second job taken
+    # only on the big path (broadcast-joined onto df1; chroms absent
+    # from df2 get cap0 = bound — they can never match and
+    # left-complete in round 1).
+    stats = (
+        df1.select(F.col(sk1).cast("long").alias("lo"),
+                   F.col(ek1).cast("long").alias("hi"),
+                   F.lit(0).alias("__t"))
+        .unionByName(df2.select(F.col(sk2).cast("long").alias("lo"),
+                                F.col(ek2).cast("long").alias("hi"),
+                                F.lit(1).alias("__t")))
+        .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"),
+             F.sum("__t").alias("n2"))
+        .collect()[0]
+    )
     from .ops import INT64_MAX
-    los = [v for v in (b1["lo"], b2["lo"]) if v is not None]
-    his = [v for v in (b1["hi"], b2["hi"]) if v is not None]
     # clamp: sentinel ends (INT64_MAX) would push the span past int64
     # (py4j cannot even ship the literal) — the bound only terminates
     # the ladder, so clamping keeps completeness (nothing is farther
     # than INT64_MAX away)
-    bound = (min(max(his) - min(los) + 2, INT64_MAX)) if los and his else 2
-    per_chrom = df2.groupBy(F.col(ck2).alias("__cb_c")).agg(
-        F.min(sk2).alias("lo"), F.max(ek2).alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).limit(65537).collect()
+    have_span = stats["lo"] is not None and stats["hi"] is not None
+    bound = (min(stats["hi"] - stats["lo"] + 2, INT64_MAX)
+             if have_span else 2)
 
     def _cap0(span_c, n_c):
         return int(min(max(16 * k * span_c // max(n_c, 1), 64), bound))
 
+    # SIZE GATE (r5 verdict #1): the per-chrom cap table, driver bin
+    # hints, per-row escalation and cross-rung df2 persist are fixed
+    # costs that only pay off at scale — at sf0.1 they regressed the
+    # explicit-binned bench row 1.59 -> ~3 s for zero benefit. Below the
+    # cogroup crossover (the size where strategy='auto' would never pick
+    # binned anyway), run the simple ladder: one global density cap,
+    # uniform per-rung caps, no hints (overlap auto-picks its plain
+    # small-input plan), no persist of df2.
+    small = not _big_inputs(df1, df2)
+    per_chrom = [] if small else df2.groupBy(F.col(ck2).alias("__cb_c")).agg(
+        F.min(sk2).alias("lo"), F.max(ek2).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).limit(65537).collect()
+
     if len(per_chrom) > 65536 or not per_chrom:
-        # implausibly many chromosomes (or empty df2): one global cap
+        # small path, implausibly many chromosomes, or empty df2:
+        # one global cap
         cap_rows = None
-        min_cap0 = mean_cap0 = _cap0(bound, b2["n"] or 1)
+        min_cap0 = mean_cap0 = _cap0(bound, stats["n2"] or 1)
     else:
         # null-chrom df2 groups are excluded: a null chrom never matches,
         # so null-chrom df1 rows coalesce to cap0=bound and left-complete
@@ -519,21 +541,29 @@ def _closest_binned(
     s1o, e1o = F.col("__cb_s" + sfx1), F.col("__cb_e" + sfx1)
     s2c, e2c = F.col(sk2 + sfx2), F.col(ek2 + sfx2)
 
-    # bin hints for every rung, constructed DRIVER-SIDE from the stats
-    # already collected — without them each overlap(binned) round runs
-    # two more agg jobs over (expanded probe, df2) just to re-measure a
-    # span we already know. lo/hi from the raw global bounds (clipping
-    # stays lossless: pairs only exist inside df2's span); bin width from
-    # the expanded probe's typical length at that rung.
+    # bin hints for every rung (big path only), constructed DRIVER-SIDE
+    # from the stats already collected — without them each
+    # overlap(binned) round runs two more agg jobs over (expanded probe,
+    # df2) just to re-measure a span we already know. lo/hi from the raw
+    # global bounds (clipping stays lossless: pairs only exist inside
+    # df2's span); bin width from the expanded probe's typical length at
+    # that rung. On the small path the hint is omitted so overlap
+    # auto-picks its plain small-input plan (forcing the binned
+    # explode+shuffle on a 20k-row probe was part of the r5 regression).
     from .ops import _BinStats
-    hint_lo = min(los) if los else 0
-    hint_hi = max(his) if his else 1
-    span = max(hint_hi - hint_lo, 1)
+    hint_lo = stats["lo"] if have_span else 0
+    hint_hi = stats["hi"] if have_span else 1
+    # span/bin_size clamp (r5 ADVICE): a negative-saturated start
+    # (-INT64_MAX, e.g. from expand saturation) plus an INT64_MAX
+    # sentinel end pushes the raw span past int64 and the derived
+    # bin_size would fail as a Spark literal
+    span = min(max(hint_hi - hint_lo, 1), INT64_MAX)
 
     def _hint(cap_est: int):
         avg_len = min(float(2 * (cap_est + 1) + 64), float(span))
-        bin_size = int(min(max(avg_len * 16, span / 4096, 1024), span))
-        return _BinStats(hint_lo, hint_hi, bin_size)
+        bin_size = int(min(max(avg_len * 16, span / 4096, 1024), span,
+                           INT64_MAX))
+        return None if small else _BinStats(hint_lo, hint_hi, bin_size)
 
     # The ladder is driver-EAGER: each round persists its `found` rows and
     # the shrinking `remaining` set and materializes the remaining-count.
@@ -547,8 +577,10 @@ def _closest_binned(
 
     # df2 is scanned once per rung — persist it across the ladder so
     # rungs 2+ read the cache, not the source (the r4 ladder re-scanned
-    # and re-measured df2 every escalation)
-    df2p = df2.persist(StorageLevel.MEMORY_AND_DISK) if n_rounds > 1 else df2
+    # and re-measured df2 every escalation); skipped on the small path
+    # (a small scan costs less than the cache bookkeeping)
+    df2p = (df2.persist(StorageLevel.MEMORY_AND_DISK)
+            if n_rounds > 1 and not small else df2)
 
     done_parts = []
     remaining = d1
@@ -561,6 +593,9 @@ def _closest_binned(
         # ladder length is clamped, see n_rounds above)
         if last:
             capc = F.lit(bound).cast("long")
+        elif cap_rows is None:
+            # uniform global cap: the per-rung cap is a driver constant
+            capc = F.lit(min(min_cap0 * m, bound)).cast("long")
         else:
             capc = F.when(
                 F.col("__cb_cap0") > F.lit(bound // m),
@@ -649,19 +684,29 @@ def _closest_binned(
             done_parts.append(_left_null(
                 remaining.join(matched_rids, "__cb_rid", "left_anti")))
         else:
-            # rows whose cap hit the bound THIS rung leave the ladder now
-            # either way: matched ones are in `found`; zero-match ones
-            # left-complete here (re-probing them at full bound every
-            # remaining rung is the most expensive join there is)
-            cap_now = F.when(
-                F.col("__cb_cap0") > F.lit(bound // m), F.lit(bound)
-            ).otherwise(F.least(F.col("__cb_cap0") * F.lit(m), F.lit(bound)))
-            bound_rows = remaining.filter(cap_now >= F.lit(bound))
-            done_parts.append(_left_null(
-                bound_rows.join(matched_rids, "__cb_rid", "left_anti")))
-            nxt = remaining.filter(cap_now < F.lit(bound)).join(
-                matched_rids, "__cb_rid", "left_anti",
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            if cap_rows is None:
+                # uniform cap: a non-last rung's cap is < bound by the
+                # n_rounds construction, so the bound-exit branch below
+                # is provably empty — skip its anti-join entirely
+                nxt = remaining.join(
+                    matched_rids, "__cb_rid", "left_anti",
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+            else:
+                # rows whose cap hit the bound THIS rung leave the
+                # ladder now either way: matched ones are in `found`;
+                # zero-match ones left-complete here (re-probing them at
+                # full bound every remaining rung is the most expensive
+                # join there is)
+                cap_now = F.when(
+                    F.col("__cb_cap0") > F.lit(bound // m), F.lit(bound)
+                ).otherwise(
+                    F.least(F.col("__cb_cap0") * F.lit(m), F.lit(bound)))
+                bound_rows = remaining.filter(cap_now >= F.lit(bound))
+                done_parts.append(_left_null(
+                    bound_rows.join(matched_rids, "__cb_rid", "left_anti")))
+                nxt = remaining.filter(cap_now < F.lit(bound)).join(
+                    matched_rids, "__cb_rid", "left_anti",
+                ).persist(StorageLevel.MEMORY_AND_DISK)
             n_left = nxt.count()
             if remaining is not d1:
                 remaining.unpersist()
@@ -717,21 +762,24 @@ def _closest_broadcast(
     count. Same collected-dim contract (and kernel reuse) as
     ``streaming.stream_closest_static``.
 
-    ``max_rows`` (the auto-gate path) bounds the driver collect at
-    ``limit(max_rows+1)``: Catalyst's size estimate alone admits df2
-    here, and a bad estimate must not become an unbounded toPandas —
-    over the cap, returns ``None`` so the caller falls back."""
+    ``max_rows`` (the auto-gate path) hard-bounds the driver collect:
+    Catalyst's size estimate alone admits df2 here, and a bad estimate
+    must not become an unbounded toPandas — over the cap, returns
+    ``None`` so the caller falls back (see ``ops._bounded_pdf``; no
+    extra probe job for genuinely tiny estimates, which keeps the auto
+    path's fixed cost at ONE driver job)."""
     ck1, sk1, ek1 = _resolve_cols(cols1)
     ck2, sk2, ek2 = _resolve_cols(cols2)
     sfx1, sfx2 = suffixes
     names1 = list(df1.columns)
     names2 = list(df2.columns)
     if max_rows is not None:
-        # parallel count probe, then a plain collect — limit(n+1) would
-        # single-thread the collect (see ops._small_coords_pdf)
-        if df2.count() > max_rows:
+        from .ops import _bounded_pdf
+        ann_pd = _bounded_pdf(df2, max_rows)
+        if ann_pd is None:
             return None
-    ann_pd = df2.toPandas()
+    else:
+        ann_pd = df2.toPandas()
     ann_bc = df1.sparkSession.sparkContext.broadcast({
         c: grp.reset_index(drop=True)
         for c, grp in ann_pd.groupby(ck2, sort=False)

@@ -361,7 +361,14 @@ def expand(df: DataFrame, pad: int | None = None, scale: float | None = None,
                     F.coalesce(F.try_add(e, F.lit(pad)),
                                F.lit(-INT64_MAX)))
                 if side in ("both", "right") else e)
-            mid = s + F.floor((e - s) * F.lit(0.5)).cast("long")
+            # overflow-free exact midpoint floor((s+e)/2): raw (e - s)
+            # overflows int64 when a negative-saturated start meets an
+            # INT64_MAX sentinel end (ANSI: ARITHMETIC_OVERFLOW). The
+            # shift identity floor((a+b)/2) = (a>>1)+(b>>1)+(a&b&1)
+            # never leaves int64 and is exact where the old double
+            # multiply rounded above 2^53.
+            mid = (F.shiftright(s, 1) + F.shiftright(e, 1)
+                   + s.bitwiseAND(e).bitwiseAND(F.lit(1)))
             new_s = F.least(new_s, mid)
             new_e = F.greatest(new_e, mid)
         return df.withColumns({sk: new_s, ek: new_e})
@@ -1213,7 +1220,7 @@ def _merge_local(df: DataFrame, ck, sk, ek, on, min_dist):
     philosophy applied to merge itself: a frame under the collect caps
     does not deserve a distributed plan (shuffle + two window stages
     cost ~3x the reference's single numpy sweep; this path is one
-    column-pruned count probe + one Arrow collect + the sweep).
+    hard-bounded Arrow collect + the sweep — see ``_bounded_pdf``).
 
     Exactness: collection goes through Arrow (``toArrow``), so int64
     coordinates — including INT64_MAX sentinels from complement outputs
@@ -1230,14 +1237,10 @@ def _merge_local(df: DataFrame, ck, sk, ek, on, min_dist):
 
     cap = _threshold(df, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
     sub = df.select(ck, sk, ek, *on)
-    # count probe only for overridden caps or estimates within 8x of
-    # the byte gate (see _small_coords_pdf — the probe guards
-    # catastrophic estimates)
-    probe = (cap != _SMALL_INPUT_MAX_ROWS
-             or _plan_size_bytes(df) > _SMALL_INPUT_BYTES // 8)
-    if probe and sub.count() > cap:
+    # the collect is hard-bounded on every path — see _bounded_pdf
+    pdf = _bounded_pdf(sub, cap, arrow=True)
+    if pdf is None:
         return None
-    pdf = sub.toArrow().to_pandas(types_mapper=pd.ArrowDtype)
     keys = [ck] + on
     valid = pdf[[ck, sk, ek, *on]].notna().all(axis=1)
     v = pdf[valid]
@@ -1308,7 +1311,7 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
 
     ``local``: driver-side numpy kernel for SMALL inputs
     (``_merge_local`` — plan size ≤ ``spark.bioframe.smallInputBytes``
-    with a hard row-cap probe): one count + one Arrow collect + the
+    with a hard row cap on the collect): one bounded Arrow collect + the
     sweep instead of a shuffle and two window stages. NOTE it makes
     plan construction EAGER for gated inputs (same contract as the
     coverage/count_overlaps broadcast kernels). Value-identical; falls
@@ -1787,15 +1790,55 @@ _SMALL_INPUT_MAX_ROWS = 2_000_000  # hard row cap on the kernel-gate driver
 # of driver pandas — the same order as the broadcast the gate implies.
 
 
+def _bounded_pdf(sub: DataFrame, cap: int, *, arrow: bool = False):
+    """Driver-collect ``sub`` as pandas with a HARD ``cap``-row bound;
+    returns ``None`` when ``sub`` exceeds the cap (callers fall back to a
+    distributed formulation).
+
+    The bound holds on EVERY path, including Catalyst mis-estimates:
+
+    - estimates within 8x of the small-input byte gate pay one parallel
+      column-pruned count probe first (a doomed collect is detected
+      without materializing anything — this is also the path for any
+      estimate the planner can't produce, which reads as "huge");
+    - smaller estimates skip the probe job (the scheduling floor of an
+      extra job is ~0.1-0.3 s locally — a real fixed cost on hot small
+      queries), but the collect is still never unbounded: the JVM kills
+      any collect whose task results exceed ``spark.driver.maxResultSize``
+      (set explicitly in :func:`bioframe_spark.session.get_spark`), which
+      we catch and convert to the same ``None`` fallback, and a collect
+      that survives is row-checked post-hoc so the cap stays exact.
+
+    A ``limit(cap+1)`` probe was rejected twice: CollectLimit executes
+    single-threaded with incremental partition probing (measured +1.2 s
+    on a 600k-row cached frame vs +0.2 s for the parallel count), and on
+    genuinely tiny 32-partition cached frames the 1->4->16 ramp costs
+    several sequential mini-jobs.
+    """
+    if _plan_size_bytes(sub) > _SMALL_INPUT_BYTES // 8 and sub.count() > cap:
+        return None
+    try:
+        if arrow:
+            import pandas as pd
+            pdf = sub.toArrow().to_pandas(types_mapper=pd.ArrowDtype)
+        else:
+            pdf = sub.toPandas()
+    except Exception as e:  # noqa: BLE001 — matched below, else re-raised
+        if "maxResultSize" in str(e):
+            return None
+        raise
+    return None if len(pdf) > cap else pdf
+
+
 def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str,
                       on: list | None = None):
     """Driver-side pandas frame of df2's valid (chrom,[on...],start,end)
     rows, or ``None`` when df2 turns out to exceed the hard row cap
     (``spark.bioframe.smallInputMaxRows``) despite Catalyst's size
     estimate passing the ``_SMALL_INPUT_BYTES`` gate — callers treat
-    None as "fall back to the join formulation". The collect itself is
-    bounded by ``limit(cap+1)``, so a mis-estimated large df2 costs one
-    capped scan, never an unbounded driver materialization.
+    None as "fall back to the join formulation". The collect is bounded
+    on every path (see :func:`_bounded_pdf`), so a mis-estimated large
+    df2 never becomes an unbounded driver materialization.
 
     All key columns — chrom AND ``on`` — are cast to STRING with
     Spark's own cast, and the kernel UDFs cast df1's key columns the
@@ -1815,19 +1858,7 @@ def _small_coords_pdf(df2: DataFrame, ck: str, sk: str, ek: str,
         cond = cond & F.col(c).isNotNull()
     cap = _threshold(df2, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
     sub = df2.select(*sel).filter(cond)
-    # cap probe as a COUNT, not limit(cap+1).toPandas(): CollectLimit
-    # executes single-threaded with incremental partition probing
-    # (measured +1.2 s on a 600k-row cached frame vs +0.2 s for a
-    # parallel column-pruned count + plain collect). With the DEFAULT
-    # cap, skip even the count when the estimate sits 8x under the byte
-    # gate — the probe guards CATASTROPHIC mis-estimates and that low
-    # an estimate leaves an 8x margin; a user-overridden cap is always
-    # probed exactly
-    probe = (cap != _SMALL_INPUT_MAX_ROWS
-             or _plan_size_bytes(df2) > _SMALL_INPUT_BYTES // 8)
-    if probe and sub.count() > cap:
-        return None
-    return sub.toPandas()
+    return _bounded_pdf(sub, cap)
 
 
 def _coverage_lookup(pdf) -> dict:

@@ -51,6 +51,13 @@ def get_spark(app: str = "bioframe_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # hard JVM-side bound on ANY driver collect: the kernel-gate
+        # collects (ops._bounded_pdf) skip their count probe on small
+        # plan estimates and rely on this to kill a catastrophically
+        # mis-estimated collect before it materializes (they catch the
+        # resulting SparkException and fall back to a distributed plan)
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_MAX_RESULT_SIZE", "1g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

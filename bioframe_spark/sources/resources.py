@@ -181,23 +181,27 @@ class UCSCClient:
                 "name string, gieStain string"),
         )
 
-    def fetch_mrna(self, path: str | None = None, sample: bool = True):
+    def fetch_mrna(self, path: str | None = None, sample: bool = False):
         """mRNA alignment table (reference ``resources.py:289-296`` reads
         UCSC ``all_mrna.txt.gz`` with the all_mrna schema).
 
         ``path=``: a local ``all_mrna.txt(.gz)`` — the full track, no
-        network. Default: a deterministic, clearly-LABELED SAMPLE table
-        (qName = ``SAMPLE_mRNA_*``) for assemblies with packaged
-        chromsizes — mRNA alignments are per-accession experimental data
-        with no derivable packaged form, so offline the choices are an
-        empty frame or labeled synthetic rows; the sample keeps every
+        network. Default (``sample=False``): the empty, correctly-typed
+        frame — the reference returns real UCSC data or nothing, and
+        synthetic rows must never silently replace "nothing" (r5
+        ADVICE: the sample is strictly OPT-IN). ``sample=True``: a
+        deterministic, clearly-LABELED SAMPLE table (qName =
+        ``SAMPLE_mRNA_*``) for assemblies with packaged chromsizes —
+        mRNA alignments are per-accession experimental data with no
+        derivable packaged form, so offline the choices are an empty
+        frame or labeled synthetic rows; the sample keeps every
         downstream plan (joins, select, PSL arithmetic) runnable and
         schema-exact without fabricating real accessions. Three
         single-block alignments per chromosome at fixed fractions of its
         length, internally-consistent PSL fields (matches = aligned bp,
         qSize = qEnd, blockSizes/qStarts/tStarts comma-terminated like
-        UCSC's format). ``sample=False``: the empty, correctly-typed
-        frame. Assemblies without packaged chromsizes return empty."""
+        UCSC's format). Assemblies without packaged chromsizes return
+        empty."""
         from .fileops import read_table
         from .schemas import SCHEMAS
 

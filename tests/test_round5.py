@@ -345,7 +345,7 @@ def test_fetch_mrna_sample_schema_and_labels(spark):
     from bioframe_spark.sources.resources import UCSCClient
     from bioframe_spark.sources.schemas import SCHEMAS
 
-    mrna = UCSCClient("hg38").fetch_mrna()
+    mrna = UCSCClient("hg38").fetch_mrna(sample=True)
     assert mrna.schema == SCHEMAS["all_mrna"]
     rows_ = mrna.collect()
     assert len(rows_) > 0
@@ -354,9 +354,10 @@ def test_fetch_mrna_sample_schema_and_labels(spark):
         assert r["tStart"] < r["tEnd"] <= r["tSize"]
         assert r["matches"] == r["tEnd"] - r["tStart"] == r["qEnd"]
         assert r["blockSizes"].endswith(",")
-    # unknown assembly and sample=False stay empty but typed
-    assert UCSCClient("noSuchDb").fetch_mrna().count() == 0
-    assert UCSCClient("hg38").fetch_mrna(sample=False).count() == 0
+    # unknown assembly stays empty even with sample=True; the DEFAULT is
+    # the empty typed frame (r6: synthetic rows are strictly opt-in)
+    assert UCSCClient("noSuchDb").fetch_mrna(sample=True).count() == 0
+    assert UCSCClient("hg38").fetch_mrna().count() == 0
 
 
 # --------------------------------------------------------------------------

@@ -142,15 +142,16 @@ def test_fetch_gaps_packaged(spark):
 
 
 def test_fetch_mrna_offline(spark, tmp_path):
-    """Offline mRNA: labeled SAMPLE rows by default (r5), empty typed
-    frame with sample=False; path= reads a local all_mrna table."""
+    """Offline mRNA: empty typed frame by default (synthetic rows are
+    opt-in as of r6), labeled SAMPLE rows with sample=True; path= reads
+    a local all_mrna table."""
     from bioframe_spark.sources import resources
 
     client = resources.UCSCClient("hg38")
-    samp = client.fetch_mrna()
+    samp = client.fetch_mrna(sample=True)
     assert samp.count() > 0
     assert all(r["qName"].startswith("SAMPLE_mRNA_") for r in samp.collect())
-    empty = client.fetch_mrna(sample=False)
+    empty = client.fetch_mrna()
     assert empty.count() == 0
     assert "qName" in empty.columns and "tStart" in empty.columns
     p = tmp_path / "all_mrna.txt"
