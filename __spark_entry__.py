@@ -744,9 +744,28 @@ def q_natsort_key(spark, sf_dir):
 
 
 def q_closest_binned(spark, sf_dir):
-    """The 100 TB closest path: pure-DataFrame cap-escalation kNN."""
+    """The 100 TB closest path: pure-DataFrame cap-escalation kNN. At
+    gate scale this exercises the SMALL side of the r6 size gate (one
+    global density cap, uniform rungs, no hints); the big side is
+    pinned by q_closest_perchrom."""
     return bf.closest(ivals_p(spark, sf_dir), ivals_s(spark, sf_dir),
                       k=1, suffixes=("", "_s"), strategy="binned")
+
+
+def q_closest_perchrom(spark, sf_dir):
+    """The big side of the r6 closest size gate, forced at gate scale by
+    dropping the crossover to 1 byte: per-chromosome round-1 caps,
+    driver bin hints, per-row escalation and the cross-rung df2 persist
+    — the exact machinery the small path skips. Value-identical to
+    q_closest_binned by construction (same oracle). The conf is
+    restored in ``finally``; the ladder is driver-eager, so every conf
+    read happens inside the call."""
+    spark.conf.set("spark.bioframe.closestCogroupBytes", "1")
+    try:
+        return bf.closest(ivals_p(spark, sf_dir), ivals_s(spark, sf_dir),
+                          k=1, suffixes=("", "_s"), strategy="binned")
+    finally:
+        spark.conf.unset("spark.bioframe.closestCogroupBytes")
 
 
 def q_merge_ranged(spark, sf_dir):
@@ -1010,6 +1029,35 @@ def q_stream_complement(spark, sf_dir):
     return spark.createDataFrame(data, "chrom string, start long, end long")
 
 
+def q_stream_cluster(spark, sf_dir):
+    """STREAMING cluster driven to completion (r6): per-chrom snapshots
+    of the distinct-row set with multiplicities and island-assigned
+    cluster ids (state shared with the stream_merge island machinery;
+    ids are per-chrom dense ordinals by island start — the documented
+    deviation from batch cluster's global numbering). The final
+    snapshot equals the batch islands construction over every streamed
+    row, which the DuckDB oracle replays directly."""
+    from bioframe_spark.streaming import stream_ops
+
+    def cap(pdf, snap):
+        for chrom, grp in pdf.groupby("chrom"):
+            snap[chrom] = [
+                (int(s), int(e), int(n), int(c), int(cs), int(ce))
+                for s, e, n, c, cs, ce in zip(
+                    grp["start"], grp["end"], grp["n_copies"],
+                    grp["cluster"], grp["cluster_start"],
+                    grp["cluster_end"])]
+
+    snap = _drive_stream(
+        spark, sf_dir, lambda s: stream_ops.stream_cluster(s, min_dist=0),
+        cap)
+    data = [(c, s, e, n, cl, cs, ce)
+            for c, rows_ in snap.items() for s, e, n, cl, cs, ce in rows_]
+    return spark.createDataFrame(
+        data, "chrom string, start long, end long, n_copies long, "
+              "cluster long, cluster_start long, cluster_end long")
+
+
 def q_stream_count(spark, sf_dir):
     """STREAMING running count-overlaps against a static annotation
     table, driven to completion (broadcast stream-static join + an
@@ -1133,14 +1181,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_inner": q_overlap_inner,
         "overlap_left": q_overlap_left,
         "overlap_outer": q_overlap_outer,
-        "overlap_prebinned": q_overlap_prebinned,  # new this round
         "count_overlaps": q_count_overlaps,
         "coverage": q_coverage,
         "merge": q_merge,
         "cluster": q_cluster,
         "complement": q_complement,
         "closest": q_closest,
-        "closest_binned": q_closest_binned,
+        "closest_binned": q_closest_binned,  # r6: small side of the size gate
+        "closest_perchrom": q_closest_perchrom,  # r6: big side (forced)
         "closest_broadcast": q_closest_broadcast,
         "subtract": q_subtract,
         "assign_view": q_assign_view,
@@ -1153,23 +1201,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,  # new this round
         "gopher_count": q_gopher_count,  # r6: count-measure A/B, no char sweep
         "chunk_docs": q_chunk_docs,  # new this round
-        "pack_seqs": q_pack_seqs,  # new this round
         "jaccard_pairs": q_jaccard_pairs,
         "contamination": q_contamination,  # new this round
         "dedup_components": q_dedup_components,
         "curate": q_curate,
-        "sample_users": q_sample_users,
         "train_split": q_train_split,
         "domain_cap": q_domain_cap,
         "mixture": q_mixture,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
-        "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
-        "ann_lsh": q_ann_lsh,
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
+        "overlap_prebinned": q_overlap_prebinned,  # r4-r5 green; layout stable (r5 verdict #8)
+        "embedding_dups": q_embedding_dups,  # r2+ green; ann_topk in-gate
+        "ann_lsh": q_ann_lsh,  # r4-r5 green; ann_ivf_indexed in-gate
+        "pack_seqs": q_pack_seqs,  # r4-r5 green; chunk_docs in-gate
+        "sample_users": q_sample_users,  # r2+ green; train_split/mixture in-gate
         "pair_by_distance": q_pair_by_distance,  # r03 green x2 + fuzz; displaced by chunk_docs
         "ann_ivf": q_ann_ivf,  # r03 green; the newer ann_ivf_indexed stays in-gate
         "sessions": q_sessions,  # r03 green; displaced by gopher at r04
@@ -1201,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the gate harness would risk the whole run on a hang)
         "stream_merge": q_stream_merge,
         "stream_complement": q_stream_complement,
+        "stream_cluster": q_stream_cluster,  # r6: streaming window family complete
         "stream_count": q_stream_count,
         "stream_closest": q_stream_closest,
         "stream_coverage": q_stream_coverage,
@@ -1293,6 +1343,19 @@ merged AS (
 SELECT chrom, start, "end", chrom AS view_region
 FROM gaps WHERE start < "end"
 """
+    stream_cluster_sql = _CTE + f""", a3 AS (SELECT chrom, start, "end" FROM a),
+isl AS ({_islands_sql('a3')}),
+spans AS (
+  SELECT chrom, island, MIN(start) AS cs, MAX("end") AS ce,
+         DENSE_RANK() OVER (PARTITION BY chrom ORDER BY island) - 1
+           AS cluster
+  FROM isl GROUP BY chrom, island)
+SELECT i.chrom, i.start, i."end", CAST(i.cnt AS BIGINT) AS n_copies,
+       CAST(sp.cluster AS BIGINT) AS cluster,
+       sp.cs AS cluster_start, sp.ce AS cluster_end
+FROM isl i JOIN spans sp ON i.chrom = sp.chrom AND i.island = sp.island
+"""
+
     stream_complement_sql = _CTE + f""", a3 AS (
   SELECT chrom, start, "end" FROM a),
 merged AS (
@@ -2689,6 +2752,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         # classic oracles apply verbatim — the POINT is that the driver
         # proves the 100 TB physical plans value-identical
         "closest_binned": closest_tmpl.replace("{K}", "1"),
+        "closest_perchrom": closest_tmpl.replace("{K}", "1"),
         "merge_ranged": merge,
         "complement_ranged": complement,
         "pileup_ranged": pileup,
@@ -2708,6 +2772,9 @@ LEFT JOIN hits h USING (chrom, start, "end")
         # the streaming merge's final snapshot is definitionally the batch
         # merge of everything streamed — same islands oracle
         "stream_merge": merge,
+        # streaming cluster: batch islands + per-chrom dense ids over the
+        # distinct-row multiset (n_copies = multiplicities)
+        "stream_cluster": stream_cluster_sql,
         # streaming complement: batch complement restricted to touched
         # chroms (every a chrom is touched, so no untouched-branch rows)
         "stream_complement": stream_complement_sql,

@@ -27,10 +27,13 @@ Streaming analogs of the batch operators that are order-insensitive:
   (the same invariant the batch pre-merge path relies on). The emitted
   snapshot per chrom always equals ``merge()`` of everything seen.
 
-Coordinate-ORDER-sensitive emissions (complement gaps, dense cluster
-ids) are still not offered as unbounded streams: their outputs need
-total per-chrom order, which a stream only has per watermark window;
-use foreachBatch + the batch operators for those.
+- ``stream_complement``: gap snapshots from the same island state.
+- ``stream_cluster``: per-chrom distinct-row snapshots with island-
+  assigned cluster ids (per-chrom dense ordinals — global numbering
+  would need cross-chromosome coordination a keyed stateful operator
+  cannot do). Completes the streaming window family: merge, complement
+  and cluster all derive from the shared island state, each emission a
+  pure function of the row set seen so far.
 """
 
 from __future__ import annotations
@@ -335,6 +338,117 @@ def stream_complement(stream: DataFrame, view: dict,
         stream.filter(F.col(ck).isNotNull() & F.col(sk).isNotNull()
                       & F.col(ek).isNotNull()
                       & F.col(ck).isin(*list(view)))
+        .groupBy(ck)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
+def stream_cluster(stream: DataFrame, min_dist: int = 0,
+                   cols=None) -> DataFrame:
+    """Stateful streaming cluster: per chromosome, every trigger emits
+    the chromosome's FULL row snapshot tagged with cluster ids — the
+    streaming analog of batch :func:`~bioframe_spark.cluster`
+    (reference ``ops.py:559-708``), completing the streaming window
+    family (merge + complement + cluster share the island state).
+
+    Emitted columns: ``(chrom, start, end, n_copies, cluster,
+    cluster_start, cluster_end)`` — one row per DISTINCT (start, end)
+    with its multiplicity (identical intervals are interchangeable for
+    clustering, so the distinct row set is the minimal sufficient
+    statistic), ``cluster`` a dense PER-CHROMOSOME 0-based ordinal by
+    island start. Documented deviations from batch ``cluster``: ids are
+    per-chrom (global dense numbering needs cross-chromosome
+    coordination a keyed stateful operator cannot do — a consumer
+    renumbers with one pass over the snapshot), duplicates are
+    multiplicity-compressed, and ``min_dist`` must be an int >= 0
+    (``None``'s coincident-point rule makes per-row island membership
+    ambiguous under searchsorted assignment; batch handles it with the
+    tie-safe islands construction).
+
+    EXACT under any arrival order at every trigger: the emission is a
+    pure function of the row SET seen so far (unlike a per-row tagging
+    stream, whose early emissions would go stale when a later interval
+    fuses two islands). State per chrom = the distinct-row arrays —
+    OUTPUT-sized (cluster's output is its input), not island-sized like
+    ``stream_merge``; the per-trigger re-emission is the price of
+    retroactively-correct ids and is bounded by the touched chromosome's
+    distinct rows. Batch equivalence is live-tested vs ``bf.cluster``
+    replay of every injected row.
+
+    Assignment reuses the premerge kernel's searchsorted discipline
+    (``ops._cluster_premerged``): islands sorted by start, each row's
+    island = rightmost island start <= row start.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ck, sk, ek = _resolve_cols(cols)
+    if not isinstance(min_dist, int) or min_dist < 0:
+        raise ValueError("stream_cluster requires an int min_dist >= 0 "
+                         "(min_dist=None's coincident-point islands need "
+                         "the batch tie-safe construction)")
+    out_schema = T.StructType([
+        T.StructField(ck, T.StringType()),
+        T.StructField(sk, T.LongType()),
+        T.StructField(ek, T.LongType()),
+        T.StructField("n_copies", T.LongType()),
+        T.StructField("cluster", T.LongType()),
+        T.StructField("cluster_start", T.LongType()),
+        T.StructField("cluster_end", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key, pdfs, state):
+        parts = []
+        if state.exists:
+            starts, ends, counts = state.get
+            parts.append(pd.DataFrame({"s": starts, "e": ends, "c": counts}))
+        for pdf in pdfs:
+            if len(pdf):
+                parts.append(pd.DataFrame({
+                    "s": pdf[sk].astype("int64"),
+                    "e": pdf[ek].astype("int64"),
+                    "c": np.ones(len(pdf), dtype="int64")}))
+        if not parts:
+            return
+        rows = (pd.concat(parts, ignore_index=True)
+                .groupby(["s", "e"], sort=True, as_index=False)["c"].sum())
+        if not len(rows):
+            return
+        state.update((
+            [int(x) for x in rows["s"]],
+            [int(x) for x in rows["e"]],
+            [int(x) for x in rows["c"]],
+        ))
+        islands = _weighted_island_merge(
+            list(zip(rows["s"], rows["e"], rows["c"])), min_dist)
+        isl_s = np.fromiter((s for s, _, _ in islands), dtype="int64",
+                            count=len(islands))
+        isl_e = np.fromiter((e for _, e, _ in islands), dtype="int64",
+                            count=len(islands))
+        idx = np.searchsorted(isl_s, rows["s"].to_numpy("int64"),
+                              side="right") - 1
+        yield pd.DataFrame({
+            ck: [key[0]] * len(rows),
+            sk: rows["s"],
+            ek: rows["e"],
+            "n_copies": rows["c"],
+            "cluster": idx.astype("int64"),
+            "cluster_start": isl_s[idx],
+            "cluster_end": isl_e[idx],
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # null-triple rows dropped, same contract (and reason) as stream_merge
+    return (
+        stream.filter(F.col(ck).isNotNull() & F.col(sk).isNotNull()
+                      & F.col(ek).isNotNull())
         .groupBy(ck)
         .applyInPandasWithState(fn, out_schema, state_schema, "update",
                                 GroupStateTimeout.NoTimeout)

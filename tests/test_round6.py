@@ -1,0 +1,257 @@
+"""Round-6 additions: streaming cluster, bounded kernel-gate collects,
+char-union opt-out, exact mixture arithmetic, sentinel-safe expand
+midpoints, and the small-input closest-binned gate."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import bioframe_spark as bf
+from bioframe_spark.streaming import stream_ops
+
+
+# --------------------------------------------------------------------------
+# stream_cluster (r5 verdict directive #6): completes the streaming
+# window family — per-chrom row snapshots with cluster ids
+# --------------------------------------------------------------------------
+
+def _drive_cluster(spark, tmp_path, batches, min_dist=0):
+    src = tmp_path / "iv_cluster_stream"
+    src.mkdir(parents=True)
+    schema = "chrom string, start long, end long"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src / "*")))
+    snap = {}
+
+    def capture(bdf, _bid):
+        pdf = bdf.toPandas()
+        for chrom, grp in pdf.groupby("chrom"):
+            snap[chrom] = sorted(
+                (int(s), int(e), int(n), int(c), int(cs), int(ce))
+                for s, e, n, c, cs, ce in zip(
+                    grp["start"], grp["end"], grp["n_copies"],
+                    grp["cluster"], grp["cluster_start"],
+                    grp["cluster_end"]))
+
+    q = (stream_ops.stream_cluster(stream, min_dist=min_dist)
+         .writeStream.foreachBatch(capture).outputMode("update")
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    return snap
+
+
+def test_stream_cluster_live_matches_batch_replay(spark, tmp_path):
+    """Final per-chrom snapshot == batch bf.cluster of every injected
+    row (ids normalized: stream ids are per-chrom dense, batch global;
+    both order islands by start, so the (chrom, cluster) pairs must
+    biject and the spans/multiplicities must match exactly)."""
+    b1 = [("chr1", 0, 50), ("chr1", 40, 90), ("chr2", 10, 20),
+          ("chr1", 300, 320), ("chr1", 300, 320)]
+    b2 = [("chr1", 85, 120), ("chr1", 200, 210), ("chr2", 15, 35),
+          ("chr1", 290, 310)]
+    snap = _drive_cluster(spark, tmp_path, [b1, b2], min_dist=0)
+
+    got = sorted((c, s, e, n, cl, cs, ce)
+                 for c, rows in snap.items()
+                 for s, e, n, cl, cs, ce in rows)
+    # exploded multiplicities with per-chrom-normalized ids
+    got_rows = sorted((c, s, e, cl, cs, ce)
+                      for c, s, e, n, cl, cs, ce in got for _ in range(n))
+
+    want_df = bf.cluster(
+        spark.createDataFrame(b1 + b2, "chrom string, start long, end long"),
+        min_dist=0)
+    # normalize batch's global ids to per-chrom dense ordinals by start
+    wpdf = want_df.toPandas()
+    wpdf["cluster"] = (wpdf.groupby("chrom")["cluster"]
+                       .rank(method="dense").astype("int64") - 1)
+    want_rows = sorted(
+        (r.chrom, int(r.start), int(r.end), int(r.cluster),
+         int(r.cluster_start), int(r.cluster_end))
+        for r in wpdf.itertuples(index=False))
+    assert got_rows == want_rows
+    # the cross-batch fusion happened: 290-310 (batch 2) fused the
+    # duplicate 300-320 pair into one island spanning 290-320
+    assert ("chr1", 300, 320, 2, 2, 290, 320) in [
+        ("chr1",) + r for r in snap["chr1"]]
+
+
+def test_stream_cluster_arrival_order_invariance(spark, tmp_path):
+    """The snapshot is a pure function of the row set: reversed batch
+    order yields the identical final snapshot."""
+    b1 = [("chr1", 0, 10), ("chr1", 9, 30), ("chr1", 100, 110)]
+    b2 = [("chr1", 25, 40), ("chr1", 108, 120), ("chr1", 500, 501)]
+    s1 = _drive_cluster(spark, tmp_path / "a", [b1, b2])
+    s2 = _drive_cluster(spark, tmp_path / "b", [b2, b1])
+    assert s1 == s2
+
+
+def test_stream_cluster_min_dist_none_rejected(spark):
+    stream = (spark.readStream.format("rate").load()
+              .select(F.lit("chr1").alias("chrom"),
+                      F.col("value").alias("start"),
+                      (F.col("value") + 1).alias("end")))
+    with pytest.raises(ValueError, match="min_dist"):
+        stream_ops.stream_cluster(stream, min_dist=None)
+
+
+# --------------------------------------------------------------------------
+# _bounded_pdf: the kernel-gate collect bound holds on every path
+# --------------------------------------------------------------------------
+
+def test_bounded_pdf_post_hoc_cap_without_probe(spark):
+    """A frame whose Catalyst estimate is tiny (so the probe job is
+    skipped) but whose true row count exceeds the cap must return None,
+    not an over-cap frame."""
+    from bioframe_spark.operators.ops import _bounded_pdf
+
+    df = spark.range(1000).select(F.col("id").alias("s"))
+    assert _bounded_pdf(df, 10) is None
+    out = _bounded_pdf(df, 2000)
+    assert out is not None and len(out) == 1000
+
+
+def test_bounded_pdf_arrow_mode_matches(spark):
+    from bioframe_spark.operators.ops import _bounded_pdf
+
+    df = spark.createDataFrame(
+        [(9223372036854775807,), (5,)], "v long")
+    out = _bounded_pdf(df, 10, arrow=True)
+    # Arrow path: int64 sentinels survive exactly (no float round-trip)
+    assert sorted(int(x) for x in out["v"]) == [5, 9223372036854775807]
+
+
+def test_merge_local_cap_exact_fallback(spark):
+    """merge on a small-estimate frame with an overridden tiny row cap
+    falls back to the distributed plan (bounded collect returns None)
+    and still produces exact islands."""
+    rows = [("chr1", i * 10, i * 10 + 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+    spark.conf.set("spark.bioframe.smallInputMaxRows", "7")
+    try:
+        out = bf.merge(df).collect()
+    finally:
+        spark.conf.unset("spark.bioframe.smallInputMaxRows")
+    assert len(out) == 50 and all(r["n_intervals"] == 1 for r in out)
+
+
+# --------------------------------------------------------------------------
+# closest small-input gate: value parity across the gate boundary
+# --------------------------------------------------------------------------
+
+def test_closest_binned_gate_parity(spark):
+    """Explicit strategy='binned' on a small input (simple global-cap
+    ladder) must be value-identical to the cogroup kernel and to the
+    forced big path (per-chrom caps via a lowered crossover conf)."""
+    import random
+
+    rng = random.Random(7)
+    a = [("chr%d" % rng.randint(1, 3), s, s + rng.randint(1, 40))
+         for s in (rng.randint(0, 2000) for _ in range(120))]
+    b = [("chr%d" % rng.randint(1, 3), s, s + rng.randint(1, 25))
+         for s in (rng.randint(0, 2000) for _ in range(80))]
+    df1 = spark.createDataFrame(a, "chrom string, start long, end long")
+    df2 = spark.createDataFrame(b, "chrom string, start long, end long")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    small = rows(bf.closest(df1, df2, k=2, suffixes=("", "_r"),
+                            strategy="binned"))
+    cog = rows(bf.closest(df1, df2, k=2, suffixes=("", "_r"),
+                          strategy="cogroup"))
+    assert small == cog
+    spark.conf.set("spark.bioframe.closestCogroupBytes", "1")
+    try:
+        big = rows(bf.closest(df1, df2, k=2, suffixes=("", "_r"),
+                              strategy="binned"))
+    finally:
+        spark.conf.unset("spark.bioframe.closestCogroupBytes")
+    assert big == cog
+
+
+# --------------------------------------------------------------------------
+# char_union opt-out: identical signals, null char column
+# --------------------------------------------------------------------------
+
+def test_repetition_char_union_opt_out(spark):
+    from bioframe_spark.datapipe import text as dtext
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e x y z"), (2, None), (3, "one two")],
+        "doc_id long, text string")
+    on = dtext.repetition_signals(docs).orderBy("doc_id").collect()
+    off = dtext.repetition_signals(docs, char_union=False) \
+        .orderBy("doc_id").collect()
+    for r_on, r_off in zip(on, off):
+        assert r_off["n_dup_ngram_chars"] is None
+        for c in ("n_lines", "n_dup_lines", "n_dup_line_chars", "n_ngrams",
+                  "n_dup_ngrams", "top_bigram", "top_bigram_count",
+                  "top_bigram_chars"):
+            assert r_on[c] == r_off[c]
+    assert on[0]["n_dup_ngram_chars"] > 0  # the sweep still works when on
+
+
+def test_gopher_count_measure_skips_sweep_same_other_rules(spark):
+    from bioframe_spark.datapipe import text as dtext
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["the quick brown fox jumps over it and the dog"] * 8)),
+         (2, " ".join(f"w{i} of" for i in range(60)))],
+        "doc_id long, text string")
+    chars = dtext.gopher_quality_filter(docs, min_words=10) \
+        .orderBy("doc_id").collect()
+    count = dtext.gopher_quality_filter(
+        docs, min_words=10, dup_ngram_measure="count") \
+        .orderBy("doc_id").collect()
+    for rc, rn in zip(chars, count):
+        for c in ("r_word_count", "r_mean_wordlen", "r_alpha_words",
+                  "r_stopwords", "r_dup_lines", "r_dup_line_chars",
+                  "r_top_bigram"):
+            assert rc[c] == rn[c]
+    # doc 1 is fully duplicated: both measures must reject it
+    assert chars[0]["r_dup_ngrams"] is False
+    assert count[0]["r_dup_ngrams"] is False
+
+
+# --------------------------------------------------------------------------
+# exact mixture arithmetic at float boundaries (r5 ADVICE)
+# --------------------------------------------------------------------------
+
+def test_mixture_exact_floor_at_boundary(spark):
+    """30 rows at share 0.3: exact total is 30/0.3 == 100; float division
+    gave 99.999... -> 99. The scarcest stratum defines the total, so the
+    wrong floor under-keeps every stratum."""
+    from bioframe_spark.datapipe.sampling import sample_to_mixture
+
+    rows = [(i, "a") for i in range(30)] + [(1000 + i, "b")
+                                            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_to_mixture(df, {"a": 0.3, "b": 0.7}, strata_col="source")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    # total = min(floor(30/0.3), floor(200/0.7)) = min(100, 285) = 100
+    assert counts == {"a": 30, "b": 70}
+
+
+# --------------------------------------------------------------------------
+# expand negative-pad midpoint: exact + overflow-free on sentinels
+# --------------------------------------------------------------------------
+
+def test_expand_negative_pad_sentinel_midpoint(spark):
+    df = spark.createDataFrame(
+        [("chr1", -9223372036854775807, 9223372036854775807),
+         ("chr1", 0, 11), ("chr1", 5, 6), ("chr1", None, None)],
+        "chrom string, start long, end long")
+    out = {(r["start"], r["end"])
+           for r in bf.expand(df, pad=-3).collect()}
+    assert (-9223372036854775804, 9223372036854775804) in out
+    assert (3, 8) in out
+    # a 1-width interval collapses to its floor midpoint
+    assert (5, 5) in out
+    assert (None, None) in out
