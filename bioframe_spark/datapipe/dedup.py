@@ -14,6 +14,30 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Lineage truncation for iterative loops. Default: ``localCheckpoint``
+    (executor-held blocks, no I/O). Its documented contract is that a lost
+    executor loses the blocks AND the truncated lineage, failing the job —
+    measured in ``tools/executor_loss_check.py``. For loss-tolerant runs,
+    set a checkpoint dir (``sc.setCheckpointDir``) and
+    ``spark.bioframe.reliableCheckpoint=true``: the loop then uses a
+    RELIABLE ``checkpoint`` (same plan shape, blocks re-readable from the
+    checkpoint store after any executor death)."""
+    spark = df.sparkSession
+    try:
+        reliable = (spark.conf.get("spark.bioframe.reliableCheckpoint",
+                                   "false") or "false").lower() == "true"
+    except Exception:
+        reliable = False
+    if reliable:
+        if not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+            raise ValueError(
+                "spark.bioframe.reliableCheckpoint=true requires a "
+                "checkpoint dir: call spark.sparkContext.setCheckpointDir()")
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact-dup groups by content hash: one row per distinct text with the
@@ -569,11 +593,14 @@ def connected_components(pairs: DataFrame, src_col: str = "id1",
     Scale shape: one symmetrized edge table persisted across rounds;
     each round is join(edges, labels) + groupBy-min — both shuffles keyed
     and sized by the edge table, never all-pairs. ``localCheckpoint``
-    truncates the per-round lineage so the plan does not nest (on a real
-    cluster with executor loss concerns, swap for a reliable
-    ``checkpoint`` dir — same plan shape). The convergence probe is a
-    ``limit(1)`` existence job on the changed-label diff, not a full
-    count.
+    truncates the per-round lineage so the plan does not nest; on a real
+    cluster with executor loss concerns, set a checkpoint dir and
+    ``spark.bioframe.reliableCheckpoint=true`` to use a reliable
+    ``checkpoint`` instead (same plan shape; a lost executor kills a
+    localCheckpoint job but only re-reads files under the reliable one
+    — measured in ``tools/executor_loss_check.py``). The convergence
+    probe is a ``limit(1)`` existence job on the changed-label diff,
+    not a full count.
 
     ``strategy='auto'`` (default) routes SMALL pair sets (≤
     ``spark.bioframe.ccLocalEdges`` rows, default 2M) to a single-task
@@ -600,7 +627,7 @@ def connected_components(pairs: DataFrame, src_col: str = "id1",
     if strategy == "local":
         if not e_cached:
             return _cc_local(e)
-        out = _cc_local(e).localCheckpoint(eager=True)
+        out = _truncate_lineage(_cc_local(e))
         e.unpersist()
         return out
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
@@ -624,7 +651,7 @@ def connected_components(pairs: DataFrame, src_col: str = "id1",
                             F.coalesce(F.col("nmin"), F.col("label")))
                     .alias("new_label"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(_truncate_lineage)
             )
             changed = stepped.filter(
                 F.col("label") != F.col("new_label")

@@ -175,6 +175,33 @@ def test_closest_binned_gate_parity(spark):
 
 
 # --------------------------------------------------------------------------
+# negative-saturated start + sentinel end through every closest strategy
+# (r5 ADVICE: the driver bin hint's span/bin_size must clamp at INT64_MAX)
+# --------------------------------------------------------------------------
+
+def test_closest_negative_saturated_sentinel_all_strategies(spark):
+    i64 = 9223372036854775807
+    df1 = spark.createDataFrame(
+        [("chr1", -i64, i64), ("chr1", 100, 200), ("chr2", 5, 10)],
+        "chrom string, start long, end long")
+    df2 = spark.createDataFrame(
+        [("chr1", 150, 160), ("chr1", 0, i64), ("chr2", 50, 60)],
+        "chrom string, start long, end long")
+    res = {}
+    for strat in ("binned", "cogroup"):
+        res[strat] = sorted(map(tuple, bf.closest(
+            df1, df2, suffixes=("", "_r"), strategy=strat).collect()))
+    spark.conf.set("spark.bioframe.closestCogroupBytes", "1")
+    try:
+        res["big"] = sorted(map(tuple, bf.closest(
+            df1, df2, suffixes=("", "_r"), strategy="binned").collect()))
+    finally:
+        spark.conf.unset("spark.bioframe.closestCogroupBytes")
+    assert res["binned"] == res["cogroup"] == res["big"]
+    assert len(res["binned"]) == 3
+
+
+# --------------------------------------------------------------------------
 # char_union opt-out: identical signals, null char column
 # --------------------------------------------------------------------------
 
@@ -216,6 +243,58 @@ def test_gopher_count_measure_skips_sweep_same_other_rules(spark):
     # doc 1 is fully duplicated: both measures must reject it
     assert chars[0]["r_dup_ngrams"] is False
     assert count[0]["r_dup_ngrams"] is False
+
+
+# --------------------------------------------------------------------------
+# reliable-checkpoint swap for the CC loop (r5 verdict directive #2)
+# --------------------------------------------------------------------------
+
+def test_cc_reliable_checkpoint_swap(spark, tmp_path):
+    """spark.bioframe.reliableCheckpoint=true + a checkpoint dir routes
+    the CC loop's lineage truncation through reliable checkpoint();
+    components are identical to the localCheckpoint default, and the
+    checkpoint store actually receives files (proving the swap engaged,
+    which is what makes the loop survive executor loss —
+    tools/executor_loss_check.py measures that on a live cluster)."""
+    import os
+
+    from bioframe_spark.datapipe import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id1 long, id2 long")
+    want = sorted(map(tuple, dedup.connected_components(
+        pairs, strategy="loop").collect()))
+
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    spark.conf.set("spark.bioframe.reliableCheckpoint", "true")
+    try:
+        got = sorted(map(tuple, dedup.connected_components(
+            pairs, strategy="loop").collect()))
+        wrote = any(files for _, _, files in os.walk(ckdir))
+    finally:
+        spark.conf.unset("spark.bioframe.reliableCheckpoint")
+    assert got == want
+    assert wrote  # reliable checkpoint actually persisted blocks
+
+
+def test_cc_reliable_checkpoint_requires_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from bioframe_spark.datapipe import dedup
+
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    # a fresh session fixture may carry a checkpoint dir from another
+    # test — only assert the error when none is set
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        _pytest.skip("session already has a checkpoint dir")
+    spark.conf.set("spark.bioframe.reliableCheckpoint", "true")
+    try:
+        with _pytest.raises(ValueError, match="checkpoint dir"):
+            dedup.connected_components(pairs, strategy="loop")
+    finally:
+        spark.conf.unset("spark.bioframe.reliableCheckpoint")
 
 
 # --------------------------------------------------------------------------
