@@ -1105,12 +1105,22 @@ def _null_key_rows(df, ck, sk, ek, on):
 _CLUSTER_PREMERGE_BYTES = 8 << 20  # cluster's premerge crossover (see
 # cluster(); measured round 5 — its classic construction is ~3x merge's)
 
-_PREMERGE_BYTES = 64 << 20  # above this scan size merge shrinks its rows
-# MAP-SIDE before any shuffle. Measured on the 16x ladder (SCALING §8):
-# the Arrow round trip loses at 14 MB (1.35 s vs 0.78 s), washes at
-# ~57 MB, wins at 230 MB (4.39 s vs 6.79 s classic; scaling exponent
-# 0.43 vs 0.78) — the crossover is where exchange volume overtakes the
-# per-row map cost, so it only widens at real scale.
+_PREMERGE_BYTES = 32 << 20  # above this scan size merge shrinks its rows
+# MAP-SIDE before any shuffle. Re-measured after the r6 buffered fuse
+# (256k-row windows, ~40x shrink vs the old per-Arrow-batch 1.3x;
+# tools/premerge_crossover.py, medians of 3 solo): classic still wins
+# at 14 MB (1.22 s vs 1.62 s — the fuse pass floor), premerge wins
+# 1.6x at 55 MB (1.60 s vs 2.54 s) and 2.5x at 220 MB (3.52 s vs
+# 8.72 s) — the wash moved down from the old ~57 MB to ~30 MB.
+
+_PREMERGE_CLASSIC_ROWS = 4_000_000  # after the fuse, if the SHRUNKEN
+# row count (known exactly — the fused frame is persisted and counted)
+# fits comfortably in per-chromosome window tasks, the classic border
+# merge beats the ranged construction (its point-dup expansion + carry
+# join are pure overhead on island-bounded data: 3.52 s vs 5.70 s at
+# the 16x rung). Above it, merge-UNFRIENDLY data (local fuse shrank
+# nothing) keeps the ranged path so no single-chrom window task
+# explodes. Knob: spark.bioframe.premergeClassicRows.
 
 
 def _premerge_local(df: DataFrame, ck: str, sk: str, ek: str, on: list,
@@ -1373,6 +1383,7 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
     if premerge == "auto":
         premerge = _plan_size_bytes(df) > _threshold(
             df, "premergeBytes", _PREMERGE_BYTES)
+    range_width_auto = range_width == "auto"
     range_width = _auto_range_width(df, sk, ek, range_width)
     if premerge:
         if min_dist is not None and min_dist < 0:
@@ -1388,6 +1399,23 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
             # FUSED rows — small by construction when the fuse pays off.
             from pyspark.storagelevel import StorageLevel
             pm = pm.persist(StorageLevel.MEMORY_AND_DISK)
+            if range_width_auto:
+                # adaptive post-fuse construction: the persist makes the
+                # SHRUNKEN row count exact and nearly free — when it
+                # fits per-chromosome window tasks, the classic border
+                # merge beats the ranged machinery (point-dup expansion
+                # + carry join: 3.52 s vs 5.70 s at the 16x rung), and
+                # merge-UNFRIENDLY data (no shrink) keeps the ranged
+                # path. NOTE this makes the auto big-input path
+                # driver-EAGER (one count job) — same contract as the
+                # local kernel and the closest ladder. An EXPLICIT
+                # range_width skips the switch (it is a request for the
+                # ranged construction; plan tests rely on it).
+                n_pm = pm.count()
+                if n_pm <= _threshold(df, "premergeClassicRows",
+                                      _PREMERGE_CLASSIC_ROWS):
+                    range_width = None
+        if range_width is not None:
             isl = _distinct_islands_ranged(pm, ck, sk, ek, on, min_dist,
                                            range_width, weight="__cnt")
             out = isl.groupBy(ck, *on, "__island").agg(

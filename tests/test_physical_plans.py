@@ -54,10 +54,17 @@ def test_binned_join_is_equi_on_chrom_bin(spark):
 
 
 def test_merge_partial_aggregation(spark):
+    # the island-spans aggregation lives on the RANGED construction; the
+    # auto path on a local frame now routes through the border-merge
+    # windows (r6 adaptive post-fuse switch), which have no aggregate at
+    # all — pin the two-stage (partial + final) hash aggregation on the
+    # path that owns it
     d = ivals(spark, [("chr1", i, i + 5) for i in range(0, 300, 7)])
-    plan = _plan(bf.merge(d, min_dist=0))
-    # two-stage hash aggregation (partial + final)
+    plan = _plan(bf.merge(d, min_dist=0, premerge=False, range_width=50))
     assert plan.count("HashAggregate") >= 2
+    # and the auto path on this unknown-stats local frame takes the
+    # premerge + adaptive-classic route: window border merge, no agg
+    assert "HashAggregate" not in _plan(bf.merge(d, min_dist=0))
 
 
 def test_plain_overlap_no_probe_repartition_when_well_split(spark, tmp_path, monkeypatch):
