@@ -1029,6 +1029,31 @@ def q_stream_complement(spark, sf_dir):
     return spark.createDataFrame(data, "chrom string, start long, end long")
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (r6): every tenth vector gets a
+    perturbed near-copy (x*0.9 + 0.01 — same direction, cosine ~1) with
+    an offset id; the operator must cluster, pair the copies inside
+    their clusters, and keep exactly one representative per duplicate
+    group (lowest cosine-to-centroid, ties to the smaller id).
+    train_iters=0 pins the deterministic smallest-id centroid init so
+    DuckDB can replicate the clustering exactly (same device as the
+    ann_ivf oracle)."""
+    from bioframe_spark.datapipe import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x.cast("double") * 0.9 + 0.01)
+        .alias("embedding"))
+    return similarity.semantic_dedup(base.unionByName(pert),
+                                     threshold=0.9, train_iters=0)
+
+
 def q_stream_cluster(spark, sf_dir):
     """STREAMING cluster driven to completion (r6): per-chrom snapshots
     of the distinct-row set with multiplicities and island-assigned
@@ -1214,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
+        "semdedup": q_semdedup,  # r6 new — full-registry checked (gate is at cap)
         "overlap_prebinned": q_overlap_prebinned,  # r4-r5 green; layout stable (r5 verdict #8)
         "embedding_dups": q_embedding_dups,  # r2+ green; ann_topk in-gate
         "ann_lsh": q_ann_lsh,  # r4-r5 green; ann_ivf_indexed in-gate
@@ -2284,6 +2310,64 @@ FROM cand WHERE bit_count(xor(sh1, sh2)) <= 12
     _listdot = (lambda a, b:
                 f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
                 f"i -> {a}[i] * {b}[i])) AS BIGINT)")
+    _qaug = ("list_transform(embedding, x -> "
+             "CAST(round(x * 1000) AS BIGINT))")
+    semdedup = f"""
+WITH RECURSIVE aug AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.9 + 0.01)
+  FROM embeddings WHERE vec_id % 10 = 0
+), cn AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+  FROM (SELECT vec_id, {_qaug} AS v FROM aug)
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cvec, n2 AS ctn2
+  FROM cn ORDER BY vec_id LIMIT 16
+), cassign AS (
+  SELECT vec_id, v, n2, cent_id FROM (
+    SELECT c.vec_id, c.v, c.n2, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY {_cos(_listdot("c.v", "ct.cvec"), "c.n2", "ct.ctn2")} DESC,
+                      ct.cent_id ASC) AS r
+    FROM cn c, cents ct
+  ) WHERE r <= 1
+), pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM cassign a JOIN cassign b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE {_cos(_listdot("a.v", "b.v"), "a.n2", "b.n2")} >= 0.9
+), e2 AS (
+  SELECT id1 AS u, id2 AS v FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+), nodes AS (SELECT DISTINCT u AS id FROM e2),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e2.u, reach.r FROM reach JOIN e2 ON e2.v = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+), scored AS (
+  SELECT c.vec_id, c.cent_id, comp.component,
+         {_cos(_listdot("c.v", "ct.cvec"), "c.n2", "ct.ctn2")} AS ccos
+  FROM cassign c
+  JOIN cents ct ON c.cent_id = ct.cent_id
+  LEFT JOIN comp ON comp.id = c.vec_id
+), ranked AS (
+  SELECT vec_id, cent_id, component,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY ccos ASC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, cent_id, (component IS NULL OR rk = 1) AS keep
+FROM ranked
+"""
+
     ann_ivf = f"""
 WITH cn AS (
   SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
@@ -2743,6 +2827,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
+        "semdedup": semdedup,
         "ann_ivf_indexed": ann_ivf,  # bit-identical off the stored index
         "ann_lsh": ann_lsh,
         "events_hourly": events_hourly,

@@ -147,10 +147,37 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         # is exact Jaccard over the informative-shingle space — the
         # standard IR df-cutoff. A shingle that common carries ~no
         # similarity signal; identical documents still score 1.0.
+        #
+        # The hot list is materialized ONCE to the driver and re-enters
+        # the plan as a LITERAL local relation: left lazy, the df-agg
+        # (a full shuffle of the exploded table) sat under the anti-join
+        # inside EVERY consumer's subtree and re-executed per consumer —
+        # the 64x datapipe rung measured 65.6 s with the cutoff vs
+        # 28.5 s without it while removing ZERO rows (exponent 1.31 vs
+        # 0.99). Hot shingles are few by construction (the cutoff
+        # targets stopword n-grams); the collect is hard-capped and
+        # falls back to the lazy join formulation over the cap. This
+        # makes the cutoff path driver-EAGER (one agg job) — same
+        # contract as the other kernel gates.
+        from ..operators.ops import (_SMALL_INPUT_MAX_ROWS, _bounded_pdf,
+                                     _threshold)
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
                .filter(F.col("__df") > max_doc_freq)
                .select("shingle"))
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        cap = _threshold(df, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
+        # probe=False: the hot frame is a filtered aggregate — probing
+        # would execute the whole df-shuffle twice just to count an
+        # output that is small by construction; the collect stays
+        # bounded by maxResultSize + the post-hoc row check
+        hot_pdf = _bounded_pdf(hot, cap, probe=False)
+        if hot_pdf is None:
+            # implausibly many hot shingles: keep the lazy formulation
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        elif len(hot_pdf):
+            hot_local = df.sparkSession.createDataFrame(
+                hot_pdf["shingle"].to_frame())
+            sh = sh.join(F.broadcast(hot_local), "shingle", "left_anti")
+        # empty hot list: nothing to drop, skip the join entirely
     if cache:
         sh = sh.cache()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

@@ -221,6 +221,106 @@ def embedding_dup_pairs(
     return tagged.groupBy("lo", "hi").applyInPandas(run, schema)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus embeddings, form
+    semantic-duplicate groups INSIDE each cluster (connected components
+    of the ``cos >= threshold`` graph), and keep ONE representative per
+    group — the member with the LOWEST cosine to its cluster centroid
+    (the paper's keep rule: the least prototypical example preserves the
+    most diversity), ties to the smallest id.
+
+    Returns ``(id_col, cent_id, keep)`` for EVERY corpus row (rows in no
+    duplicate group keep trivially) — filter ``keep`` to materialize the
+    deduplicated corpus, or join back for payload columns.
+
+    Scale shape (the reason SemDeDup exists): candidate generation is
+    clustering, so pair work is within-cluster all-pairs — O(sum c_i^2)
+    instead of O(N^2); task memory = one cluster's vector block (raise
+    ``n_centroids`` until clusters fit; the paper runs ~100k clusters at
+    100M+ points). Centroid training is the map-only Lloyd of
+    :func:`kmeans_centroids` (``train_iters=0`` = deterministic
+    smallest-id init, the oracle-replicable mode); assignment is the
+    same map-only broadcast kernel as IVF; group resolution is the
+    union-find/hash-min :func:`~bioframe_spark.datapipe.dedup.connected_components`.
+    Quantized-int dots + one correctly-rounded double division keep every
+    cosine bit-identical to the SQL oracle, same as embedding_dup_pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .dedup import connected_components
+
+    trained = kmeans_centroids(corpus, n_centroids=n_centroids,
+                               n_iter=train_iters, id_col=id_col,
+                               vec_col=vec_col)
+    cents = trained.select(
+        "cent_id",
+        F.transform(
+            F.col("cvec"), lambda x: F.round(x * QUANT).cast("long")
+        ).alias("cvec"),
+    ).withColumn("cnorm", _norm2(F.col("cvec")))
+    cent_rows = cents.orderBy("cent_id").collect()
+    cid_type = cents.schema["cent_id"].dataType
+    assigned = _centroid_assign(corpus, cent_rows, cid_type, id_col,
+                                vec_col, "id", "v", "n2", 1)
+
+    id_type = corpus.schema[id_col].dataType
+    pair_schema = T.StructType([
+        T.StructField("id1", id_type),
+        T.StructField("id2", id_type),
+    ])
+
+    def pairs_kern(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": pdf["id"].iloc[:0],
+                                 "id2": pdf["id"].iloc[:0]})
+        ids = pdf["id"].to_numpy()
+        M = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+        n = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+        cos = (M @ M.T).astype(np.float64) / (n[:, None] * n[None, :])
+        ii, jj = np.where(cos >= threshold)
+        tri = ii < jj  # each unordered pair once, no self pairs
+        i1, i2 = ids[ii[tri]], ids[jj[tri]]
+        flip = i1 > i2
+        return pd.DataFrame({"id1": np.where(flip, i2, i1),
+                             "id2": np.where(flip, i1, i2)})
+
+    pairs = assigned.groupBy("cent_id").applyInPandas(pairs_kern, pair_schema)
+    comp = connected_components(pairs, "id1", "id2")
+
+    # cosine of each row to its OWN centroid (broadcast join on the tiny
+    # centroid table; quantized-int dot via a fold — one column, exact)
+    with_c = assigned.join(F.broadcast(cents), "cent_id")
+    ccos = (_dot(F.col("v"), F.col("cvec")).cast("double")
+            / (F.sqrt(F.col("n2").cast("double"))
+               * F.sqrt(F.col("cnorm").cast("double"))))
+    scored = with_c.select("id", "cent_id", ccos.alias("__ccos"))
+
+    labeled = scored.join(
+        comp.withColumnRenamed("id", "__cid"),
+        scored["id"] == F.col("__cid"), "left").drop("__cid")
+    # the representative window runs ONLY over duplicate-group members
+    # (dup-group rows are the post-threshold survivors — tiny next to the
+    # corpus); rows in no group must not funnel into one null-key window
+    # partition, they keep unconditionally
+    in_group = labeled.filter(F.col("component").isNotNull())
+    loners = labeled.filter(F.col("component").isNull())
+    w = Window.partitionBy("component").orderBy(F.asc("__ccos"), F.asc("id"))
+    kept = in_group.withColumn("keep", F.row_number().over(w) == 1)
+    out = kept.unionByName(loners.withColumn("keep", F.lit(True)))
+    return out.select(F.col("id").alias(id_col), "cent_id", "keep")
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,

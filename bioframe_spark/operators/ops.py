@@ -1854,7 +1854,8 @@ _SMALL_INPUT_MAX_ROWS = 2_000_000  # hard row cap on the kernel-gate driver
 # of driver pandas — the same order as the broadcast the gate implies.
 
 
-def _bounded_pdf(sub: DataFrame, cap: int, *, arrow: bool = False):
+def _bounded_pdf(sub: DataFrame, cap: int, *, arrow: bool = False,
+                 probe: bool | None = None):
     """Driver-collect ``sub`` as pandas with a HARD ``cap``-row bound;
     returns ``None`` when ``sub`` exceeds the cap (callers fall back to a
     distributed formulation).
@@ -1878,8 +1879,17 @@ def _bounded_pdf(sub: DataFrame, cap: int, *, arrow: bool = False):
     on a 600k-row cached frame vs +0.2 s for the parallel count), and on
     genuinely tiny 32-partition cached frames the 1->4->16 ramp costs
     several sequential mini-jobs.
+
+    ``probe=False`` skips the count probe unconditionally — for frames
+    whose EXECUTION is expensive and whose output the caller knows is
+    small-by-construction (e.g. a filtered aggregate: Catalyst's
+    estimate for it reads huge, but probing would run the whole
+    aggregation twice); the maxResultSize backstop + post-hoc row check
+    still bound the collect.
     """
-    if _plan_size_bytes(sub) > _SMALL_INPUT_BYTES // 8 and sub.count() > cap:
+    do_probe = (probe if probe is not None
+                else _plan_size_bytes(sub) > _SMALL_INPUT_BYTES // 8)
+    if do_probe and sub.count() > cap:
         return None
     try:
         if arrow:

@@ -319,6 +319,81 @@ def test_mixture_exact_floor_at_boundary(spark):
 
 
 # --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (r6): cluster -> in-cluster dup groups ->
+# keep the least-prototypical representative
+# --------------------------------------------------------------------------
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    from bioframe_spark.datapipe.similarity import semantic_dedup
+
+    # vectors 1/2 are an exact duplicate pair; 3 is a scaled copy of 1
+    # (cosine 1.0 — same group); 10/11 are far from everything
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [2.0, 0.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cent_id"], r["keep"])
+           for r in semantic_dedup(df, threshold=0.99, n_centroids=3,
+                                   train_iters=0).collect()}
+    assert len(out) == 5
+    kept_dups = [i for i in (1, 2, 3) if out[i][1]]
+    assert len(kept_dups) == 1  # exactly one representative of the group
+    assert out[10][1] and out[11][1]  # loners keep unconditionally
+
+
+def test_semantic_dedup_all_rows_tagged_and_loner_only_corpus(spark):
+    from bioframe_spark.datapipe.similarity import semantic_dedup
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.95, n_centroids=4,
+                         train_iters=1).collect()
+    assert len(out) == 8 and all(r["keep"] for r in out)
+
+
+# --------------------------------------------------------------------------
+# jaccard hot-shingle cutoff: the literal-hot-list fast path (r6 — the
+# lazy formulation re-executed the df shuffle per consumer)
+# --------------------------------------------------------------------------
+
+def test_jaccard_cutoff_literal_hot_list_paths(spark):
+    from bioframe_spark.datapipe import dedup as ddp
+
+    # "common words here" 3-gram appears in ALL 6 docs (df=6); the
+    # distinctive tails pair up docs 0/1, 2/3, 4/5
+    docs = spark.createDataFrame(
+        [(i, f"common words here tail{i // 2} alpha beta gamma delta")
+         for i in range(6)],
+        "doc_id long, text string")
+    base = sorted(map(tuple, ddp.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2).collect()))
+    assert len(base) >= 3  # the common shingle links everything a bit
+    # cutoff 5 drops ONLY the df=6 shingle (non-empty hot list ->
+    # literal local-relation anti-join); pairs must still find the
+    # tail-sharing partners via their distinctive shingles
+    cut = sorted(map(tuple, ddp.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_doc_freq=5).collect()))
+    assert {(p[0], p[1]) for p in cut} >= {(0, 1), (2, 3), (4, 5)}
+    # a cutoff ABOVE every df (empty hot list -> join skipped) is
+    # value-identical to no cutoff
+    loose = sorted(map(tuple, ddp.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_doc_freq=1000).collect()))
+    assert loose == base
+    # forced over-cap fallback: the lazy join formulation still runs
+    spark.conf.set("spark.bioframe.smallInputMaxRows", "0")
+    try:
+        fb = sorted(map(tuple, ddp.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_doc_freq=5).collect()))
+    finally:
+        spark.conf.unset("spark.bioframe.smallInputMaxRows")
+    assert fb == cut
+
+
+# --------------------------------------------------------------------------
 # expand negative-pad midpoint: exact + overflow-free on sentinels
 # --------------------------------------------------------------------------
 
