@@ -1226,10 +1226,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,  # new this round
         "gopher_count": q_gopher_count,  # r6: count-measure A/B, no char sweep
         "chunk_docs": q_chunk_docs,  # new this round
-        "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_cutoff": q_jaccard_cutoff,  # r6: literal hot-list plan in-gate
         "contamination": q_contamination,  # new this round
         "dedup_components": q_dedup_components,
-        "curate": q_curate,
+        "semdedup": q_semdedup,  # r6 new operator in-gate
         "train_split": q_train_split,
         "domain_cap": q_domain_cap,
         "mixture": q_mixture,
@@ -1239,8 +1239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
-        "semdedup": q_semdedup,  # r6 new — full-registry checked (gate is at cap)
         "overlap_prebinned": q_overlap_prebinned,  # r4-r5 green; layout stable (r5 verdict #8)
+        "jaccard_pairs": q_jaccard_pairs,  # r1+ green; jaccard_cutoff in-gate
+        "curate": q_curate,  # r3+ green composite; its stages gated separately
         "embedding_dups": q_embedding_dups,  # r2+ green; ann_topk in-gate
         "ann_lsh": q_ann_lsh,  # r4-r5 green; ann_ivf_indexed in-gate
         "pack_seqs": q_pack_seqs,  # r4-r5 green; chunk_docs in-gate
@@ -1268,7 +1269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_runs": q_merge_runs,
         "text_fingerprints": q_text_fingerprints,
         "language_id": q_language_id,
-        "jaccard_cutoff": q_jaccard_cutoff,
         "sample_mix": q_sample_mix,
         "events_json": q_events_json,
         # streaming operator driven to completion — oracle-checkable but

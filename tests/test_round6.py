@@ -355,6 +355,74 @@ def test_semantic_dedup_all_rows_tagged_and_loner_only_corpus(spark):
     assert len(out) == 8 and all(r["keep"] for r in out)
 
 
+def test_semantic_dedup_matches_reference_on_random_corpora(spark):
+    """Differential fuzz: semantic_dedup vs an independent in-python
+    reference (same published algorithm, written directly on numpy:
+    smallest-id centroid init, top-1 assignment with the (cos desc,
+    cent_id asc) tie rule, within-cluster cos>=t graph, union-find
+    components, keep = argmin centroid-cos then min id)."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    from bioframe_spark.datapipe.similarity import QUANT, semantic_dedup
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n, dim = 40, 6
+        base = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(12)]
+        rows = []
+        for i in range(n):
+            src = base[rng.randrange(len(base))]
+            # half the rows are scaled/noised copies -> real dup groups
+            if rng.random() < 0.5:
+                v = [x * rng.uniform(0.5, 2.0) for x in src]
+            else:
+                v = [x + rng.uniform(-0.5, 0.5) for x in src]
+            rows.append((i, v))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: (r["cent_id"], r["keep"]) for r in
+               semantic_dedup(df, threshold=0.98, n_centroids=5,
+                              train_iters=0).collect()}
+
+        # ---- reference ----
+        V = np.array([np.round(np.array(v) * QUANT) for _, v in rows],
+                     dtype=np.int64)
+        ids = [i for i, _ in rows]
+        C = V[:5]
+        cn = np.sqrt((C * C).sum(axis=1).astype(float))
+        vn = np.sqrt((V * V).sum(axis=1).astype(float))
+        cos_c = (V @ C.T).astype(float) / (vn[:, None] * cn[None, :])
+        assign = cos_c.argmax(axis=1)  # first max = smallest cent_id
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        pair_cos = (V @ V.T).astype(float) / (vn[:, None] * vn[None, :])
+        for i, j in itertools.combinations(range(n), 2):
+            if assign[i] == assign[j] and pair_cos[i, j] >= 0.98:
+                parent[find(i)] = find(j)
+        groups = {}
+        for i in range(n):
+            groups.setdefault(find(i), []).append(i)
+        want_keep = {}
+        for members in groups.values():
+            if len(members) == 1:
+                want_keep[members[0]] = True
+                continue
+            rep = min(members, key=lambda i: (cos_c[i, assign[i]], ids[i]))
+            for i in members:
+                want_keep[i] = i == rep
+        for i in range(n):
+            assert got[ids[i]][0] == ids[assign[i]], (trial, i)
+            assert got[ids[i]][1] == want_keep[i], (trial, i)
+
+
 # --------------------------------------------------------------------------
 # jaccard hot-shingle cutoff: the literal-hot-list fast path (r6 — the
 # lazy formulation re-executed the df shuffle per consumer)
