@@ -1341,12 +1341,18 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
     ``premerge``: MAP-SIDE local island collapse (``_premerge_local``)
     before any shuffle — shrinks shuffle volume by the local merge
     factor (often 10-100× on merge-friendly genomic data) at the price
-    of one Arrow round trip over the input. Measured crossover on the
-    16× ladder (SCALING.md §8): loses at 14 MB, washes at ~57 MB, wins
-    1.5× at 230 MB with a 0.43 scaling exponent vs classic's 0.78 —
-    default ``"auto"`` turns it on above ``spark.bioframe.premergeBytes``
-    (64 MB). Value-identical on every path (equivalence-tested; the
-    weighted multiplicity preserves the point-duplicate island rule).
+    of one Arrow round trip over the input. Crossover re-measured after
+    the r6 buffered fuse (tools/premerge_crossover.py, SCALING §11-r06):
+    classic wins at 14 MB, premerge wins 1.6x at 55 MB and 2.5x at
+    220 MB — default ``"auto"`` turns it on above
+    ``spark.bioframe.premergeBytes`` (32 MB, the measured wash). The
+    fused frame is persisted and counted; under
+    ``spark.bioframe.premergeClassicRows`` (4M) the classic border
+    merge finishes it (the ranged machinery is overhead on
+    island-bounded data), else the ranged construction keeps the
+    per-chromosome window bounded. Value-identical on every path
+    (equivalence-tested; the weighted multiplicity preserves the
+    point-duplicate island rule).
 
     ``local``: driver-side numpy kernel for SMALL inputs
     (``_merge_local`` — plan size ≤ ``spark.bioframe.smallInputBytes``

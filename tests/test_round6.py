@@ -319,6 +319,47 @@ def test_mixture_exact_floor_at_boundary(spark):
 
 
 # --------------------------------------------------------------------------
+# buffered premerge fuse: value-identical at ANY buffer boundary (r6 —
+# the fuse windows grew from per-Arrow-batch to 256k rows)
+# --------------------------------------------------------------------------
+
+def test_premerge_buffer_boundaries_exact(spark):
+    """merge through the premerge path with the fuse buffer forced to
+    1, 2, 7 rows must equal the classic construction exactly — buffer
+    edges can only UNDER-fuse, which the global pass repairs (the same
+    invariant as partition edges), and coincident points must survive
+    as separate islands across buffer boundaries under min_dist=None."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(300):
+        c = f"chr{rng.randint(1, 3)}"
+        s = rng.randint(0, 500)
+        rows.append((c, s, s + rng.randint(0, 40)))  # incl. points
+    rows += [("chr1", 100, 100)] * 3  # coincident points
+    df = spark.createDataFrame(rows, "chrom string, start long, end long")
+
+    for md in (None, 0, 7):
+        want = sorted(map(tuple, bf.merge(
+            df, min_dist=md, premerge=False, range_width=None).collect()),
+            key=str)
+        for buf in ("1", "2", "7"):
+            spark.conf.set("spark.bioframe.premergeBatchRows", buf)
+            try:
+                got = sorted(map(tuple, bf.merge(
+                    df, min_dist=md, premerge=True,
+                    range_width=None).collect()), key=str)
+                got_r = sorted(map(tuple, bf.merge(
+                    df, min_dist=md, premerge=True,
+                    range_width=50).collect()), key=str)
+            finally:
+                spark.conf.unset("spark.bioframe.premergeBatchRows")
+            assert got == want, (md, buf)
+            assert got_r == want, (md, buf, "ranged")
+
+
+# --------------------------------------------------------------------------
 # SemDeDup-style semantic dedup (r6): cluster -> in-cluster dup groups ->
 # keep the least-prototypical representative
 # --------------------------------------------------------------------------
