@@ -393,17 +393,30 @@ def kmeans_centroids(
                     rows.append((_cids[ci], sel.sum(axis=0), len(sel)))
                 yield pd.DataFrame(rows, columns=["cent_id", "psum", "n"])
 
-        parts = v.mapInPandas(partials, part_schema).toPandas()
-        # combine partials per centroid; empty clusters drop (reference
-        # groupBy-over-assigned behavior)
-        cent_rows = []
-        # groupby(sort=True) orders keys ascending — the next iteration's
-        # argmax first-max tie rule needs columns in cent_id-asc order
-        for cid, grp in parts.groupby("cent_id", sort=True):
-            total = np.sum(np.stack(grp["psum"].to_numpy()), axis=0)
-            cent_rows.append(
-                {"cent_id": cid, "cvec": (total / grp["n"].sum()).tolist()}
-            )
+        # combine partials per centroid IN SPARK (element-wise array sum
+        # as dim independent double aggregates — map-side partial agg
+        # shrinks the shuffle to n_centroids rows per partition), then
+        # collect only the n_centroids combined rows. Collecting the raw
+        # per-batch partials instead (the old formulation) scales the
+        # driver materialization with batch count — ~10M batches at
+        # 100 TB. Empty clusters drop (reference groupBy-over-assigned
+        # behavior); ORDER BY cent_id keeps the next iteration's
+        # argmax first-max tie rule on cent_id-asc columns.
+        dim = C.shape[1]
+        combined = (
+            v.mapInPandas(partials, part_schema)
+            .groupBy("cent_id")
+            .agg(F.array(*[F.sum(F.col("psum")[i]) for i in range(dim)])
+                 .alias("psum"),
+                 F.sum("n").alias("n"))
+            .orderBy("cent_id")
+            .collect()
+        )
+        cent_rows = [
+            {"cent_id": r["cent_id"],
+             "cvec": [x / r["n"] for x in r["psum"]]}
+            for r in combined
+        ]
     return spark.createDataFrame(
         [(r["cent_id"], r["cvec"]) for r in cent_rows], out_schema
     )
