@@ -171,11 +171,15 @@ def sample_to_mixture(
     tot = sum(shares.values())
     if not shares or abs(tot - 1.0) > 1e-9:
         raise ValueError(f"shares must sum to 1, got {tot}")
+    # filter to the recipe's strata BEFORE the collect: the recipe keys
+    # bound the driver materialization, the raw group count does not (a
+    # high-cardinality strata column would otherwise collect one row per
+    # distinct value)
     counts = {
         r["g"]: r["n"]
-        for r in df.groupBy(F.col(strata_col).alias("g"))
+        for r in df.filter(F.col(strata_col).isin(*list(shares)))
+        .groupBy(F.col(strata_col).alias("g"))
         .agg(F.count(F.lit(1)).alias("n")).collect()
-        if r["g"] in shares
     }
     missing = [g for g in shares if shares[g] > 0 and counts.get(g, 0) == 0]
     if missing:

@@ -78,10 +78,21 @@ def cosine_topk(
     # batch (exact: dim*|v|^2*QUANT^2 << 2^63) with the identical
     # dot/(sqrt*sqrt) double chain — bit-equal to the Catalyst fold
     # formulation it replaces, which paid ~dim expression-interpreter
-    # steps per candidate pair.
-    qpdf = queries.select(
-        F.col(id_col).alias("query_id"), _quantized(F.col(vec_col), "qv")
-    ).toPandas()
+    # steps per candidate pair. The collect is HARD-bounded
+    # (spark.bioframe.smallInputMaxRows; r6): an over-sized query set
+    # fails with a clear redirect instead of an opaque driver overflow.
+    from ..operators.ops import (_SMALL_INPUT_MAX_ROWS, _bounded_pdf,
+                                 _threshold)
+    cap = _threshold(queries, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
+    qpdf = _bounded_pdf(
+        queries.select(F.col(id_col).alias("query_id"),
+                       _quantized(F.col(vec_col), "qv")), cap)
+    if qpdf is None:
+        raise ValueError(
+            "cosine_topk query set exceeds spark.bioframe.smallInputMaxRows"
+            f" ({cap}): the broadcast-query kernel needs a driver-sized "
+            "query side — use lsh_bucketed_topk or ivf_topk/"
+            "ivf_topk_indexed for large query sets")
     qids = qpdf["query_id"].to_numpy()
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.int64)
     qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))

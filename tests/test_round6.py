@@ -125,6 +125,24 @@ def test_bounded_pdf_arrow_mode_matches(spark):
     assert sorted(int(x) for x in out["v"]) == [5, 9223372036854775807]
 
 
+def test_cosine_topk_query_cap_clear_error(spark):
+    """An over-cap query set must fail with the redirect message, not an
+    opaque driver overflow."""
+    from bioframe_spark.datapipe.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    spark.conf.set("spark.bioframe.smallInputMaxRows", "5")
+    try:
+        with pytest.raises(ValueError, match="lsh_bucketed_topk"):
+            cosine_topk(emb, emb, k=2)
+    finally:
+        spark.conf.unset("spark.bioframe.smallInputMaxRows")
+    # under the cap it works
+    assert cosine_topk(emb.filter("vec_id < 3"), emb, k=2).count() == 6
+
+
 def test_merge_local_cap_exact_fallback(spark):
     """merge on a small-estimate frame with an overridden tiny row cap
     falls back to the distributed plan (bounded collect returns None)
