@@ -540,9 +540,11 @@ def test_differential_expand_sides_scale(spark, ref, a, side, scale):
 
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(a=_frames, seps=st.tuples(st.integers(0, 10), st.integers(10, 60)),
+@given(a=_frames, seps=st.tuples(st.integers(0, 10), st.integers(11, 60)),
        rel=st.sampled_from(["midpoints", "endpoints"]))
 def test_differential_pair_by_distance(spark, ref, a, seps, rel):
+    # lo strictly < hi by strategy construction: min_sep >= max_sep is a
+    # ValueError in BOTH engines (pinned below), not a comparable frame
     if not a:
         return
     p1 = _pdf(a)
@@ -552,6 +554,19 @@ def test_differential_pair_by_distance(spark, ref, a, seps, rel):
         ref.pair_by_distance(p1, min_sep=lo, max_sep=hi, relative_to=rel),
         bfs_op("pair_by_distance")(s1, min_sep=lo, max_sep=hi,
                                    relative_to=rel))
+
+
+def test_pair_by_distance_degenerate_sep_error_parity(spark, ref):
+    """min_sep >= max_sep raises in the reference and here alike."""
+    import pandas as pd
+    import pytest as _pytest
+
+    p1 = pd.DataFrame({"chrom": ["chr1"], "start": [0], "end": [5]})
+    s1 = to_spark(spark, p1)
+    with _pytest.raises(ValueError, match="min_sep"):
+        ref.pair_by_distance(p1, min_sep=10, max_sep=10)
+    with _pytest.raises(ValueError, match="min_sep"):
+        bfs_op("pair_by_distance")(s1, min_sep=10, max_sep=10)
 
 
 @settings(max_examples=8, deadline=None,
