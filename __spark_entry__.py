@@ -822,6 +822,10 @@ def q_select_indices(spark, sf_dir):
     return bf.select_indices(ivals_a(spark, sf_dir), "chr1:1000-25000")
 
 
+def q_select_mask(spark, sf_dir):
+    return bf.select_mask_positional(ivals_a(spark, sf_dir), "chr1:1000-25000")
+
+
 def q_select_labels(spark, sf_dir):
     return bf.select_labels(ivals_a(spark, sf_dir), "chr1:1000-25000",
                             label_col="aid")
@@ -1176,6 +1180,18 @@ def q_stream_closest(spark, sf_dir):
         "strand_ann string, distance long")
 
 
+def q_bm25(spark, sf_dir):
+    from bioframe_spark.datapipe import ranking
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.bm25_scores(docs, "merge scan fast value")
+
+
+def q_dup_spans(spark, sf_dir):
+    from bioframe_spark.datapipe import dedup as ddp
+    docs = _t(spark, sf_dir, "documents")
+    return ddp.duplicate_spans(docs, k=25, w=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the first
     # 50 entries.  Rows 1-16 are the queries that had no driver row in
@@ -1195,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_binned": q_coverage_binned,
         "count_overlaps_on": q_count_overlaps_on,
         "select_indices": q_select_indices,
+        "select_mask": q_select_mask,
         "select_labels": q_select_labels,
         "sort_view_rank": q_sort_view_rank,
         "checks": q_checks,
@@ -1229,7 +1246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_cutoff": q_jaccard_cutoff,  # r6: literal hot-list plan in-gate
         "contamination": q_contamination,  # new this round
         "dedup_components": q_dedup_components,
-        "semdedup": q_semdedup,  # r6 new operator in-gate
+        "semdedup": q_semdedup,
+        "bm25": q_bm25,
+        "dup_spans": q_dup_spans,  # r6 new operator in-gate
         "train_split": q_train_split,
         "domain_cap": q_domain_cap,
         "mixture": q_mixture,
@@ -2575,6 +2594,83 @@ SELECT a.aid, a.chrom, a.start, a."end", a.strand, a.qty,
 FROM a LEFT JOIN b ON a.chrom = b.chrom AND a.strand = b.strand AND {ov_ab}
 GROUP BY ALL
 """
+    # BM25 over documents, query "merge scan fast value" (k1=1.2, b=0.75).
+    # Formula written with the SAME association as the Spark expression;
+    # every literal cast to DOUBLE (DuckDB decimal-point literals are
+    # DECIMAL); the 6-decimal round absorbs sum-order FP differences.
+    bm25 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), corpus AS (
+  SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM toks
+), tf AS (
+  SELECT doc_id, len(tk) AS dl, tok, count(*) AS tf
+  FROM (SELECT doc_id, tk, unnest(tk) AS tok FROM toks)
+  WHERE tok IN ('merge', 'scan', 'fast', 'value')
+  GROUP BY 1, 2, 3
+), dft AS (
+  SELECT tok, count(*) AS dft FROM tf GROUP BY 1
+)
+SELECT t.doc_id,
+       round(sum(
+         ln(CAST(1.0 AS DOUBLE)
+            + (CAST(c.n AS DOUBLE) - d.dft + CAST(0.5 AS DOUBLE))
+              / (d.dft + CAST(0.5 AS DOUBLE)))
+         * (t.tf * (CAST(1.2 AS DOUBLE) + 1))
+         / (t.tf + CAST(1.2 AS DOUBLE)
+              * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * t.dl / c.avgdl))
+       ), 6) AS score
+FROM tf t JOIN dft d USING (tok) CROSS JOIN corpus c
+GROUP BY t.doc_id
+"""
+
+    # Winnowed repeated-span stats (k=25, w=16, min_docs=2): md5 k-gram
+    # hashes, window minima, distinct; dup = fingerprint in >=2 docs.
+    dup_spans = """
+WITH fps AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(H) = 0 THEN []
+              WHEN len(H) < 16 THEN [list_aggregate(H, 'min')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(H) - 15),
+                     i -> list_aggregate(list_slice(H, i, i + 15), 'min')))
+         END AS sel
+  FROM (
+    SELECT doc_id, text,
+           list_transform(generate_series(1, greatest(length(text) - 24, 0)),
+                          p -> md5(substr(text, p, 25))) AS H
+    FROM documents)
+), sp AS (
+  SELECT doc_id, unnest(sel) AS h FROM fps
+), dup AS (
+  SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dc AS (
+  SELECT doc_id, count(*) AS n_dup FROM sp JOIN dup USING (h) GROUP BY 1
+)
+SELECT f.doc_id,
+       CASE WHEN sel IS NULL THEN NULL ELSE len(sel) END AS n_spans,
+       CASE WHEN sel IS NULL THEN NULL
+            ELSE coalesce(dc.n_dup, 0) END AS n_dup_spans,
+       CASE WHEN len(sel) > 0
+            THEN round(coalesce(dc.n_dup, 0) / len(sel), 9) END AS dup_frac
+FROM fps f LEFT JOIN dc USING (doc_id)
+"""
+
+    select_mask = _CTE + """, idx AS (
+  SELECT chrom, start, "end",
+         ROW_NUMBER() OVER (ORDER BY chrom, start, "end") - 1 AS "index"
+  FROM a
+)
+SELECT "index",
+       (chrom = 'chr1' AND start < 25000 AND "end" > 1000) AS mask
+FROM idx
+"""
+
     select_indices = _CTE + """, idx AS (
   SELECT chrom, start, "end",
          ROW_NUMBER() OVER (ORDER BY chrom, start, "end") - 1 AS "index"
@@ -2848,6 +2944,9 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "setdiff_on": setdiff_on,
         "count_overlaps_on": count_overlaps_on,
         "select_indices": select_indices,
+        "select_mask": select_mask,
+        "bm25": bm25,
+        "dup_spans": dup_spans,
         "select_labels": select_labels,
         "sort_view_rank": sort_view_rank,
         "checks": checks_sql,

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "minhash_lsh",
     "simhash_pairs",
     "dedup_components",
+    "dup_spans",
+    "bm25",
     "sample_users",
     "train_split",
     "domain_cap",

@@ -33,6 +33,7 @@ from .core import checks
 from .operators.ops import (
     select,
     select_mask,
+    select_mask_positional,
     select_indices,
     select_labels,
     expand,

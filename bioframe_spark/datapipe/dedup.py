@@ -763,3 +763,201 @@ def ngram_contamination(corpus: DataFrame, eval_set: DataFrame, n: int = 8,
                     & (F.col("contamination") >= threshold))
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# exact-substring (repeated span) dedup — winnowed fingerprints
+# --------------------------------------------------------------------------
+
+def _gram_hash_array(t: Column, k: int) -> Column:
+    """Array of md5 hex hashes of every character k-gram of ``t`` —
+    positions 1..len-k+1. Shorter-than-k text → empty array; NULL text →
+    NULL (the corpus-wide null-signal convention)."""
+    grams = F.when(
+        F.length(t) >= F.lit(k),
+        F.transform(F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+                    lambda p: F.md5(t.substr(p, F.lit(k)))))
+    return grams.otherwise(
+        F.when(t.isNotNull(), F.array().cast("array<string>")))
+
+
+def _winnow_min(h: Column, w: int) -> Column:
+    """Distinct window-of-``w`` minima of a gram-hash array.
+
+    PERF: pass a BOUND COLUMN (an attribute from a previous select), not
+    a raw expression — ``h`` is referenced from inside a per-window
+    lambda, and an expression subtree there is re-evaluated PER WINDOW
+    (measured 30x+ blowup), while an attribute is one row lookup.
+    CollapseProject keeps the stage split: it never inlines a non-cheap
+    expression referenced more than once."""
+    return (
+        # fewer grams than one window: keep the single global min
+        # (standard winnowing edge — every non-empty doc fingerprints)
+        F.when(F.size(h) == 0, h)
+        .when(F.size(h) < F.lit(w), F.array(F.array_min(h)))
+        .otherwise(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)),
+            lambda i: F.array_min(F.slice(h, i, w)))))
+    )
+
+
+def _winnow_fingerprints_expr(df: DataFrame, k: int = 25, w: int = 16,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Pure-expression winnowing — the differential-test REFERENCE for
+    the Arrow kernel below, NOT the production path. Correct, but the
+    optimizer makes it pathological downstream: ``InferFiltersFromGenerate``
+    manufactures a ``size(fps) > 0`` filter under any explode of the
+    result, and predicate pushdown substitutes it through both staged
+    projections, re-inlining the gram-hash transform INSIDE the
+    per-window slice lambda — measured 16x+ re-evaluation (67 s for 500
+    docs where the kernel takes <1 s). Column staging can't prevent it:
+    filter pushdown through a Project has no expression-cost guard."""
+    staged = df.select(F.col(id_col).alias("__id"),
+                       _gram_hash_array(F.col(text_col), k).alias("__H"))
+    return staged.select(F.col("__id").alias(id_col),
+                         _winnow_min(F.col("__H"), w).alias("fingerprints"))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS —
+    the "local algorithms" fingerprinting paper behind Stanford's code
+    plagiarism detector).
+
+    Character k-grams are hashed (md5 hex — identical and comparable in
+    any engine); each sliding window of ``w`` consecutive gram hashes
+    contributes its MINIMUM. The selection is content-aligned, so the
+    winnowing guarantee holds: any substring of length ≥ ``k + w - 1``
+    shared verbatim by two documents shares at least one fingerprint —
+    unlike positional striding, which misses misaligned copies. Expected
+    density ≈ 2/(w+1) fingerprints per character, i.e. the exploded row
+    count is ~L/8 per doc at the defaults, not L.
+
+    Returns ``(id_col, fingerprints array<string>)`` — fingerprints is
+    the doc's DISTINCT selected hashes (sorted); NULL text → NULL;
+    shorter-than-k text → empty. Implemented as an Arrow-batched
+    mapInPandas kernel: map-only (no shuffle), vectorized sliding-min
+    over fixed-width numpy string arrays, and — decisive — a hard
+    optimizer barrier, which the expression formulation is not (see
+    :func:`_winnow_fingerprints_expr` for the measured hazard). md5 is
+    kept over xxhash64 because its hex form is engine-portable (the
+    DuckDB oracle computes the identical value).
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("fingerprints", T.ArrayType(T.StringType())),
+    ])
+    sub = df.select(id_col, text_col)
+
+    def gen(batches):
+        import hashlib
+        from collections import deque
+
+        import pandas as pd
+
+        def winnow(txt: str) -> list:
+            L = len(txt)
+            if L < k:
+                return []
+            H = [hashlib.md5(txt[p:p + k].encode("utf-8")).hexdigest()
+                 for p in range(L - k + 1)]
+            if len(H) < w:
+                return [min(H)]
+            # monotonic-deque sliding minimum: exact, O(m) amortized
+            # (numpy can't reduce over fixed-width string dtypes)
+            sel = set()
+            dq: deque = deque()  # indices, H-values increasing
+            for i, h in enumerate(H):
+                while dq and H[dq[-1]] >= h:
+                    dq.pop()
+                dq.append(i)
+                if dq[0] <= i - w:
+                    dq.popleft()
+                if i >= w - 1:
+                    sel.add(H[dq[0]])
+            return sorted(sel)
+
+        for pdf in batches:
+            fps_out = [
+                None if (txt is None
+                         or (isinstance(txt, float) and pd.isna(txt)))
+                else winnow(txt)
+                for txt in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "fingerprints": fps_out})
+
+    return sub.mapInPandas(gen, out_schema)
+
+
+def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
+                    min_docs: int = 2, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document repeated-span statistics — the Spark re-expression of
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find spans of ≥
+    ``k + w - 1`` characters that recur verbatim across ≥ ``min_docs``
+    distinct documents. The published method builds a corpus-wide suffix
+    array — inherently single-machine; winnowed fingerprints give the
+    same cross-document guarantee as a two-shuffle DataFrame plan.
+
+    Returns ``(id_col, n_spans, n_dup_spans, dup_frac)`` — one row per
+    input document. ``n_spans`` counts the doc's distinct fingerprints;
+    ``n_dup_spans`` those shared with ≥ ``min_docs - 1`` OTHER documents;
+    ``dup_frac`` their ratio (NULL when the doc is too short to
+    fingerprint, mirroring the null-signal convention).
+
+    Scale shape: fingerprint explode is map-only (~2L/(w+1) rows per
+    doc); one aggregation keyed by fingerprint computes the distinct-doc
+    count (map-side partial agg eats within-partition repeats); the dup
+    set re-joins the exploded rows by the SAME key, so the exchange is
+    reused; final per-doc rollup is one shuffle on the doc id. Nothing
+    quadratic, nothing driver-side.
+    """
+    base = (winnow_fingerprints(df, k=k, w=w, text_col=text_col,
+                                id_col=id_col)
+            .select(F.col(id_col).alias("__id"),
+                    F.col("fingerprints").alias("__fps")))
+    sp = base.select("__id", F.explode("__fps").alias("__h"))
+    dup = (sp.groupBy("__h")
+             .agg(F.count_distinct("__id").alias("__nd"))
+             .filter(F.col("__nd") >= F.lit(min_docs))
+             .select("__h"))
+    dup_counts = (sp.join(dup, "__h", "left_semi")
+                    .groupBy("__id")
+                    .agg(F.count("*").alias("n_dup_spans")))
+    per_doc = base.select(
+        "__id",
+        # explicit: NULL text -> NULL count (size(NULL) is -1 with ANSI
+        # off, NULL with ANSI on — don't depend on the mode)
+        F.when(F.col("__fps").isNotNull(),
+               F.size("__fps")).alias("n_spans"))
+    out = (per_doc.join(dup_counts, "__id", "left")
+           .select(
+               F.col("__id").alias(id_col),
+               F.col("n_spans").cast("long").alias("n_spans"),
+               F.when(F.col("n_spans").isNull(), F.lit(None))
+                .otherwise(F.coalesce(F.col("n_dup_spans"), F.lit(0)))
+                .cast("long").alias("n_dup_spans")))
+    return out.withColumn(
+        "dup_frac",
+        F.when(F.col("n_spans") > 0,
+               F.round(F.col("n_dup_spans") / F.col("n_spans"), 9)))
+
+
+def drop_duplicate_spans_docs(df: DataFrame, max_dup_frac: float = 0.5,
+                              k: int = 25, w: int = 16,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Filter wrapper: drop documents whose repeated-span fraction
+    exceeds ``max_dup_frac`` (docs with no fingerprints pass — no
+    evidence is not a removal signal)."""
+    stats = duplicate_spans(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    keep = stats.filter((F.col("dup_frac").isNull())
+                        | (F.col("dup_frac") <= F.lit(max_dup_frac))) \
+                .select(F.col(id_col))
+    return df.join(keep, id_col, "left_semi")

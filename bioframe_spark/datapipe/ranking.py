@@ -1,0 +1,124 @@
+"""Lexical retrieval scoring over the corpus — BM25 and TF-IDF.
+
+The training-data use case: score every document against a fixed query
+(a topic probe, a quality template, a decontamination target) and keep /
+bucket / down-sample by relevance. Everything is JVM-side expressions;
+the only Python is driver-side query tokenization.
+
+100 TB design
+-------------
+One corpus scan projects ``(id, doc_len, matching-term explode)``; the
+array is pre-filtered to the query's terms BEFORE the explode, so the
+exploded row count is bounded by ``n_docs * n_query_terms`` (not corpus
+token count). Term document-frequencies are a ≤ ``n_query_terms``-row
+aggregate joined back via broadcast. Corpus stats (N, avgdl) are one
+2-scalar aggregate job. Net: one narrow shuffle on ``(id, term)`` whose
+width is the query length — the plan scales with the scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _query_terms(query: str) -> list[str]:
+    """Driver-side tokenization — the same rule the corpus side applies
+    (lowercase, split on non-alphanumeric runs), deduplicated in first-
+    seen order so a repeated query word doesn't double-count its score.
+    """
+    seen: dict[str, None] = {}
+    for t in re.split(TOKEN_SPLIT_RE, query.lower()):
+        if t:
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def _doc_tokens(text_col: str):
+    toks = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def _term_frequencies(df: DataFrame, terms: list[str], id_col: str,
+                      text_col: str) -> DataFrame:
+    """(id, __dl, __tok, tf) for query terms only — the array is filtered
+    to the query vocabulary before the explode, so the exploded row count
+    is bounded by len(terms) per document, not the document length."""
+    toks = _doc_tokens(text_col)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    matching = F.filter(toks, lambda x: F.array_contains(term_arr, x))
+    d0 = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(toks).alias("__dl"),
+        F.explode(matching).alias("__tok"),
+    )
+    return d0.groupBy("__id", "__dl", "__tok").agg(F.count("*").alias("tf"))
+
+
+def bm25_scores(df: DataFrame, query: str, *, id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+                top_n: int | None = None,
+                score_decimals: int | None = 6) -> DataFrame:
+    """Okapi BM25 score of every document containing ≥1 query term.
+
+    idf follows the Lucene/BM25+ form ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (never negative, so a term in >50% of documents degrades gracefully
+    instead of penalizing). ``score_decimals`` rounds the final sum —
+    per-term scores are bit-identical across engines but their addition
+    order is not; rounding pins a reproducible value (None = raw double).
+
+    Returns (id_col, score) — ordered by nothing (top_n applies a global
+    sort + limit when set: fine, the scored set is small after the
+    query-term filter).
+    """
+    terms = _query_terms(query)
+    if not terms:
+        return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    tf = _term_frequencies(df, terms, id_col, text_col)
+
+    # corpus stats: one 2-scalar aggregate over a map-only projection
+    toks = _doc_tokens(text_col)
+    n_docs, avgdl = df.select(
+        F.count("*"), F.avg(F.size(toks))).first()
+    avgdl = float(avgdl or 0.0) or 1.0
+
+    # per-term document frequency: ≤ len(terms) rows -> broadcast back
+    dft = tf.groupBy("__tok").agg(F.count("*").alias("__dft"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__dft")
+                              + F.lit(0.5)) / (F.col("__dft") + F.lit(0.5)))
+    per_term = (idf * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                   + F.lit(b) * F.col("__dl") / F.lit(avgdl))))
+    scored = (tf.join(F.broadcast(dft), "__tok")
+                .groupBy("__id").agg(F.sum(per_term).alias("score")))
+    score = (F.round(F.col("score"), score_decimals)
+             if score_decimals is not None else F.col("score"))
+    out = scored.select(F.col("__id").alias(id_col), score.alias("score"))
+    if top_n is not None:
+        out = out.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
+    return out
+
+
+def tfidf_scores(df: DataFrame, query: str, *, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 score_decimals: int | None = 6) -> DataFrame:
+    """Classic ltc-style TF-IDF relevance: sum over query terms of
+    ``(1 + ln(tf)) * ln(N / df)``. Same plan shape as :func:`bm25_scores`
+    (pre-filtered explode, broadcast term stats, one narrow shuffle)."""
+    terms = _query_terms(query)
+    if not terms:
+        return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    tf = _term_frequencies(df, terms, id_col, text_col)
+    n_docs = df.count()
+    dft = tf.groupBy("__tok").agg(F.count("*").alias("__dft"))
+    per_term = ((F.lit(1.0) + F.log(F.col("tf").cast("double")))
+                * F.log(F.lit(float(n_docs)) / F.col("__dft")))
+    scored = (tf.join(F.broadcast(dft), "__tok")
+                .groupBy("__id").agg(F.sum(per_term).alias("score")))
+    score = (F.round(F.col("score"), score_decimals)
+             if score_decimals is not None else F.col("score"))
+    return scored.select(F.col("__id").alias(id_col), score.alias("score"))

@@ -270,9 +270,10 @@ def select_mask(df: DataFrame, region, cols=None, mask_col: str = "mask") -> Dat
     this returns the input WITH a boolean ``mask_col`` instead — same
     information, row-aligned by construction rather than by index. Do
     NOT collect this expecting the reference's array: Spark output
-    order is undefined. For a positional array over the CANONICAL
-    (chrom, start, end) order, collect ``select_mask(df, r)`` sorted by
-    that key, or use :func:`select_indices` (dense canonical-order ids
+    order is undefined. For the reference's positional semantics use
+    :func:`select_mask_positional` — ``(index, mask)`` rows over the
+    canonical (chrom, start, end) order or any caller-supplied stable
+    index column — or :func:`select_indices` (dense canonical-order ids
     of the matching rows)."""
     ck, sk, ek = _resolve_cols(cols)
     chrom, start, end = parse_region(region)
@@ -282,6 +283,42 @@ def select_mask(df: DataFrame, region, cols=None, mask_col: str = "mask") -> Dat
             region_select_predicate(F.col(ck), F.col(sk), F.col(ek), chrom, start, end),
             F.lit(False),
         ),
+    )
+
+
+def select_mask_positional(df: DataFrame, region, cols=None,
+                           index_col: str | None = None) -> DataFrame:
+    """The reference's POSITIONAL boolean mask (``ops.py:29-67``) as rows.
+
+    Returns ``(index, mask)`` — one row per input row, ``mask`` true where
+    the interval overlaps ``region``. With ``index_col=None`` the index is
+    the dense global id in canonical (chrom, start, end) order (the only
+    total order a distributed frame can promise; collecting sorted by
+    ``index`` reproduces the reference's array over the canonically-sorted
+    input exactly, and ``np.nonzero`` of it equals :func:`select_indices`).
+    Pass ``index_col`` naming a stable id column to get positional parity
+    for ANY row order the caller has encoded — e.g. a pandas RangeIndex
+    carried through ``spark.createDataFrame(pdf.reset_index())``.
+
+    No shuffle when ``index_col`` is given (pure projection); otherwise one
+    per-chrom window + broadcast offset join (see ``_with_global_rid``).
+    """
+    ck, sk, ek = _resolve_cols(cols)
+    _verify_columns(df, [ck, sk, ek], "select_mask_positional")
+    chrom, start, end = parse_region(region)
+    if index_col is None:
+        d = _with_global_rid(df, ck, sk, ek, "index")
+        index_col = "index"
+    else:
+        _verify_columns(df, [index_col], "select_mask_positional")
+        d = df
+    return d.select(
+        F.col(index_col).cast("long").alias("index"),
+        F.coalesce(
+            region_select_predicate(F.col(ck), F.col(sk), F.col(ek),
+                                    chrom, start, end),
+            F.lit(False),
+        ).alias("mask"),
     )
 
 

@@ -536,3 +536,163 @@ def test_expand_negative_pad_sentinel_midpoint(spark):
     # a 1-width interval collapses to its floor midpoint
     assert (5, 5) in out
     assert (None, None) in out
+
+
+# --------------------------------------------------------------------------
+# select_mask_positional: the reference's positional boolean mask as rows
+# (reference ops.py:29-67) — closes the documented select_mask deviation
+# --------------------------------------------------------------------------
+
+def test_select_mask_positional_canonical(spark):
+    df = spark.createDataFrame(
+        [("chr1", 1, 5), ("chr1", 3, 8), ("chr2", 4, 10), ("chr1", None, None)],
+        "chrom string, start long, end long")
+    out = bf.select_mask_positional(df, "chr1:4-9").orderBy("index").collect()
+    assert [(r["index"], r["mask"]) for r in out] == [
+        (0, True), (1, True), (2, False), (3, False)]
+    # np.nonzero(mask) == select_indices, by construction
+    nz = [r["index"] for r in out if r["mask"]]
+    idx = sorted(r["index"]
+                 for r in bf.select_indices(df, "chr1:4-9").collect())
+    assert nz == idx
+
+
+def test_select_mask_positional_index_col(spark):
+    # explicit stable index column — positional parity for ANY caller
+    # ordering (e.g. a pandas RangeIndex carried through createDataFrame)
+    df = spark.createDataFrame(
+        [(7, "chr1", 0, 5), (3, "chr1", 10, 20), (9, "chr2", 0, 5)],
+        "rid long, chrom string, start long, end long")
+    out = bf.select_mask_positional(df, "chr1:0-6", index_col="rid")
+    assert out.columns == ["index", "mask"]
+    got = {r["index"]: r["mask"] for r in out.collect()}
+    assert got == {7: True, 3: False, 9: False}
+
+
+def test_select_mask_positional_point_interval(spark):
+    # point interval AT the query start is included (reference mask's
+    # special case: (start == end) & (start == query_start))
+    df = spark.createDataFrame(
+        [("chr1", 4, 4), ("chr1", 9, 9)], "chrom string, start long, end long")
+    out = {r["index"]: r["mask"]
+           for r in bf.select_mask_positional(df, "chr1:4-9").collect()}
+    assert out == {0: True, 1: False}
+
+
+# --------------------------------------------------------------------------
+# winnowed repeated-span dedup (Lee et al. 2022 via Schleimer et al.
+# winnowing) + BM25/TF-IDF ranking
+# --------------------------------------------------------------------------
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_basic(spark):
+    from bioframe_spark.datapipe import dedup as ddp
+
+    docs = _mk_docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "zz the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely unrelated text with different spans entirely here"),
+        (4, None),
+        (5, "short"),
+    ])
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+           for r in ddp.duplicate_spans(docs, k=10, w=4).collect()}
+    assert got[4] == (None, None, None)          # null text -> null signals
+    assert got[5] == (0, 0, None)                # too short to fingerprint
+    assert got[3][1] == 0 and got[3][2] == 0.0   # clean doc
+    # docs 1 and 2 share a >=(k+w-1)-char span -> both flagged heavily
+    assert got[1][1] > 0 and got[2][1] > 0
+    assert got[1][2] > 0.5 and got[2][2] > 0.5
+
+
+def test_winnowing_guarantee_misaligned(spark):
+    # the winnowing theorem: a shared verbatim substring of length
+    # >= k + w - 1 yields >=1 shared fingerprint REGARDLESS of alignment
+    # (this is exactly what positional striding gets wrong)
+    from bioframe_spark.datapipe import dedup as ddp
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    k, w = 8, 5
+    shared = "".join(rng.choice(alpha) for _ in range(k + w - 1))
+    rows = []
+    for i, off in enumerate([0, 1, 3, 7, 13]):
+        pre = "".join(rng.choice(alpha.upper()) for _ in range(off))
+        post = "".join(rng.choice(alpha.upper()) for _ in range(11))
+        rows.append((i, pre + shared + post))
+    docs = _mk_docs(spark, rows)
+    out = ddp.duplicate_spans(docs, k=k, w=w)
+    assert all(r["n_dup_spans"] >= 1 for r in out.collect())
+
+
+def test_winnow_kernel_matches_expression(spark):
+    from pyspark.sql import functions as F
+    from bioframe_spark.datapipe import dedup as ddp
+
+    docs = _mk_docs(spark, [
+        (1, "aaaaabbbbbcccccdddddeeeee"),
+        (2, "aaaaabbbbbcccccdddddeeeee"),   # exact dup
+        (3, "xx aaaaabbbbbcccccdddddeeeee yy"),
+        (4, None),
+        (5, "tiny"),
+        (6, "exactly-k-chars-doc!!"),
+    ])
+    a = sorted(map(tuple, ddp.winnow_fingerprints(docs, k=10, w=4)
+                   .select("doc_id", F.explode("fingerprints")).collect()))
+    b = sorted(map(tuple, ddp._winnow_fingerprints_expr(docs, k=10, w=4)
+                   .select("doc_id", F.explode("fingerprints")).collect()))
+    assert a == b
+    # null/empty semantics match too
+    an = {r["doc_id"]: r["fingerprints"] for r in
+          ddp.winnow_fingerprints(docs, k=10, w=4).collect()}
+    assert an[4] is None and an[5] == []
+
+
+def test_drop_duplicate_spans_docs(spark):
+    from bioframe_spark.datapipe import dedup as ddp
+
+    docs = _mk_docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely unrelated text with different spans entirely here"),
+        (4, None),
+    ])
+    kept = {r["doc_id"] for r in
+            ddp.drop_duplicate_spans_docs(docs, max_dup_frac=0.5,
+                                          k=10, w=4).collect()}
+    assert kept == {3, 4}  # exact dups dropped; clean + no-evidence kept
+
+
+def test_bm25_and_tfidf(spark):
+    import math
+    from bioframe_spark.datapipe import ranking as rk
+
+    docs = _mk_docs(spark, [
+        (1, "spark spark spark engine"),
+        (2, "spark engine"),
+        (3, "pandas frame"),
+        (4, None),
+    ])
+    out = {r["doc_id"]: r["score"]
+           for r in rk.bm25_scores(docs, "spark").collect()}
+    assert set(out) == {1, 2}          # only docs containing a query term
+    assert out[1] > out[2]             # higher tf wins (dl penalty < tf gain)
+    # hand-check doc 2: tf=1, dl=2, N=4, df=2, avgdl=(4+2+2)/3
+    avgdl = 8 / 3
+    idf = math.log(1.0 + (4.0 - 2 + 0.5) / (2 + 0.5))
+    exp = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / avgdl))
+    assert abs(out[2] - round(exp, 6)) < 1e-9
+    # top_n truncates by score desc
+    top = rk.bm25_scores(docs, "spark", top_n=1).collect()
+    assert [r["doc_id"] for r in top] == [1]
+    # empty query -> empty typed frame
+    assert rk.bm25_scores(docs, "!!!").count() == 0
+
+    tf = {r["doc_id"]: r["score"] for r in
+          rk.tfidf_scores(docs, "spark pandas").collect()}
+    assert set(tf) == {1, 2, 3}
+    assert tf[1] > tf[2]               # (1+ln 3) vs (1+ln 1) on same idf
