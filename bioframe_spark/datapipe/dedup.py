@@ -847,11 +847,16 @@ def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
     """
     from pyspark.sql import types as T
 
+    from ..operators.ops import _spread_if_underpartitioned
+
     out_schema = T.StructType([
         df.schema[id_col],
         T.StructField("fingerprints", T.ArrayType(T.StringType())),
     ])
-    sub = df.select(id_col, text_col)
+    # a single-file corpus arrives as ONE partition and serializes the
+    # md5 loop onto one core — round-robin only when under-split (no-op
+    # on a well-split 100 TB scan)
+    sub = _spread_if_underpartitioned(df.select(id_col, text_col))
 
     def gen(batches):
         import hashlib
@@ -896,7 +901,7 @@ def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
 
 def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
                     min_docs: int = 2, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id", cache: bool | str = "auto") -> DataFrame:
     """Per-document repeated-span statistics — the Spark re-expression of
     exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find spans of ≥
@@ -917,11 +922,26 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
     set re-joins the exploded rows by the SAME key, so the exchange is
     reused; final per-doc rollup is one shuffle on the doc id. Nothing
     quadratic, nothing driver-side.
+
+    ``cache``: the fingerprint kernel output feeds three plan branches
+    (dup-set agg, semi-join probe, per-doc span counts) — left lazy, the
+    Python kernel re-executes per consumer (the jaccard df-cutoff lesson,
+    measured there at 2.3x). "auto" caches it when the INPUT plan
+    estimate is under ``spark.bioframe.fingerprintCacheBytes`` (64 MB —
+    fingerprints are ~L/8 of the text); the handle rides the result for
+    :func:`release_cache`. Over the gate the recompute is the honest
+    trade — at 100 TB, caching the corpus is the bigger cost.
     """
+    if cache == "auto":
+        from ..operators.ops import _plan_size_bytes, _threshold
+        cache = _plan_size_bytes(df) <= _threshold(
+            df, "fingerprintCacheBytes", 64 << 20)
     base = (winnow_fingerprints(df, k=k, w=w, text_col=text_col,
                                 id_col=id_col)
             .select(F.col(id_col).alias("__id"),
                     F.col("fingerprints").alias("__fps")))
+    if cache:
+        base = base.cache()
     sp = base.select("__id", F.explode("__fps").alias("__h"))
     dup = (sp.groupBy("__h")
              .agg(F.count_distinct("__id").alias("__nd"))
@@ -943,10 +963,13 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
                F.when(F.col("n_spans").isNull(), F.lit(None))
                 .otherwise(F.coalesce(F.col("n_dup_spans"), F.lit(0)))
                 .cast("long").alias("n_dup_spans")))
-    return out.withColumn(
+    out = out.withColumn(
         "dup_frac",
         F.when(F.col("n_spans") > 0,
                F.round(F.col("n_dup_spans") / F.col("n_spans"), 9)))
+    if cache:
+        out._bioframe_cache = [base]
+    return out
 
 
 def drop_duplicate_spans_docs(df: DataFrame, max_dup_frac: float = 0.5,

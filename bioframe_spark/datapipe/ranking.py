@@ -78,6 +78,11 @@ def bm25_scores(df: DataFrame, query: str, *, id_col: str = "doc_id",
     terms = _query_terms(query)
     if not terms:
         return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    # a single-file corpus arrives as ONE partition and serializes the
+    # tokenize+explode and the stats partials onto one core (no-op on a
+    # well-split scan)
+    from ..operators.ops import _spread_if_underpartitioned
+    df = _spread_if_underpartitioned(df.select(id_col, text_col))
     tf = _term_frequencies(df, terms, id_col, text_col)
 
     # corpus stats: one 2-scalar aggregate over a map-only projection
@@ -112,6 +117,8 @@ def tfidf_scores(df: DataFrame, query: str, *, id_col: str = "doc_id",
     terms = _query_terms(query)
     if not terms:
         return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    from ..operators.ops import _spread_if_underpartitioned
+    df = _spread_if_underpartitioned(df.select(id_col, text_col))
     tf = _term_frequencies(df, terms, id_col, text_col)
     n_docs = df.count()
     dft = tf.groupBy("__tok").agg(F.count("*").alias("__dft"))
