@@ -1192,6 +1192,12 @@ def q_dup_spans(spark, sf_dir):
     return ddp.duplicate_spans(docs, k=25, w=16)
 
 
+def q_vocab_topk(spark, sf_dir):
+    from bioframe_spark.datapipe import ranking
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.vocab_topk(docs, n=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the first
     # 50 entries.  Rows 1-16 are the queries that had no driver row in
@@ -1248,7 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "semdedup": q_semdedup,
         "bm25": q_bm25,
-        "dup_spans": q_dup_spans,  # r6 new operator in-gate
+        "dup_spans": q_dup_spans,
+        "vocab_topk": q_vocab_topk,  # r6 new operator in-gate
         "train_split": q_train_split,
         "domain_cap": q_domain_cap,
         "mixture": q_mixture,
@@ -2947,6 +2954,16 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "select_mask": select_mask,
         "bm25": bm25,
         "dup_spans": dup_spans,
+        "vocab_topk": """
+SELECT tok AS token, count(*) AS cnt
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                x -> x <> '')) AS tok
+      FROM documents)
+GROUP BY 1
+ORDER BY cnt DESC, token
+LIMIT 50
+""",
         "select_labels": select_labels,
         "sort_view_rank": sort_view_rank,
         "checks": checks_sql,

@@ -8,7 +8,7 @@ is bounded by bucket size, which LSH banding keeps small by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -819,6 +819,36 @@ def _winnow_fingerprints_expr(df: DataFrame, k: int = 25, w: int = 16,
                          _winnow_min(F.col("__H"), w).alias("fingerprints"))
 
 
+def _make_winnow_doc(k: int, w: int):
+    """Per-document winnowing closure shared by the kernels below."""
+    import hashlib
+    from collections import deque
+
+    def winnow(txt: str) -> list:
+        L = len(txt)
+        if L < k:
+            return []
+        H = [hashlib.md5(txt[p:p + k].encode("utf-8")).hexdigest()
+             for p in range(L - k + 1)]
+        if len(H) < w:
+            return [min(H)]
+        # monotonic-deque sliding minimum: exact, O(m) amortized
+        # (numpy can't reduce over fixed-width string dtypes)
+        sel = set()
+        dq: deque = deque()  # indices, H-values increasing
+        for i, h in enumerate(H):
+            while dq and H[dq[-1]] >= h:
+                dq.pop()
+            dq.append(i)
+            if dq[0] <= i - w:
+                dq.popleft()
+            if i >= w - 1:
+                sel.add(H[dq[0]])
+        return sorted(sel)
+
+    return winnow
+
+
 def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
@@ -847,8 +877,6 @@ def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
     """
     from pyspark.sql import types as T
 
-    from ..operators.ops import _spread_if_underpartitioned
-
     out_schema = T.StructType([
         df.schema[id_col],
         T.StructField("fingerprints", T.ArrayType(T.StringType())),
@@ -859,33 +887,9 @@ def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
     sub = _spread_if_underpartitioned(df.select(id_col, text_col))
 
     def gen(batches):
-        import hashlib
-        from collections import deque
-
         import pandas as pd
 
-        def winnow(txt: str) -> list:
-            L = len(txt)
-            if L < k:
-                return []
-            H = [hashlib.md5(txt[p:p + k].encode("utf-8")).hexdigest()
-                 for p in range(L - k + 1)]
-            if len(H) < w:
-                return [min(H)]
-            # monotonic-deque sliding minimum: exact, O(m) amortized
-            # (numpy can't reduce over fixed-width string dtypes)
-            sel = set()
-            dq: deque = deque()  # indices, H-values increasing
-            for i, h in enumerate(H):
-                while dq and H[dq[-1]] >= h:
-                    dq.pop()
-                dq.append(i)
-                if dq[0] <= i - w:
-                    dq.popleft()
-                if i >= w - 1:
-                    sel.add(H[dq[0]])
-            return sorted(sel)
-
+        winnow = _make_winnow_doc(k, w)
         for pdf in batches:
             fps_out = [
                 None if (txt is None
@@ -901,7 +905,7 @@ def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
 
 def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
                     min_docs: int = 2, text_col: str = "text",
-                    id_col: str = "doc_id", cache: bool | str = "auto") -> DataFrame:
+                    id_col: str = "doc_id") -> DataFrame:
     """Per-document repeated-span statistics — the Spark re-expression of
     exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find spans of ≥
@@ -916,60 +920,71 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
     ``dup_frac`` their ratio (NULL when the doc is too short to
     fingerprint, mirroring the null-signal convention).
 
-    Scale shape: fingerprint explode is map-only (~2L/(w+1) rows per
-    doc); one aggregation keyed by fingerprint computes the distinct-doc
-    count (map-side partial agg eats within-partition repeats); the dup
-    set re-joins the exploded rows by the SAME key, so the exchange is
-    reused; final per-doc rollup is one shuffle on the doc id. Nothing
-    quadratic, nothing driver-side.
-
-    ``cache``: the fingerprint kernel output feeds three plan branches
-    (dup-set agg, semi-join probe, per-doc span counts) — left lazy, the
-    Python kernel re-executes per consumer (the jaccard df-cutoff lesson,
-    measured there at 2.3x). "auto" caches it when the INPUT plan
-    estimate is under ``spark.bioframe.fingerprintCacheBytes`` (64 MB —
-    fingerprints are ~L/8 of the text); the handle rides the result for
-    :func:`release_cache`. Over the gate the recompute is the honest
-    trade — at 100 TB, caching the corpus is the bigger cost.
+    Scale shape — the kernel runs EXACTLY ONCE at every scale: it emits
+    PRE-EXPLODED rows ``(id, n_spans, fingerprint)`` (one per distinct
+    doc fingerprint; fingerprint-less and null-text docs emit one
+    null-fingerprint row), so downstream is a single linear chain — one
+    window over the fingerprint (each doc contributes a fingerprint at
+    most once, so ``count(*)`` over the partition IS the distinct-doc
+    count) and one per-doc rollup. Two shuffles total, no self-join, no
+    multi-consumer re-execution of the Python stage, no cache to manage.
+    (The first formulation fed three consumers from the kernel; a
+    plan-size-gated cache fixed it at bench scale but the gate flips off
+    exactly where re-execution hurts most — the 16x ladder rung measured
+    5x wall on 4x data. Single-consumer-chain is the fix, not caching.)
+    A corpus-hot fingerprint makes one fat window partition — the same
+    skew any formulation keyed on the fingerprint has; winnowing's
+    distinct-per-doc emission bounds it at one row per affected doc.
     """
-    if cache == "auto":
-        from ..operators.ops import _plan_size_bytes, _threshold
-        cache = _plan_size_bytes(df) <= _threshold(
-            df, "fingerprintCacheBytes", 64 << 20)
-    base = (winnow_fingerprints(df, k=k, w=w, text_col=text_col,
-                                id_col=id_col)
-            .select(F.col(id_col).alias("__id"),
-                    F.col("fingerprints").alias("__fps")))
-    if cache:
-        base = base.cache()
-    sp = base.select("__id", F.explode("__fps").alias("__h"))
-    dup = (sp.groupBy("__h")
-             .agg(F.count_distinct("__id").alias("__nd"))
-             .filter(F.col("__nd") >= F.lit(min_docs))
-             .select("__h"))
-    dup_counts = (sp.join(dup, "__h", "left_semi")
-                    .groupBy("__id")
-                    .agg(F.count("*").alias("n_dup_spans")))
-    per_doc = base.select(
-        "__id",
-        # explicit: NULL text -> NULL count (size(NULL) is -1 with ANSI
-        # off, NULL with ANSI on — don't depend on the mode)
-        F.when(F.col("__fps").isNotNull(),
-               F.size("__fps")).alias("n_spans"))
-    out = (per_doc.join(dup_counts, "__id", "left")
-           .select(
-               F.col("__id").alias(id_col),
-               F.col("n_spans").cast("long").alias("n_spans"),
-               F.when(F.col("n_spans").isNull(), F.lit(None))
-                .otherwise(F.coalesce(F.col("n_dup_spans"), F.lit(0)))
-                .cast("long").alias("n_dup_spans")))
-    out = out.withColumn(
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("__id", df.schema[id_col].dataType),
+        T.StructField("__n", T.LongType()),
+        T.StructField("__h", T.StringType()),
+    ])
+    sub = _spread_if_underpartitioned(df.select(id_col, text_col))
+
+    def gen(batches):
+        import pandas as pd
+
+        winnow = _make_winnow_doc(k, w)
+        for pdf in batches:
+            ids, ns, hs = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    ids.append(did); ns.append(None); hs.append(None)
+                    continue
+                sel = winnow(txt)
+                if not sel:
+                    ids.append(did); ns.append(0); hs.append(None)
+                    continue
+                n = len(sel)
+                for h in sel:
+                    ids.append(did); ns.append(n); hs.append(h)
+            yield pd.DataFrame({"__id": ids, "__n": ns, "__h": hs})
+
+    ex = sub.mapInPandas(gen, out_schema)
+    # each doc emits a fingerprint at most once -> count(*) over the
+    # fingerprint partition == distinct-doc count (null fingerprints are
+    # excluded from dup-flagging below, their partition size is moot)
+    nd = F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    flagged = ex.withColumn("__nd", nd)
+    out = (flagged.groupBy("__id")
+           .agg(
+               F.max("__n").cast("long").alias("n_spans"),
+               F.sum(F.when(F.col("__h").isNotNull()
+                            & (F.col("__nd") >= F.lit(min_docs)), 1)
+                     .otherwise(0)).cast("long").alias("__dup")))
+    out = out.select(
+        F.col("__id").alias(id_col),
+        "n_spans",
+        F.when(F.col("n_spans").isNull(), F.lit(None))
+         .otherwise(F.col("__dup")).cast("long").alias("n_dup_spans"))
+    return out.withColumn(
         "dup_frac",
         F.when(F.col("n_spans") > 0,
                F.round(F.col("n_dup_spans") / F.col("n_spans"), 9)))
-    if cache:
-        out._bioframe_cache = [base]
-    return out
 
 
 def drop_duplicate_spans_docs(df: DataFrame, max_dup_frac: float = 0.5,

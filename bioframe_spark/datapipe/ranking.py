@@ -129,3 +129,20 @@ def tfidf_scores(df: DataFrame, query: str, *, id_col: str = "doc_id",
     score = (F.round(F.col("score"), score_decimals)
              if score_decimals is not None else F.col("score"))
     return scored.select(F.col("__id").alias(id_col), score.alias("score"))
+
+
+def vocab_topk(df: DataFrame, n: int = 100, *, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the ``n`` most frequent tokens with counts,
+    ties broken by token (ascending) so the cut is deterministic.
+
+    The tokenizer-building primitive: explode is map-only, the count is
+    one hash aggregate with map-side partial combine (the shuffle
+    carries DISTINCT tokens per partition, not the token stream), and
+    the top-n compiles to TakeOrderedAndProject — per-partition heaps +
+    a driver merge of n rows, never a global sort of the vocabulary.
+    """
+    from ..operators.ops import _spread_if_underpartitioned
+    t = (_spread_if_underpartitioned(df.select(text_col))
+         .select(F.explode(_doc_tokens(text_col)).alias("token")))
+    counts = t.groupBy("token").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(n)

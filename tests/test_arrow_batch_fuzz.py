@@ -88,3 +88,27 @@ def test_kernels_empty_df1(spark, tiny_batches):
     assert bf.coverage(d1, d2).count() == 0
     assert bf.count_overlaps(d1, d2).count() == 0
     assert bf.closest(d1, d2, strategy="broadcast").count() == 0
+
+
+@pytest.mark.parametrize("batch", [1, 2, 3])
+def test_winnow_kernel_batch_independent(spark, tiny_batches, batch):
+    # the winnow kernel is per-row by construction — pin it anyway: any
+    # batch slicing must reproduce the expression path bit-for-bit
+    from bioframe_spark.datapipe import dedup as ddp
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaabbbbbcccccdddddeeeee"),
+         (2, "aaaaabbbbbcccccdddddeeeee"),
+         (3, "xx aaaaabbbbbcccccdddddeeeee yy"),
+         (4, None), (5, "tiny"), (6, "exactly-k-chars-doc!!")],
+        "doc_id long, text string")
+    exp = sorted(map(tuple, ddp._winnow_fingerprints_expr(docs, k=10, w=4)
+                     .select("doc_id", F.explode("fingerprints")).collect()))
+    tiny_batches(batch)
+    got = sorted(map(tuple, ddp.winnow_fingerprints(docs, k=10, w=4)
+                     .select("doc_id", F.explode("fingerprints")).collect()))
+    assert got == exp
+    stats = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+             for r in ddp.duplicate_spans(docs, k=10, w=4).collect()}
+    assert stats[4] == (None, None) and stats[5] == (0, 0)
+    assert stats[1][1] > 0 and stats[2][1] > 0

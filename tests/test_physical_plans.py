@@ -303,3 +303,50 @@ def test_boilerplate_anti_join_broadcasts(spark, tmp_path):
     plan = _plan(tx.remove_boilerplate_lines(spark.read.parquet(p)))
     assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
     assert not re.search(r"SortMergeJoin.*LeftAnti", plan)
+
+
+def test_dup_spans_single_kernel_two_exchanges(spark, tmp_path):
+    # the §12-r06c contract: ONE Python kernel stage (pre-exploded
+    # emission), window on the fingerprint + per-doc rollup = exactly
+    # two Exchanges, no join, no InMemoryRelation (nothing to cache)
+    from bioframe_spark.datapipe import dedup as ddp
+
+    p = str(tmp_path / "docs")
+    _docs(spark).write.parquet(p)
+    plan = _plan(ddp.duplicate_spans(spark.read.parquet(p), k=10, w=4))
+    assert plan.count("MapInPandas") + plan.count("mapInPandas") == 1, plan
+    # two hash exchanges (fingerprint window + per-doc rollup); at most
+    # one additional round-robin from the under-split-scan spread
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange roundrobin") <= 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "InMemoryRelation"):
+        assert op not in plan, plan
+
+
+def test_bm25_broadcast_term_stats(spark, tmp_path):
+    # term document-frequencies re-enter via broadcast; the matching-row
+    # explode is bounded by the query vocabulary (array filtered BEFORE
+    # the generator)
+    from bioframe_spark.datapipe import ranking as rk
+
+    p = str(tmp_path / "docs_bm")
+    _docs(spark).write.parquet(p)
+    q = rk.bm25_scores(spark.read.parquet(p), "alpha zeta")
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    opt = _optimized(q)
+    # the generator input is the FILTERED array, not the raw token split
+    assert "explode" in opt and "array_contains" in opt, opt
+
+
+def test_vocab_topk_is_take_ordered(spark, tmp_path):
+    # top-n must compile to TakeOrderedAndProject (per-partition heaps),
+    # never a global Sort of the vocabulary
+    from bioframe_spark.datapipe import ranking as rk
+
+    p = str(tmp_path / "docs_v")
+    _docs(spark).write.parquet(p)
+    plan = _plan(rk.vocab_topk(spark.read.parquet(p), n=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan

@@ -696,3 +696,13 @@ def test_bm25_and_tfidf(spark):
           rk.tfidf_scores(docs, "spark pandas").collect()}
     assert set(tf) == {1, 2, 3}
     assert tf[1] > tf[2]               # (1+ln 3) vs (1+ln 1) on same idf
+
+
+def test_vocab_topk(spark):
+    from bioframe_spark.datapipe import ranking as rk
+
+    docs = _mk_docs(spark, [
+        (1, "b b b a a c"), (2, "a b"), (3, None), (4, "d! d? c,"),
+    ])
+    got = [(r["token"], r["cnt"]) for r in rk.vocab_topk(docs, n=3).collect()]
+    assert got == [("b", 4), ("a", 3), ("c", 2)]  # c ties d on 2, token asc
