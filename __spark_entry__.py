@@ -1192,6 +1192,12 @@ def q_dup_spans(spark, sf_dir):
     return ddp.duplicate_spans(docs, k=25, w=16)
 
 
+def q_span_removal(spark, sf_dir):
+    from bioframe_spark.datapipe import dedup as ddp
+    docs = _t(spark, sf_dir, "documents")
+    return ddp.remove_duplicate_spans(docs, k=25, w=16)
+
+
 def q_vocab_topk(spark, sf_dir):
     from bioframe_spark.datapipe import ranking
     docs = _t(spark, sf_dir, "documents")
@@ -1255,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "bm25": q_bm25,
         "dup_spans": q_dup_spans,
+        "span_removal": q_span_removal,
         "vocab_topk": q_vocab_topk,  # r6 new operator in-gate
         "train_split": q_train_split,
         "domain_cap": q_domain_cap,
@@ -2635,6 +2642,73 @@ FROM tf t JOIN dft d USING (tok) CROSS JOIN corpus c
 GROUP BY t.doc_id
 """
 
+    # Lee-et-al-style span REMOVAL (k=25, w=16): position-aware winnowing
+    # (rightmost argmin per window — the robust-winnowing tie rule the
+    # Spark kernel's >=-pop deque implements), min-id keeper per dup
+    # fingerprint, gaps-and-islands merge of [pos, pos+25) cut spans,
+    # string reconstruction from the kept segments.
+    span_removal = """
+WITH grams AS (
+  SELECT doc_id, text,
+         list_transform(generate_series(1, greatest(length(text) - 24, 0)),
+                        p -> md5(substr(text, p, 25))) AS H
+  FROM documents
+), sel AS (
+  SELECT doc_id, H,
+    CASE WHEN len(H) = 0 THEN []
+         WHEN len(H) < 16 THEN
+           [len(H) - list_position(list_reverse(H), list_aggregate(H, 'min'))]
+         ELSE list_distinct(list_transform(
+            generate_series(1, len(H) - 15),
+            i -> i + 16 - list_position(
+                   list_reverse(list_slice(H, i, i + 15)),
+                   list_aggregate(list_slice(H, i, i + 15), 'min')) - 1))
+    END AS pos0
+  FROM grams WHERE text IS NOT NULL
+), sp AS (
+  SELECT doc_id, unnest(pos0) AS pos, H[unnest(pos0) + 1] AS h FROM sel
+), stats AS (
+  SELECT h, min(doc_id) AS keeper
+  FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), cutpos AS (
+  SELECT sp.doc_id, sp.pos FROM sp JOIN stats USING (h)
+  WHERE sp.doc_id <> stats.keeper
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM cutpos)
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 25 AS e
+  FROM isl GROUP BY 1, 2
+), segrows AS (
+  SELECT sg.doc_id, sg.s, sg.e,
+         substr(g.text, sg.pe + 1, sg.s - sg.pe) AS seg, g.text AS text
+  FROM (SELECT doc_id, s, e,
+               lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        FROM spans) sg
+  JOIN grams g USING (doc_id)
+), percut AS (
+  SELECT doc_id,
+         string_agg(seg, '' ORDER BY s)
+           || substr(any_value(text), max(e) + 1) AS new_text,
+         count(*) AS n_cut_spans,
+         CAST(sum(e - s) AS BIGINT) AS n_removed_chars
+  FROM segrows GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.new_text, d.text) END AS text,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.n_cut_spans, 0) END AS n_cut_spans,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.n_removed_chars, 0) END AS n_removed_chars
+FROM documents d LEFT JOIN percut p USING (doc_id)
+"""
+
     # Winnowed repeated-span stats (k=25, w=16, min_docs=2): md5 k-gram
     # hashes, window minima, distinct; dup = fingerprint in >=2 docs.
     dup_spans = """
@@ -2954,6 +3028,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "select_mask": select_mask,
         "bm25": bm25,
         "dup_spans": dup_spans,
+        "span_removal": span_removal,
         "vocab_topk": """
 SELECT tok AS token, count(*) AS cnt
 FROM (SELECT unnest(list_filter(string_split_regex(lower(text),

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "dedup_components",
     "dup_spans",
+    "span_removal",
     "bm25",
     "sample_users",
     "train_split",

@@ -819,8 +819,15 @@ def _winnow_fingerprints_expr(df: DataFrame, k: int = 25, w: int = 16,
                          _winnow_min(F.col("__H"), w).alias("fingerprints"))
 
 
-def _make_winnow_doc(k: int, w: int):
-    """Per-document winnowing closure shared by the kernels below."""
+def _make_winnow_doc(k: int, w: int, with_pos: bool = False):
+    """Per-document winnowing closure shared by the kernels below.
+
+    ``with_pos=False``: sorted distinct selected hashes (the dedup-signal
+    fingerprint set). ``with_pos=True``: sorted distinct ``(pos, hash)``
+    pairs — the removal kernels need WHERE each fingerprint sits. Ties
+    among equal window hashes select the RIGHTMOST position (robust
+    winnowing's rule; the ``>=`` pop makes the deque keep the latest
+    index), so the position set is deterministic."""
     import hashlib
     from collections import deque
 
@@ -831,7 +838,12 @@ def _make_winnow_doc(k: int, w: int):
         H = [hashlib.md5(txt[p:p + k].encode("utf-8")).hexdigest()
              for p in range(L - k + 1)]
         if len(H) < w:
-            return [min(H)]
+            if not with_pos:
+                return [min(H)]
+            m = min(H)
+            # rightmost occurrence, consistent with the deque rule
+            p = len(H) - 1 - H[::-1].index(m)
+            return [(p, m)]
         # monotonic-deque sliding minimum: exact, O(m) amortized
         # (numpy can't reduce over fixed-width string dtypes)
         sel = set()
@@ -843,7 +855,7 @@ def _make_winnow_doc(k: int, w: int):
             if dq[0] <= i - w:
                 dq.popleft()
             if i >= w - 1:
-                sel.add(H[dq[0]])
+                sel.add((dq[0], H[dq[0]]) if with_pos else H[dq[0]])
         return sorted(sel)
 
     return winnow
@@ -999,3 +1011,111 @@ def drop_duplicate_spans_docs(df: DataFrame, max_dup_frac: float = 0.5,
                         | (F.col("dup_frac") <= F.lit(max_dup_frac))) \
                 .select(F.col(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
+                           min_docs: int = 2, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """CUT duplicated spans out of the corpus, keeping one canonical
+    copy — the removal half of Lee et al. 2022's exact-substring dedup
+    ("remove all but one occurrence of each duplicated substring").
+
+    For every winnowed fingerprint occurring in ≥ ``min_docs`` distinct
+    documents, the minimum-id document KEEPS its occurrences (the same
+    canonical-pick convention as :func:`drop_near_duplicates`); every
+    other document has the fingerprint's k-gram span ``[pos, pos+k)``
+    cut. Adjacent/overlapping cut spans merge before cutting, and a long
+    duplicated region carries selected grams every ≤ w positions, so the
+    merged cut covers it end-to-end except up to ~k+w boundary chars per
+    edge — the winnowing-granularity approximation of the suffix-array
+    method (which this engine deliberately avoids: a corpus-wide suffix
+    array is single-machine by construction).
+
+    Returns ``(id_col, text_col, n_cut_spans, n_removed_chars)`` — one
+    row per input document, text rewritten (NULL text passes through
+    with NULL counters; untouched docs report 0/0).
+
+    Scale shape: position kernel (map-only) → one aggregation keyed by
+    fingerprint (count_distinct + min id; its two-phase expansion is
+    Spark's own) → join positions→dup-set on the fingerprint (exchange
+    reuse with the agg) → per-doc cut-list rollup (bounded by the doc's
+    own length / gram density — never corpus-sized) → one shuffle of the
+    corpus on the doc id into the Arrow cut kernel. The corpus text
+    moves through exactly one exchange; everything keyed on the
+    fingerprint carries (id, hash, pos) rows only.
+    """
+    from pyspark.sql import types as T
+
+    pos_schema = T.StructType([
+        T.StructField("__id", df.schema[id_col].dataType),
+        T.StructField("__h", T.StringType()),
+        T.StructField("__pos", T.LongType()),
+    ])
+    sub = _spread_if_underpartitioned(df.select(id_col, text_col))
+
+    def gen_pos(batches):
+        import pandas as pd
+
+        winnow = _make_winnow_doc(k, w, with_pos=True)
+        for pdf in batches:
+            ids, hs, ps = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    continue
+                for p, h in winnow(txt):
+                    ids.append(did); hs.append(h); ps.append(p)
+            yield pd.DataFrame({"__id": ids, "__h": hs, "__pos": ps})
+
+    ex = sub.mapInPandas(gen_pos, pos_schema)
+    stats = (ex.groupBy("__h")
+               .agg(F.count_distinct("__id").alias("__nd"),
+                    F.min("__id").alias("__keeper"))
+               .filter(F.col("__nd") >= F.lit(min_docs))
+               .select("__h", "__keeper"))
+    cuts = (ex.join(stats, "__h")
+              .filter(F.col("__id") != F.col("__keeper"))
+              .groupBy("__id")
+              .agg(F.collect_list("__pos").alias("__cuts")))
+
+    out_schema = T.StructType([
+        df.schema[id_col], df.schema[text_col],
+        T.StructField("n_cut_spans", T.LongType()),
+        T.StructField("n_removed_chars", T.LongType()),
+    ])
+    joined = df.select(id_col, text_col).join(
+        cuts.withColumnRenamed("__id", id_col), id_col, "left")
+
+    def gen_cut(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts, nspans, nchars = [], [], []
+            for txt, cut in zip(pdf[text_col], pdf["__cuts"]):
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    texts.append(None); nspans.append(None); nchars.append(None)
+                    continue
+                if cut is None or not len(cut):
+                    texts.append(txt); nspans.append(0); nchars.append(0)
+                    continue
+                # merge [p, p+k) spans, then cut right-to-left
+                spans = []
+                for p in sorted(int(p) for p in cut):
+                    if spans and p <= spans[-1][1]:
+                        spans[-1][1] = max(spans[-1][1], p + k)
+                    else:
+                        spans.append([p, p + k])
+                L = len(txt)
+                removed = sum(min(e, L) - s for s, e in spans)
+                kept = []
+                prev = 0
+                for s, e in spans:
+                    kept.append(txt[prev:s])
+                    prev = min(e, L)
+                kept.append(txt[prev:])
+                texts.append("".join(kept))
+                nspans.append(len(spans)); nchars.append(removed)
+            yield pd.DataFrame({id_col: pdf[id_col], text_col: texts,
+                                "n_cut_spans": nspans,
+                                "n_removed_chars": nchars})
+
+    return joined.mapInPandas(gen_cut, out_schema)

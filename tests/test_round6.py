@@ -706,3 +706,35 @@ def test_vocab_topk(spark):
     ])
     got = [(r["token"], r["cnt"]) for r in rk.vocab_topk(docs, n=3).collect()]
     assert got == [("b", 4), ("a", 3), ("c", 2)]  # c ties d on 2, token asc
+
+
+def test_remove_duplicate_spans(spark):
+    from pyspark.sql import functions as F
+    from bioframe_spark.datapipe import dedup as ddp
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = _mk_docs(spark, [
+        (1, "AA " + shared + " BB"),
+        (2, "CC " + shared + " DD"),
+        (3, "EE " + shared + " FF"),
+        (4, "totally different content with no repeats in it at all"),
+        (5, None), (6, "tiny"),
+    ])
+    out = {r["doc_id"]: r for r in
+           ddp.remove_duplicate_spans(docs, k=10, w=4).collect()}
+    # min-id doc keeps its copy verbatim; the other sharers are cut
+    assert out[1]["text"] == "AA " + shared + " BB"
+    assert out[1]["n_cut_spans"] == 0 and out[1]["n_removed_chars"] == 0
+    for i in (2, 3):
+        assert shared not in out[i]["text"]
+        assert out[i]["n_removed_chars"] > len(shared) - (10 + 4)
+    assert out[4]["text"].startswith("totally") and out[4]["n_cut_spans"] == 0
+    assert out[5]["text"] is None and out[5]["n_cut_spans"] is None
+    assert out[6]["text"] == "tiny"
+    # the cleaned corpus carries no cross-doc duplicate fingerprints
+    cleaned = spark.createDataFrame(
+        [(i, out[i]["text"]) for i in sorted(out)],
+        "doc_id long, text string")
+    residue = (ddp.duplicate_spans(cleaned, k=10, w=4)
+               .agg(F.sum("n_dup_spans")).first()[0])
+    assert residue == 0
