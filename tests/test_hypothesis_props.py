@@ -671,3 +671,52 @@ def test_extreme_coordinates_join_family(spark, a, b):
     assert canon(bf.closest(d1, d2, strategy="cogroup",
                             suffixes=("", "_b"))) == \
         canon(bf.closest(d1, d2, strategy="binned", suffixes=("", "_b")))
+
+
+# --------------------------------------------------------------------------
+# winnowed span-dedup properties (round 6): the detection guarantee under
+# random misalignment + removal bookkeeping invariants
+# --------------------------------------------------------------------------
+
+_span_corpus = st.lists(
+    st.tuples(
+        st.text(alphabet="XYZW", min_size=0, max_size=25),   # prefix
+        st.text(alphabet="XYZW", min_size=0, max_size=25),   # suffix
+    ),
+    min_size=2, max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_span_corpus,
+       shared=st.text(alphabet="abcd", min_size=10, max_size=30))
+def test_winnow_guarantee_and_removal_bookkeeping(spark, docs, shared):
+    from pyspark.sql import functions as F
+    from bioframe_spark.datapipe import dedup as ddp
+
+    k, w = 6, 5
+    # every doc embeds the SAME shared substring of length >= k+w-1 = 10
+    # at an arbitrary offset; prefixes/suffixes use a disjoint alphabet
+    # so they can never fabricate the shared gram
+    rows = [(i, pre + shared + suf) for i, (pre, suf) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    flagged = {r["doc_id"]: r["n_dup_spans"]
+               for r in ddp.duplicate_spans(df, k=k, w=w).collect()}
+    # the winnowing theorem: every doc shares >=1 fingerprint
+    assert all(v >= 1 for v in flagged.values()), (rows, flagged)
+
+    out = ddp.remove_duplicate_spans(df, k=k, w=w).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # bookkeeping: removed chars == length delta, keeper (min id) intact
+    for i, (pre, suf) in enumerate(docs):
+        orig = pre + shared + suf
+        r = by_id[i]
+        assert len(orig) - len(r["text"]) == r["n_removed_chars"], rows
+    assert by_id[0]["text"] == rows[0][1]
+    # non-keepers lose their copy: at least one window sits entirely
+    # inside the shared run (len >= k+w-1), its min gram is selected
+    # context-independently in EVERY doc, keeper = doc 0 -> cut
+    for i in range(1, len(docs)):
+        assert shared not in by_id[i]["text"], (rows, out)
