@@ -1192,6 +1192,13 @@ def q_dup_spans(spark, sf_dir):
     return ddp.duplicate_spans(docs, k=25, w=16)
 
 
+def q_bm25_multi(spark, sf_dir):
+    from bioframe_spark.datapipe import ranking
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.bm25_scores_many(
+        docs, {"qa": "merge scan fast value", "qb": "table hash batch"})
+
+
 def q_span_removal(spark, sf_dir):
     from bioframe_spark.datapipe import dedup as ddp
     docs = _t(spark, sf_dir, "documents")
@@ -1248,8 +1255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_view": q_assign_view,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
-        "redact": q_redact,  # new this round
-        "boilerplate": q_boilerplate,  # new this round
         "repetition": q_repetition,  # new this round
         "dedup_lines": q_dedup_lines,  # new this round
         "gopher": q_gopher,  # new this round
@@ -1260,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "semdedup": q_semdedup,
         "bm25": q_bm25,
+        "bm25_multi": q_bm25_multi,
         "dup_spans": q_dup_spans,
         "span_removal": q_span_removal,
         "vocab_topk": q_vocab_topk,  # r6 new operator in-gate
@@ -1272,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
+        "redact": q_redact,  # r3+ green, map-only regex plan unchanged
+        "boilerplate": q_boilerplate,  # r3+ green, plan unchanged since r5
         "overlap_prebinned": q_overlap_prebinned,  # r4-r5 green; layout stable (r5 verdict #8)
         "jaccard_pairs": q_jaccard_pairs,  # r1+ green; jaccard_cutoff in-gate
         "curate": q_curate,  # r3+ green composite; its stages gated separately
@@ -2642,6 +2650,44 @@ FROM tf t JOIN dft d USING (tok) CROSS JOIN corpus c
 GROUP BY t.doc_id
 """
 
+    # Multi-query BM25 (one corpus pass, broadcast query-term map); the
+    # term stats (dft, avgdl, N) are corpus properties shared by every
+    # query — identical formula/association as the single-query row.
+    bm25_multi = """
+WITH qmap AS (
+  SELECT * FROM (VALUES
+    ('qa', 'merge'), ('qa', 'scan'), ('qa', 'fast'), ('qa', 'value'),
+    ('qb', 'table'), ('qb', 'hash'), ('qb', 'batch')) AS t(query_id, tok)
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), corpus AS (
+  SELECT count(*) AS n, avg(len(tk)) AS avgdl FROM toks
+), tf AS (
+  SELECT doc_id, len(tk) AS dl, tok, count(*) AS tf
+  FROM (SELECT doc_id, tk, unnest(tk) AS tok FROM toks)
+  WHERE tok IN (SELECT DISTINCT tok FROM qmap)
+  GROUP BY 1, 2, 3
+), dft AS (
+  SELECT tok, count(*) AS dft FROM tf GROUP BY 1
+)
+SELECT q.query_id, t.doc_id,
+       round(sum(
+         ln(CAST(1.0 AS DOUBLE)
+            + (CAST(c.n AS DOUBLE) - d.dft + CAST(0.5 AS DOUBLE))
+              / (d.dft + CAST(0.5 AS DOUBLE)))
+         * (t.tf * (CAST(1.2 AS DOUBLE) + 1))
+         / (t.tf + CAST(1.2 AS DOUBLE)
+              * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * t.dl / c.avgdl))
+       ), 6) AS score
+FROM tf t JOIN dft d USING (tok) JOIN qmap q USING (tok)
+CROSS JOIN corpus c
+GROUP BY q.query_id, t.doc_id
+"""
+
     # Lee-et-al-style span REMOVAL (k=25, w=16): position-aware winnowing
     # (rightmost argmin per window — the robust-winnowing tie rule the
     # Spark kernel's >=-pop deque implements), min-id keeper per dup
@@ -3027,6 +3073,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "select_indices": select_indices,
         "select_mask": select_mask,
         "bm25": bm25,
+        "bm25_multi": bm25_multi,
         "dup_spans": dup_spans,
         "span_removal": span_removal,
         "vocab_topk": """

@@ -146,3 +146,51 @@ def vocab_topk(df: DataFrame, n: int = 100, *, text_col: str = "text") -> DataFr
          .select(F.explode(_doc_tokens(text_col)).alias("token")))
     counts = t.groupBy("token").agg(F.count("*").alias("cnt"))
     return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(n)
+
+
+def bm25_scores_many(df: DataFrame, queries: dict[str, str], *,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     k1: float = 1.2, b: float = 0.75,
+                     score_decimals: int | None = 6) -> DataFrame:
+    """BM25 against a SET of named queries in ONE corpus pass — the
+    decontamination / topic-probe shape (hundreds of probes over the
+    same 100 TB corpus must not mean hundreds of scans).
+
+    Returns (query_id, id_col, score), one row per (query, doc) with ≥1
+    matching term. Token explode stays bounded by the UNION of all
+    query vocabularies (array pre-filter before the generator, as in
+    :func:`bm25_scores`); the query↔term map re-enters as a broadcast
+    local relation, so the only fanout is per matching (doc, term) ×
+    queries-containing-term; term document-frequencies are computed
+    once at the term level (a corpus property, query-independent).
+    """
+    qterms = {q: _query_terms(text) for q, text in queries.items()}
+    vocab = sorted({t for ts in qterms.values() for t in ts})
+    if not vocab:
+        return (df.select(F.lit("").alias("query_id"), F.col(id_col),
+                          F.lit(0.0).alias("score")).limit(0))
+    from ..operators.ops import _spread_if_underpartitioned
+    df = _spread_if_underpartitioned(df.select(id_col, text_col))
+    tf = _term_frequencies(df, vocab, id_col, text_col)
+
+    toks = _doc_tokens(text_col)
+    n_docs, avgdl = df.select(F.count("*"), F.avg(F.size(toks))).first()
+    avgdl = float(avgdl or 0.0) or 1.0
+
+    dft = tf.groupBy("__tok").agg(F.count("*").alias("__dft"))
+    qmap = df.sparkSession.createDataFrame(
+        [(q, t) for q, ts in qterms.items() for t in ts],
+        "query_id string, __tok string")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__dft")
+                              + F.lit(0.5)) / (F.col("__dft") + F.lit(0.5)))
+    per_term = (idf * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                   + F.lit(b) * F.col("__dl") / F.lit(avgdl))))
+    scored = (tf.join(F.broadcast(dft), "__tok")
+                .join(F.broadcast(qmap), "__tok")
+                .groupBy("query_id", "__id")
+                .agg(F.sum(per_term).alias("score")))
+    score = (F.round(F.col("score"), score_decimals)
+             if score_decimals is not None else F.col("score"))
+    return scored.select("query_id", F.col("__id").alias(id_col),
+                         score.alias("score"))

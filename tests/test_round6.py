@@ -738,3 +738,24 @@ def test_remove_duplicate_spans(spark):
     residue = (ddp.duplicate_spans(cleaned, k=10, w=4)
                .agg(F.sum("n_dup_spans")).first()[0])
     assert residue == 0
+
+
+def test_bm25_many_matches_single(spark):
+    from bioframe_spark.datapipe import ranking as rk
+
+    docs = _mk_docs(spark, [
+        (1, "spark spark spark engine"),
+        (2, "spark engine"),
+        (3, "pandas frame engine"),
+        (4, None),
+    ])
+    many = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in rk.bm25_scores_many(
+                docs, {"q1": "spark", "q2": "pandas engine"}).collect()}
+    for q, text in (("q1", "spark"), ("q2", "pandas engine")):
+        single = {r["doc_id"]: r["score"]
+                  for r in rk.bm25_scores(docs, text).collect()}
+        got = {d: s for (qq, d), s in many.items() if qq == q}
+        assert set(got) == set(single)
+        for d in single:
+            assert abs(got[d] - single[d]) <= 1e-6
