@@ -30,6 +30,9 @@ from .core.construction import (
     sanitize_bedframe,
 )
 from .core import checks
+# numpy kernel compat layer, exported like the reference's
+# `from .core import arrops` (reference __init__.py)
+from .core import arrops
 from .operators.ops import (
     select,
     select_mask,
