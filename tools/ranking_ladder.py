@@ -74,6 +74,8 @@ def main():
                   flush=True)
 
         measure("dup_spans", lambda: dedup.duplicate_spans(docs_b))
+        measure("span_removal",
+                lambda: dedup.remove_duplicate_spans(docs_b))
         docs_b.unpersist()
         docs_p = rep_docs_plain(docs0, k).cache()  # plain: term stats
         docs_p.count()
