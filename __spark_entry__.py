@@ -1211,6 +1211,47 @@ def q_vocab_topk(spark, sf_dir):
     return ranking.vocab_topk(docs, n=50)
 
 
+def q_stream_span_contam(spark, sf_dir):
+    """STREAMING span-level decontamination driven to completion: the
+    documents table arrives as a 3-file stream; each micro-batch is
+    tagged against the STATIC eval subset (doc_id % 10 == 0) via the
+    broadcast winnowed-fingerprint set — stateless map-only, append
+    mode. Snapshot == the batch operator == the DuckDB winnow SQL."""
+    import tempfile
+
+    from pyspark.sql import functions as _F
+    from bioframe_spark.streaming import stream_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(_F.col("doc_id") % 10 == 0)
+    src = tempfile.mkdtemp(prefix="stream_contam_q_")
+    chunk = _F.pmod(_F.xxhash64(_F.col("doc_id")), _F.lit(3))
+    for c in range(3):
+        docs.filter(chunk == c).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/f{c}")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    out = stream_ops.stream_span_contamination(stream, ev, k=25, w=16)
+    rows = []
+    q = (out.writeStream
+         .foreachBatch(lambda bdf, _bid: rows.extend(
+             bdf.toPandas().itertuples(index=False)))
+         .outputMode("append").trigger(availableNow=True).start())
+    finished = q.awaitTermination(300)
+    q.stop()
+    if not finished:
+        raise TimeoutError("stream_span_contam still running after 300 s")
+    import pandas as pd
+    data = [(int(r.doc_id),
+             None if pd.isna(r.n_spans) else int(r.n_spans),
+             None if pd.isna(r.n_contaminated) else int(r.n_contaminated),
+             None if pd.isna(r.contamination) else float(r.contamination))
+            for r in rows]
+    return spark.createDataFrame(
+        data, "doc_id long, n_spans long, n_contaminated long, "
+              "contamination double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the first
     # 50 entries.  Rows 1-16 are the queries that had no driver row in
@@ -1321,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_count": q_stream_count,
         "stream_closest": q_stream_closest,
         "stream_coverage": q_stream_coverage,
+        "stream_span_contam": q_stream_span_contam,  # r6: decontam at ingest
     }
 
 
@@ -3076,6 +3118,38 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "bm25_multi": bm25_multi,
         "dup_spans": dup_spans,
         "span_removal": span_removal,
+        # span decontamination (streamed): same winnow-value selection
+        # machinery as dup_spans; eval set = docs with doc_id % 10 == 0
+        "stream_span_contam": """
+WITH fps AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(H) = 0 THEN []
+              WHEN len(H) < 16 THEN [list_aggregate(H, 'min')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(H) - 15),
+                     i -> list_aggregate(list_slice(H, i, i + 15), 'min')))
+         END AS sel
+  FROM (
+    SELECT doc_id, text,
+           list_transform(generate_series(1, greatest(length(text) - 24, 0)),
+                          p -> md5(substr(text, p, 25))) AS H
+    FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(sel) AS h FROM fps WHERE doc_id % 10 = 0
+), sp AS (
+  SELECT doc_id, unnest(sel) AS h FROM fps
+), cont AS (
+  SELECT sp.doc_id, count(*) AS nc FROM sp JOIN ev USING (h) GROUP BY 1
+)
+SELECT f.doc_id,
+       CASE WHEN sel IS NULL THEN NULL ELSE len(sel) END AS n_spans,
+       CASE WHEN sel IS NULL THEN NULL
+            ELSE coalesce(c.nc, 0) END AS n_contaminated,
+       CASE WHEN len(sel) > 0
+            THEN round(coalesce(c.nc, 0) / len(sel), 9) END AS contamination
+FROM fps f LEFT JOIN cont c USING (doc_id)
+""",
         "vocab_topk": """
 SELECT tok AS token, count(*) AS cnt
 FROM (SELECT unnest(list_filter(string_split_regex(lower(text),

@@ -685,3 +685,72 @@ def stream_near_dup_pairs(docs: DataFrame, num_hashes: int = 16,
         .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                 GroupStateTimeout.NoTimeout)
     )
+
+
+def stream_span_contamination(docs: DataFrame, eval_docs: DataFrame,
+                              k: int = 25, w: int = 16,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination AT INGEST: tag each arriving document
+    with how many of its winnowed span fingerprints appear anywhere in
+    a STATIC eval/benchmark corpus (the span-level analog of the batch
+    ``ngram_contamination``, legal on an unbounded stream).
+
+    Returns (id, n_spans, n_contaminated, contamination) — append-mode
+    friendly: the eval fingerprint set is collected ONCE (hard-bounded
+    by ``spark.bioframe.smallInputMaxRows`` — real decontamination
+    targets are benchmark-sized, not corpus-sized; over the cap this
+    raises rather than silently broadcasting gigabytes) and shipped as
+    a broadcast into a stateless Arrow kernel. No shuffle, no state
+    store — per-micro-batch cost is exactly the winnow kernel.
+
+    Works identically on a batch frame (mapInPandas is mode-agnostic).
+    """
+    from pyspark.sql import types as T
+
+    from ..datapipe.dedup import _make_winnow_doc, winnow_fingerprints
+    from ..operators.ops import (_SMALL_INPUT_MAX_ROWS, _bounded_pdf,
+                                 _threshold)
+
+    fps = (winnow_fingerprints(eval_docs, k=k, w=w, text_col=text_col,
+                               id_col=id_col)
+           .select(F.explode("fingerprints").alias("__h")).distinct())
+    cap = _threshold(eval_docs, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
+    pdf = _bounded_pdf(fps, cap, probe=False)
+    if pdf is None:
+        raise ValueError(
+            "eval corpus fingerprint set exceeds "
+            "spark.bioframe.smallInputMaxRows — span decontamination "
+            "broadcasts the target set; shrink the eval corpus or raise "
+            "the cap")
+    bset = docs.sparkSession.sparkContext.broadcast(set(pdf["__h"]))
+
+    out_schema = T.StructType([
+        docs.schema[id_col],
+        T.StructField("n_spans", T.LongType()),
+        T.StructField("n_contaminated", T.LongType()),
+        T.StructField("contamination", T.DoubleType()),
+    ])
+    sub = docs.select(id_col, text_col)
+
+    def gen(batches):
+        import pandas as pd
+
+        winnow = _make_winnow_doc(k, w)
+        ev = bset.value
+        for pdf_ in batches:
+            ids, ns, nc, fr = [], [], [], []
+            for did, txt in zip(pdf_[id_col], pdf_[text_col]):
+                ids.append(did)
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    ns.append(None); nc.append(None); fr.append(None)
+                    continue
+                sel = winnow(txt)
+                n = len(sel)
+                c = sum(1 for h in sel if h in ev)
+                ns.append(n); nc.append(c)
+                fr.append(round(c / n, 9) if n else None)
+            yield pd.DataFrame({id_col: ids, "n_spans": ns,
+                                "n_contaminated": nc, "contamination": fr})
+
+    return sub.mapInPandas(gen, out_schema)

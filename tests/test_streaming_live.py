@@ -551,3 +551,43 @@ def test_stream_complement_live(spark, tmp_path):
     assert got == want
     assert snap["chr2"] == []          # fully covered -> snapshot cleared
     assert "chrX" not in snap and "chrU" not in snap
+
+
+def test_stream_span_contamination_live(spark, tmp_path):
+    # file stream of docs tagged against a static eval corpus; snapshot
+    # must equal the batch run of the same operator
+    import pandas as pd
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, "AA " + shared + " BB"), (2, "clean text with nothing shared here"),
+            (3, shared), (4, None), (5, "xy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(100, "zz " + shared + " qq")],
+                               "doc_id long, text string")
+    src = str(tmp_path / "docs_stream")
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    out = stream_ops.stream_span_contamination(stream, ev, k=10, w=4)
+    got = []
+    q = (out.writeStream
+         .foreachBatch(lambda bdf, _b: got.extend(
+             map(tuple, bdf.toPandas().itertuples(index=False))))
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    snap = {t[0]: t[1:] for t in got}
+    batch = {r["doc_id"]: (r["n_spans"], r["n_contaminated"], r["contamination"])
+             for r in stream_ops.stream_span_contamination(
+                 docs, ev, k=10, w=4).collect()}
+    norm = {k: tuple(None if pd.isna(x) else x for x in v)
+            for k, v in snap.items()}
+    assert norm == batch
+    # semantic spot checks: the shared-run docs are contaminated, the
+    # clean doc is 0, null/short are null-signaled
+    assert batch[1][1] > 0 and batch[3][2] == 1.0
+    assert batch[2][1] == 0
+    assert batch[4] == (None, None, None)
+    assert batch[5][0] == 0 and batch[5][2] is None
