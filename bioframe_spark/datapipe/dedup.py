@@ -925,7 +925,8 @@ def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
 
 def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
                     min_docs: int = 2, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    strategy: str = "window") -> DataFrame:
     """Per-document repeated-span statistics — the Spark re-expression of
     exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find spans of ≥
@@ -952,10 +953,20 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
     plan-size-gated cache fixed it at bench scale but the gate flips off
     exactly where re-execution hurts most — the 16x ladder rung measured
     5x wall on 4x data. Single-consumer-chain is the fix, not caching.)
-    A corpus-hot fingerprint makes one fat window partition — the same
-    skew any formulation keyed on the fingerprint has; winnowing's
-    distinct-per-doc emission bounds it at one row per affected doc.
+    ``strategy``: "window" (default) computes the distinct-doc count as
+    ``count(*)`` over the fingerprint partition — one shuffle, but a
+    corpus-HOT fingerprint (boilerplate shared by most documents) lands
+    its whole partition on one task, and windows have no AQE skew
+    rescue. "join" computes the same count as a map-side-combinable
+    aggregate and LEFT-joins it back on the fingerprint — one extra
+    shuffle stage, but the join is exactly what AQE's skew-join
+    splitting handles, so hot keys spread across tasks. Value-identical
+    (pinned by test); pick "join" for corpora with boilerplate-grade
+    repetition (measured under the 90%-hot shape in SCALING §12-r06c).
     """
+    if strategy not in ("window", "join"):
+        raise ValueError(f"strategy must be 'window' or 'join', got "
+                         f"{strategy!r}")
     from pyspark.sql import types as T
 
     out_schema = T.StructType([
@@ -985,11 +996,17 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
             yield pd.DataFrame({"__id": ids, "__n": ns, "__h": hs})
 
     ex = sub.mapInPandas(gen, out_schema)
-    # each doc emits a fingerprint at most once -> count(*) over the
-    # fingerprint partition == distinct-doc count (null fingerprints are
-    # excluded from dup-flagging below, their partition size is moot)
-    nd = F.count(F.lit(1)).over(Window.partitionBy("__h"))
-    flagged = ex.withColumn("__nd", nd)
+    # each doc emits a fingerprint at most once -> count(*) keyed by the
+    # fingerprint == distinct-doc count (null fingerprints are excluded
+    # from dup-flagging below, their group is moot)
+    if strategy == "join":
+        stats = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+        # LEFT: null-fingerprint rows (short/null docs) never match but
+        # must survive into the per-doc rollup
+        flagged = ex.join(stats, "__h", "left")
+    else:
+        nd = F.count(F.lit(1)).over(Window.partitionBy("__h"))
+        flagged = ex.withColumn("__nd", nd)
     out = (flagged.groupBy("__id")
            .agg(
                F.max("__n").cast("long").alias("n_spans"),
