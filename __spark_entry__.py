@@ -1211,6 +1211,12 @@ def q_vocab_topk(spark, sf_dir):
     return ranking.vocab_topk(docs, n=50)
 
 
+def q_span_dup_pairs(spark, sf_dir):
+    from bioframe_spark.datapipe import dedup as ddp
+    docs = _t(spark, sf_dir, "documents")
+    return ddp.span_dup_pairs(docs, k=25, w=16, min_shared=2)
+
+
 def q_stream_span_contam(spark, sf_dir):
     """STREAMING span-level decontamination driven to completion: the
     documents table arrives as a 3-file stream; each micro-batch is
@@ -1310,7 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "span_removal": q_span_removal,
         "vocab_topk": q_vocab_topk,  # r6 new operator in-gate
-        "train_split": q_train_split,
+        "span_dup_pairs": q_span_dup_pairs,  # r6 new operator in-gate
         "domain_cap": q_domain_cap,
         "mixture": q_mixture,
         "minhash_lsh": q_minhash_lsh,
@@ -1321,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver gate or equivalent-oracle to an in-gate sibling) --
         "redact": q_redact,  # r3+ green, map-only regex plan unchanged
         "boilerplate": q_boilerplate,  # r3+ green, plan unchanged since r5
+        "train_split": q_train_split,  # r2+ green, map-only hash split unchanged
         "overlap_prebinned": q_overlap_prebinned,  # r4-r5 green; layout stable (r5 verdict #8)
         "jaccard_pairs": q_jaccard_pairs,  # r1+ green; jaccard_cutoff in-gate
         "curate": q_curate,  # r3+ green composite; its stages gated separately
@@ -3118,6 +3125,36 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "bm25_multi": bm25_multi,
         "dup_spans": dup_spans,
         "span_removal": span_removal,
+        # MOSS-shape document pairs by shared winnowed fingerprints
+        # (min_shared=2, df-cutoff [2, 1024])
+        "span_dup_pairs": """
+WITH fps AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(H) = 0 THEN []
+              WHEN len(H) < 16 THEN [list_aggregate(H, 'min')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(H) - 15),
+                     i -> list_aggregate(list_slice(H, i, i + 15), 'min')))
+         END AS sel
+  FROM (
+    SELECT doc_id, text,
+           list_transform(generate_series(1, greatest(length(text) - 24, 0)),
+                          p -> md5(substr(text, p, 25))) AS H
+    FROM documents)
+), sp AS (
+  SELECT doc_id, unnest(sel) AS h FROM fps
+), keep AS (
+  SELECT h FROM sp GROUP BY h HAVING count(*) BETWEEN 2 AND 1024
+), s2 AS (
+  SELECT doc_id, h FROM sp JOIN keep USING (h)
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+FROM s2 a JOIN s2 b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
         # span decontamination (streamed): same winnow-value selection
         # machinery as dup_spans; eval set = docs with doc_id % 10 == 0
         "stream_span_contam": """

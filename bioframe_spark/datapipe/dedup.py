@@ -1144,3 +1144,42 @@ def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
                                 "n_removed_chars": nchars})
 
     return joined.mapInPandas(gen_cut, out_schema)
+
+
+def span_dup_pairs(df: DataFrame, k: int = 25, w: int = 16,
+                   min_shared: int = 2, max_doc_freq: int = 1024,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed span fingerprints
+    — the MOSS detector shape: span-level signals rolled up to document
+    granularity, ready for :func:`connected_components` /
+    :func:`drop_near_duplicates` resolution (the same last stage the
+    minhash/simhash pipelines feed).
+
+    Output: (id1, id2, n_shared) with id1 < id2.
+
+    Scale shape: fingerprint inverted index (the pre-exploded kernel
+    emission), ``max_doc_freq`` cutoff BEFORE the self-join — a
+    fingerprint in d documents contributes d² candidates, and
+    boilerplate-grade fingerprints carry no pairing signal (the same
+    df-cutoff argument as the jaccard hot-shingle guard, §12); then a
+    within-fingerprint self-join and one pair-keyed count. Everything
+    is keyed by fingerprint or pair — no corpus-sized broadcast, no
+    driver loop.
+    """
+    base = (winnow_fingerprints(df, k=k, w=w, text_col=text_col,
+                                id_col=id_col)
+            .select(F.col(id_col).alias("__id"),
+                    F.explode("fingerprints").alias("__h")))
+    freq = base.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
+    keep = freq.filter((F.col("__nd") >= 2)
+                       & (F.col("__nd") <= F.lit(max_doc_freq))) \
+               .select("__h")
+    sh = base.join(keep, "__h", "left_semi")
+    a = sh.select(F.col("__id").alias("id1"), "__h")
+    b = sh.select(F.col("__id").alias("id2"), "__h")
+    return (a.join(b, "__h")
+             .filter(F.col("id1") < F.col("id2"))
+             .groupBy("id1", "id2")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= F.lit(min_shared)))

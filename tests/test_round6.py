@@ -779,3 +779,22 @@ def test_duplicate_spans_join_strategy_identical(spark):
     assert a == b
     with pytest.raises(ValueError):
         ddp.duplicate_spans(docs, strategy="bogus")
+
+
+def test_span_dup_pairs_and_resolution(spark):
+    from bioframe_spark.datapipe import dedup as ddp
+
+    shared = "the quick brown fox jumps over the lazy dog tonight again"
+    docs = _mk_docs(spark, [
+        (1, "AA " + shared + " BB"), (2, "CC " + shared + " DD"),
+        (3, shared + " EE"), (4, "nothing in common with anything here"),
+        (5, None),
+    ])
+    pairs = ddp.span_dup_pairs(docs, k=10, w=4, min_shared=2)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    # composes with the standard resolution stage: one canonical doc
+    # survives per cluster
+    kept = {r["doc_id"]
+            for r in ddp.drop_near_duplicates(docs, pairs).collect()}
+    assert kept == {1, 4, 5}
