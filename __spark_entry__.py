@@ -1192,6 +1192,17 @@ def q_dup_spans(spark, sf_dir):
     return ddp.duplicate_spans(docs, k=25, w=16)
 
 
+def q_dup_spans_join(spark, sf_dir):
+    """strategy="join": the AQE-skew-rescuable hot-fingerprint physical
+    path (aggregate + join-back instead of a window) — value-identical
+    to q_dup_spans, so it shares the same oracle. In-gate from r7 so the
+    newest physical path is pinned by the driver, not just a unit test
+    (r6 verdict #4)."""
+    from bioframe_spark.datapipe import dedup as ddp
+    docs = _t(spark, sf_dir, "documents")
+    return ddp.duplicate_spans(docs, k=25, w=16, strategy="join")
+
+
 def q_bm25_multi(spark, sf_dir):
     from bioframe_spark.datapipe import ranking
     docs = _t(spark, sf_dir, "documents")
@@ -1276,9 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setdiff_binned": q_setdiff_binned,
         "coverage_binned": q_coverage_binned,
         "count_overlaps_on": q_count_overlaps_on,
-        "select_indices": q_select_indices,
         "select_mask": q_select_mask,
-        "select_labels": q_select_labels,
         "sort_view_rank": q_sort_view_rank,
         "checks": q_checks,
         "frac_gc": q_frac_gc,
@@ -1314,17 +1323,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "bm25_multi": q_bm25_multi,
         "dup_spans": q_dup_spans,
+        "dup_spans_join": q_dup_spans_join,  # r7: hot-fingerprint join path in-gate (r6 verdict #4)
         "span_removal": q_span_removal,
         "vocab_topk": q_vocab_topk,  # r6 new operator in-gate
-        "span_dup_pairs": q_span_dup_pairs,  # r6 new operator in-gate
+        "span_dup_pairs": q_span_dup_pairs,  # r7: single-kernel rewrite in-gate
         "domain_cap": q_domain_cap,
         "mixture": q_mixture,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_topk": q_ann_topk,
-        "ann_ivf_indexed": q_ann_ivf_indexed,  # new this round
+        "minhash_lsh": q_minhash_lsh,  # r7: restored to gate (fell past cap at r6)
         # -- rotated past the 50-row cap (stable duplicates; green in r03's
         # driver gate or equivalent-oracle to an in-gate sibling) --
+        "simhash_pairs": q_simhash_pairs,  # r1+ green; minhash_lsh pins the banded-pair shape in-gate
+        "ann_topk": q_ann_topk,  # r2+ green; ann_ivf_indexed full-green, embedding kernels fuzz-pinned
+        "ann_ivf_indexed": q_ann_ivf_indexed,  # r5-r6 CHECKFULL green; index layout stable
+        "select_indices": q_select_indices,  # r6 gate green; same rid+predicate shape as select_mask (in-gate)
+        "select_labels": q_select_labels,  # r6 gate green; same predicate as select_indices
         "redact": q_redact,  # r3+ green, map-only regex plan unchanged
         "boilerplate": q_boilerplate,  # r3+ green, plan unchanged since r5
         "train_split": q_train_split,  # r2+ green, map-only hash split unchanged
@@ -3124,6 +3136,9 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "bm25": bm25,
         "bm25_multi": bm25_multi,
         "dup_spans": dup_spans,
+        # strategy="join" is value-identical by contract — the same SQL
+        # oracle checks both physical paths
+        "dup_spans_join": dup_spans,
         "span_removal": span_removal,
         # MOSS-shape document pairs by shared winnowed fingerprints
         # (min_shared=2, df-cutoff [2, 1024])

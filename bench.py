@@ -1,7 +1,11 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line (totals + sentinel + worst-5 queries):
+{"metric": "...", "value": N, "unit": "sec", "sf": ..., "sentinel": ...}
+and writes the FULL per-query record (warm medians + cold firsts) to
+BENCH_LOCAL.json next to this file — the stdout line is captured from a
+bounded tail by the round driver and must never outgrow it again
+(BENCH_r06.json committed head-truncated at 47 queries).
 
 Each query is timed end-to-end (plan + execute + materialization of every
 output column) after a warmup of the session. The timing action is a
@@ -226,7 +230,7 @@ def main():
         )
 
     sentinel_post = probe_sentinel()
-    print(json.dumps({
+    full = {
         "metric": "bench_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -236,6 +240,28 @@ def main():
         "sf": sf,
         # solo value ~0.1-0.2 s; 2x+ above that = contended snapshot
         "sentinel": {"pre": sentinel_pre, "post": sentinel_post},
+    }
+    # The per-round artifact is captured from a BOUNDED TAIL of stdout:
+    # at 47 queries the one-line full JSON outgrew it and BENCH_r06.json
+    # committed head-truncated ("parsed": null). Ship the full record as
+    # a committed file and keep the stdout line compact (totals +
+    # sentinel + worst-5) so the tail capture always parses.
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LOCAL.json")
+    with open(local_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    worst5 = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "n_queries": len(times),
+        "sentinel": {"pre": sentinel_pre, "post": sentinel_post},
+        "worst5": worst5,
+        "full": "BENCH_LOCAL.json",
     }))
 
 

@@ -791,9 +791,13 @@ def _winnow_min(h: Column, w: int) -> Column:
     CollapseProject keeps the stage split: it never inlines a non-cheap
     expression referenced more than once."""
     return (
+        # explicit NULL passthrough FIRST: under spark.sql.ansi.enabled=false
+        # size(NULL) is -1, which would fall into the <w branch and turn null
+        # text into [null] instead of NULL — pin the convention config-free
+        F.when(h.isNull(), F.lit(None).cast("array<string>"))
         # fewer grams than one window: keep the single global min
         # (standard winnowing edge — every non-empty doc fingerprints)
-        F.when(F.size(h) == 0, h)
+        .when(F.size(h) == 0, h)
         .when(F.size(h) < F.lit(w), F.array(F.array_min(h)))
         .otherwise(F.array_distinct(F.transform(
             F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)),
@@ -819,7 +823,8 @@ def _winnow_fingerprints_expr(df: DataFrame, k: int = 25, w: int = 16,
                          _winnow_min(F.col("__H"), w).alias("fingerprints"))
 
 
-def _make_winnow_doc(k: int, w: int, with_pos: bool = False):
+def _make_winnow_doc(k: int, w: int, with_pos: bool = False,
+                     hash: str = "md5"):
     """Per-document winnowing closure shared by the kernels below.
 
     ``with_pos=False``: sorted distinct selected hashes (the dedup-signal
@@ -827,9 +832,24 @@ def _make_winnow_doc(k: int, w: int, with_pos: bool = False):
     pairs — the removal kernels need WHERE each fingerprint sits. Ties
     among equal window hashes select the RIGHTMOST position (robust
     winnowing's rule; the ``>=`` pop makes the deque keep the latest
-    index), so the position set is deterministic."""
+    index), so the position set is deterministic.
+
+    ``hash``: "md5" (default) — hex digests, engine-portable, the oracle
+    convention; "xx64" — 64-bit polynomial rolling hash over code points
+    with a splitmix64 finalizer, fully numpy-vectorized (the production
+    knob: the md5 gram loop is the span family's measured linear floor,
+    SCALING §12-r06c). Both are valid winnowing schemes (the shared-
+    substring guarantee needs only a deterministic gram hash), but they
+    select DIFFERENT window minima, so per-doc stats can differ at span
+    boundaries — downstream dup/removal decisions are pinned consistent
+    in tests, exact values are compared against the md5 oracle only."""
     import hashlib
     from collections import deque
+
+    if hash not in ("md5", "xx64"):
+        raise ValueError(f"hash must be 'md5' or 'xx64', got {hash!r}")
+    if hash == "xx64":
+        return _make_winnow_doc_xx64(k, w, with_pos)
 
     def winnow(txt: str) -> list:
         L = len(txt)
@@ -869,9 +889,88 @@ def _make_winnow_doc(k: int, w: int, with_pos: bool = False):
     return winnow
 
 
+def _winnow_hash_type(hash: str):
+    """Spark type of a winnow fingerprint: md5 hex -> string, xx64 ->
+    long (the signed view of the uint64 — equality, grouping and joins
+    are what downstream uses, and those are bijection-invariant)."""
+    from pyspark.sql import types as T
+
+    if hash == "md5":
+        return T.StringType()
+    if hash == "xx64":
+        return T.LongType()
+    raise ValueError(f"hash must be 'md5' or 'xx64', got {hash!r}")
+
+
+def _make_winnow_doc_xx64(k: int, w: int, with_pos: bool = False):
+    """The ``hash="xx64"`` winnow closure: numpy end-to-end.
+
+    Gram hashing is a polynomial rolling hash over CODE POINTS (utf-32
+    decode, so gram boundaries match the md5 path's substr semantics for
+    any script) in wrapping uint64 arithmetic — prefix sums + modular-
+    inverse normalization give every k-gram hash in O(L) vectorized ops,
+    vs the md5 path's O(L) Python-loop digest calls (the span family's
+    measured linear floor). A splitmix64 finalizer fixes the polynomial
+    hash's low-bit regularity before window minima are taken. The
+    sliding minimum is a strided-view ``min(axis=1)`` (w ≤ ~64 keeps the
+    O(m·w) vector pass cheaper than any Python-loop O(m) deque). Ties
+    select the RIGHTMOST position via argmin over the reversed window —
+    the same robust-winnowing rule as the md5 deque."""
+    import numpy as np
+
+    B = np.uint64(0x100000001B3)  # odd -> invertible mod 2^64
+    BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+
+    def gram_hashes(txt: str):
+        cp = np.frombuffer(txt.encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.uint64)
+        L = cp.size
+        m = L - k + 1
+        # bp[i] = B^i; weighted[j] = cp[j] * B^(L-1-j); S = prefix sums
+        bp = np.ones(L, dtype=np.uint64)
+        if L > 1:
+            np.multiply.accumulate(np.full(L - 1, B, dtype=np.uint64),
+                                   out=bp[1:])
+        S = np.zeros(L + 1, dtype=np.uint64)
+        np.cumsum(cp * bp[::-1], out=S[1:])
+        # raw[p] = sum_{j=p}^{p+k-1} cp[j] B^(L-1-j); normalize to a
+        # position-independent value by multiplying with Binv^(L-k-p)
+        raw = S[k:k + m] - S[0:m]
+        ip = np.ones(m, dtype=np.uint64)
+        if m > 1:
+            np.multiply.accumulate(np.full(m - 1, BINV, dtype=np.uint64),
+                                   out=ip[1:])
+        h = raw * ip[::-1]
+        h = h ^ (h >> np.uint64(30)); h = h * M1
+        h = h ^ (h >> np.uint64(27)); h = h * M2
+        return h ^ (h >> np.uint64(31))
+
+    def winnow(txt: str) -> list:
+        if len(txt) < k:
+            return []
+        H = gram_hashes(txt)
+        m = H.size
+        if m < w:
+            p = m - 1 - int(H[::-1].argmin())  # rightmost global min
+            v = int(H[p].astype(np.int64))
+            return [(p, v)] if with_pos else [v]
+        V = np.lib.stride_tricks.sliding_window_view(H, w)
+        if not with_pos:
+            return np.unique(V.min(axis=1).astype(np.int64)).tolist()
+        offs = np.uint64(w - 1) - V[:, ::-1].argmin(axis=1).astype(np.uint64)
+        pos = (np.arange(m - w + 1, dtype=np.uint64) + offs).astype(np.int64)
+        vals = V.min(axis=1).astype(np.int64)
+        return sorted(set(zip(pos.tolist(), vals.tolist())))
+
+    return winnow
+
+
 def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        hash: str = "md5") -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS —
     the "local algorithms" fingerprinting paper behind Stanford's code
     plagiarism detector).
@@ -899,17 +998,17 @@ def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
 
     out_schema = T.StructType([
         df.schema[id_col],
-        T.StructField("fingerprints", T.ArrayType(T.StringType())),
+        T.StructField("fingerprints", T.ArrayType(_winnow_hash_type(hash))),
     ])
     # a single-file corpus arrives as ONE partition and serializes the
-    # md5 loop onto one core — round-robin only when under-split (no-op
-    # on a well-split 100 TB scan)
+    # gram-hash loop onto one core — round-robin only when under-split
+    # (no-op on a well-split 100 TB scan)
     sub = _spread_if_underpartitioned(df.select(id_col, text_col))
 
     def gen(batches):
         import pandas as pd
 
-        winnow = _make_winnow_doc(k, w)
+        winnow = _make_winnow_doc(k, w, hash=hash)
         for pdf in batches:
             fps_out = [
                 None if (txt is None
@@ -926,7 +1025,8 @@ def winnow_fingerprints(df: DataFrame, k: int = 25, w: int = 16,
 def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
                     min_docs: int = 2, text_col: str = "text",
                     id_col: str = "doc_id",
-                    strategy: str = "window") -> DataFrame:
+                    strategy: str = "window",
+                    hash: str = "md5") -> DataFrame:
     """Per-document repeated-span statistics — the Spark re-expression of
     exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find spans of ≥
@@ -972,14 +1072,14 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
     out_schema = T.StructType([
         T.StructField("__id", df.schema[id_col].dataType),
         T.StructField("__n", T.LongType()),
-        T.StructField("__h", T.StringType()),
+        T.StructField("__h", _winnow_hash_type(hash)),
     ])
     sub = _spread_if_underpartitioned(df.select(id_col, text_col))
 
     def gen(batches):
         import pandas as pd
 
-        winnow = _make_winnow_doc(k, w)
+        winnow = _make_winnow_doc(k, w, hash=hash)
         for pdf in batches:
             ids, ns, hs = [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
@@ -1027,11 +1127,13 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
 def drop_duplicate_spans_docs(df: DataFrame, max_dup_frac: float = 0.5,
                               k: int = 25, w: int = 16,
                               text_col: str = "text",
-                              id_col: str = "doc_id") -> DataFrame:
+                              id_col: str = "doc_id",
+                              hash: str = "md5") -> DataFrame:
     """Filter wrapper: drop documents whose repeated-span fraction
     exceeds ``max_dup_frac`` (docs with no fingerprints pass — no
     evidence is not a removal signal)."""
-    stats = duplicate_spans(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    stats = duplicate_spans(df, k=k, w=w, text_col=text_col, id_col=id_col,
+                            hash=hash)
     keep = stats.filter((F.col("dup_frac").isNull())
                         | (F.col("dup_frac") <= F.lit(max_dup_frac))) \
                 .select(F.col(id_col))
@@ -1040,7 +1142,8 @@ def drop_duplicate_spans_docs(df: DataFrame, max_dup_frac: float = 0.5,
 
 def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
                            min_docs: int = 2, text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           hash: str = "md5") -> DataFrame:
     """CUT duplicated spans out of the corpus, keeping one canonical
     copy — the removal half of Lee et al. 2022's exact-substring dedup
     ("remove all but one occurrence of each duplicated substring").
@@ -1073,7 +1176,7 @@ def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
 
     pos_schema = T.StructType([
         T.StructField("__id", df.schema[id_col].dataType),
-        T.StructField("__h", T.StringType()),
+        T.StructField("__h", _winnow_hash_type(hash)),
         T.StructField("__pos", T.LongType()),
     ])
     sub = _spread_if_underpartitioned(df.select(id_col, text_col))
@@ -1081,7 +1184,7 @@ def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
     def gen_pos(batches):
         import pandas as pd
 
-        winnow = _make_winnow_doc(k, w, with_pos=True)
+        winnow = _make_winnow_doc(k, w, with_pos=True, hash=hash)
         for pdf in batches:
             ids, hs, ps = [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
@@ -1149,7 +1252,8 @@ def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
 def span_dup_pairs(df: DataFrame, k: int = 25, w: int = 16,
                    min_shared: int = 2, max_doc_freq: int = 1024,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   hash: str = "md5") -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed span fingerprints
     — the MOSS detector shape: span-level signals rolled up to document
     granularity, ready for :func:`connected_components` /
@@ -1158,27 +1262,61 @@ def span_dup_pairs(df: DataFrame, k: int = 25, w: int = 16,
 
     Output: (id1, id2, n_shared) with id1 < id2.
 
-    Scale shape: fingerprint inverted index (the pre-exploded kernel
-    emission), ``max_doc_freq`` cutoff BEFORE the self-join — a
-    fingerprint in d documents contributes d² candidates, and
-    boilerplate-grade fingerprints carry no pairing signal (the same
-    df-cutoff argument as the jaccard hot-shingle guard, §12); then a
-    within-fingerprint self-join and one pair-keyed count. Everything
-    is keyed by fingerprint or pair — no corpus-sized broadcast, no
-    driver loop.
+    Scale shape — the winnow kernel runs EXACTLY ONCE at every scale:
+    it emits PRE-EXPLODED ``(id, fingerprint)`` rows (the inverted
+    index, no array to re-explode), ONE exchange on the fingerprint
+    feeds a window ``count(*)`` whose ``[2, max_doc_freq]`` filter is
+    the df-cutoff BEFORE the self-join — a fingerprint in d documents
+    contributes d² candidates, and boilerplate-grade fingerprints carry
+    no pairing signal (the same df-cutoff argument as the jaccard
+    hot-shingle guard, §12). Both self-join sides are the identical
+    post-window subtree, already hash-partitioned on the fingerprint,
+    so the planner inserts NO new exchange and the second side is a
+    ReusedExchange over the first's shuffle files — the shuffle, not
+    the Python stage, is what replays. (The first formulation fed the
+    kernel to the df-aggregate, a semi-join, and both join sides — 4
+    MapInPandas executions per query, the multi-consumer hazard of
+    SCALING §12-r06c lesson 2; pinned at one in test_plan_budgets.)
+    Then one pair-keyed count. Everything is keyed by fingerprint or
+    pair — no corpus-sized broadcast, no driver loop.
     """
-    base = (winnow_fingerprints(df, k=k, w=w, text_col=text_col,
-                                id_col=id_col)
-            .select(F.col(id_col).alias("__id"),
-                    F.explode("fingerprints").alias("__h")))
-    freq = base.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
-    keep = freq.filter((F.col("__nd") >= 2)
-                       & (F.col("__nd") <= F.lit(max_doc_freq))) \
-               .select("__h")
-    sh = base.join(keep, "__h", "left_semi")
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("__id", df.schema[id_col].dataType),
+        T.StructField("__h", _winnow_hash_type(hash)),
+    ])
+    sub = _spread_if_underpartitioned(df.select(id_col, text_col))
+
+    def gen(batches):
+        import pandas as pd
+
+        winnow = _make_winnow_doc(k, w, hash=hash)
+        for pdf in batches:
+            ids, hs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    continue
+                for h in winnow(txt):
+                    ids.append(did); hs.append(h)
+            yield pd.DataFrame({"__id": ids, "__h": hs})
+
+    ex = sub.mapInPandas(gen, out_schema)
+    # each doc emits a fingerprint at most once -> count(*) over the
+    # fingerprint partition IS the distinct-doc count
+    nd = F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    sh = (ex.withColumn("__nd", nd)
+            .filter((F.col("__nd") >= F.lit(2))
+                    & (F.col("__nd") <= F.lit(max_doc_freq)))
+            .select("__id", "__h"))
     a = sh.select(F.col("__id").alias("id1"), "__h")
     b = sh.select(F.col("__id").alias("id2"), "__h")
-    return (a.join(b, "__h")
+    # merge hint: a STATICALLY-planned broadcast side would bypass the
+    # shared exchange and re-run the kernel for the build side (seen
+    # with parquet-stats inputs); forcing SMJ at planning time keeps
+    # both sides on the one exchange (ReusedExchange), and AQE is still
+    # free to runtime-convert to broadcast FROM the reused shuffle files
+    return (a.join(b.hint("merge"), "__h")
              .filter(F.col("id1") < F.col("id2"))
              .groupBy("id1", "id2")
              .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -85,10 +85,14 @@ def bm25_scores(df: DataFrame, query: str, *, id_col: str = "doc_id",
     df = _spread_if_underpartitioned(df.select(id_col, text_col))
     tf = _term_frequencies(df, terms, id_col, text_col)
 
-    # corpus stats: one 2-scalar aggregate over a map-only projection
+    # corpus stats: one 2-scalar aggregate over a map-only projection.
+    # avgdl guards null text explicitly: under spark.sql.ansi.enabled=false
+    # size(NULL) is -1 (legacy sizeOfNull), which would silently skew every
+    # score; the when() makes the null contribute nothing in ANY config.
     toks = _doc_tokens(text_col)
     n_docs, avgdl = df.select(
-        F.count("*"), F.avg(F.size(toks))).first()
+        F.count("*"),
+        F.avg(F.when(F.col(text_col).isNotNull(), F.size(toks)))).first()
     avgdl = float(avgdl or 0.0) or 1.0
 
     # per-term document frequency: ≤ len(terms) rows -> broadcast back
@@ -165,6 +169,14 @@ def bm25_scores_many(df: DataFrame, queries: dict[str, str], *,
     once at the term level (a corpus property, query-independent).
     """
     qterms = {q: _query_terms(text) for q, text in queries.items()}
+    empty = sorted(q for q, ts in qterms.items() if not ts)
+    if empty and len(empty) < len(qterms):
+        # an all-empty query set returns a typed empty frame below; a
+        # PARTIALLY-empty set would silently drop the empty queries from
+        # the output (they contribute no qmap rows) — fail loudly instead
+        # so callers joining on query_id don't lose queries without signal
+        raise ValueError(
+            f"bm25_scores_many: queries with no searchable terms: {empty}")
     vocab = sorted({t for ts in qterms.values() for t in ts})
     if not vocab:
         return (df.select(F.lit("").alias("query_id"), F.col(id_col),
@@ -173,8 +185,12 @@ def bm25_scores_many(df: DataFrame, queries: dict[str, str], *,
     df = _spread_if_underpartitioned(df.select(id_col, text_col))
     tf = _term_frequencies(df, vocab, id_col, text_col)
 
+    # null-text guard on avgdl: same ANSI-off size(NULL)=-1 hazard as in
+    # bm25_scores — see the comment there.
     toks = _doc_tokens(text_col)
-    n_docs, avgdl = df.select(F.count("*"), F.avg(F.size(toks))).first()
+    n_docs, avgdl = df.select(
+        F.count("*"),
+        F.avg(F.when(F.col(text_col).isNotNull(), F.size(toks)))).first()
     avgdl = float(avgdl or 0.0) or 1.0
 
     dft = tf.groupBy("__tok").agg(F.count("*").alias("__dft"))

@@ -309,11 +309,21 @@ def select_mask_positional(df: DataFrame, region, cols=None,
     if index_col is None:
         d = _with_global_rid(df, ck, sk, ek, "index")
         index_col = "index"
+        index_expr = F.col(index_col).cast("long")
     else:
         _verify_columns(df, [index_col], "select_mask_positional")
         d = df
+        # only an integral id column is cast to long; anything else (a
+        # string key, a timestamp) is returned AS-IS — an unconditional
+        # cast would turn non-numeric ids into all-null indexes under
+        # non-ANSI configs (or a runtime error under ANSI), silently
+        # losing positional parity
+        dt = dict(d.dtypes)[index_col]
+        index_expr = (F.col(index_col).cast("long")
+                      if dt in ("tinyint", "smallint", "int", "bigint")
+                      else F.col(index_col))
     return d.select(
-        F.col(index_col).cast("long").alias("index"),
+        index_expr.alias("index"),
         F.coalesce(
             region_select_predicate(F.col(ck), F.col(sk), F.col(ek),
                                     chrom, start, end),

@@ -127,3 +127,27 @@ def test_datapipe_budgets(spark, frames):
     # banded LSH end-to-end: spread + bucket join pair + final distinct
     assert n_exchanges(dedup.minhash_lsh_pairs(
         docs, num_hashes=8, bands=4, threshold=0.5)) <= 5
+
+
+def _final_plan(df) -> str:
+    """EXECUTED plan, final section only — AQE's toString appends an
+    '== Initial Plan ==' copy that double-counts every operator."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_span_dup_pairs_single_kernel_pass(spark, frames):
+    """The winnow kernel must execute ONCE per query. The first
+    formulation fed it to the df-cutoff aggregate, a semi-join, and
+    both self-join sides — 4 MapInPandas executions of the op's
+    dominant cost (the md5 gram loop). The single-consumer rewrite
+    (pre-exploded emission -> one exchange on the fingerprint -> window
+    cutoff -> self-join whose second side is a ReusedExchange) pays the
+    kernel exactly once; the replay is shuffle files, not Python."""
+    _, _, docs = frames
+    p = dedup.span_dup_pairs(docs, k=10, w=4)
+    p.collect()  # materialize THIS df so AQE finalizes ITS plan
+    plan = _final_plan(p)
+    assert "isFinalPlan=true" in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("ReusedExchange") >= 1, plan

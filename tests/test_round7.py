@@ -1,0 +1,223 @@
+"""Round-7 regressions: the four ADVICE defects (ANSI-off null
+semantics in BM25 avgdl and the winnow expression reference, silent
+query drop in bm25_scores_many, unconditional index cast in
+select_mask_positional) and the new winnow ``hash="xx64"`` production
+knob (decision-consistency with the md5 oracle path).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import bioframe_spark as bf
+from bioframe_spark.datapipe import dedup, ranking
+
+
+class _ansi_off:
+    """Temporarily flip spark.sql.ansi.enabled=false — the legacy
+    sizeOfNull config under which size(NULL) = -1 instead of NULL."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.ansi.enabled")
+        self.spark.conf.set("spark.sql.ansi.enabled", "false")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.ansi.enabled", self.prev)
+
+
+def _bm25_docs(spark):
+    return spark.createDataFrame(
+        [(1, "merge sorted runs fast"),
+         (2, "hash join build side"),
+         (3, "merge hash value"),
+         (4, None)],
+        "doc_id long, text string")
+
+
+def test_bm25_avgdl_ignores_null_text_any_ansi(spark):
+    """ADVICE (medium): avgdl counted null-text docs as length -1 under
+    ansi=false, skewing every score. The guard must make scores
+    identical in both configs — and equal to the hand value."""
+    docs = _bm25_docs(spark)
+    on = {r["doc_id"]: r["score"]
+          for r in ranking.bm25_scores(docs, "merge value").collect()}
+    with _ansi_off(spark):
+        off = {r["doc_id"]: r["score"]
+               for r in ranking.bm25_scores(docs, "merge value").collect()}
+    assert on == off
+    # hand value: N=4 docs, avgdl over the 3 non-null docs = 11/3
+    # (4+4+3 tokens), df(merge)=2, df(value)=1; doc3 dl=3 matches both
+    # terms with tf=1
+    import math
+    k1, b = 1.2, 0.75
+    avgdl = 11 / 3
+    idf_m = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    idf_v = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
+    per = (k1 + 1) / (1 + k1 * (1 - b + b * 3 / avgdl))
+    expect = round(idf_m * per + idf_v * per, 6)
+    assert on[3] == pytest.approx(expect, abs=1e-6)
+
+
+def test_bm25_many_avgdl_ignores_null_text_any_ansi(spark):
+    docs = _bm25_docs(spark)
+    qs = {"q1": "merge value", "q2": "hash build"}
+    on = {(r["query_id"], r["doc_id"]): r["score"]
+          for r in ranking.bm25_scores_many(docs, qs).collect()}
+    with _ansi_off(spark):
+        off = {(r["query_id"], r["doc_id"]): r["score"]
+               for r in ranking.bm25_scores_many(docs, qs).collect()}
+    assert on == off
+    # the multi-query row must equal the single-query score
+    single = {r["doc_id"]: r["score"]
+              for r in ranking.bm25_scores(docs, "merge value").collect()}
+    assert on[("q1", 3)] == single[3]
+
+
+def test_bm25_many_rejects_partially_empty_queries(spark):
+    """ADVICE (low): a query tokenizing to no terms silently vanished
+    from the output; now it raises (all-empty still returns the typed
+    empty frame)."""
+    docs = _bm25_docs(spark)
+    with pytest.raises(ValueError, match="no searchable terms.*q_empty"):
+        ranking.bm25_scores_many(docs, {"q1": "merge", "q_empty": "!!!"})
+    out = ranking.bm25_scores_many(docs, {"qa": "", "qb": "???"})
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "score"]
+
+
+def test_winnow_expr_null_text_any_ansi(spark):
+    """ADVICE (low): the expression REFERENCE for the winnow kernel
+    turned null text into [null] under ansi=false (size(NULL) = -1
+    falls into the <w branch). Both configs must yield NULL."""
+    from bioframe_spark.datapipe.dedup import _winnow_fingerprints_expr
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789"), (2, None), (3, "ab")],
+        "doc_id long, text string")
+
+    def fps(d):
+        return {r["doc_id"]: r["fingerprints"]
+                for r in _winnow_fingerprints_expr(d, k=5, w=4).collect()}
+
+    on = fps(docs)
+    with _ansi_off(spark):
+        off = fps(docs)
+    assert on == off
+    assert on[2] is None
+    assert on[3] == []
+    assert len(on[1]) > 0
+
+
+def test_select_mask_positional_non_numeric_index_col(spark):
+    """ADVICE (low): a caller-supplied non-numeric stable id column was
+    cast to long unconditionally — all-null indexes under non-ANSI (or
+    a runtime error under ANSI). It must come back uncast."""
+    df = spark.createDataFrame(
+        [("r1", "chr1", 10, 20), ("r2", "chr1", 100, 200),
+         ("r3", "chr2", 10, 20)],
+        "rowkey string, chrom string, start long, end long")
+    out = bf.select_mask_positional(df, "chr1:15-120", index_col="rowkey")
+    got = {r["index"]: r["mask"] for r in out.collect()}
+    assert got == {"r1": True, "r2": True, "r3": False}
+    assert dict(out.dtypes)["index"] == "string"
+    # integral id columns still cast to long (the documented contract)
+    df2 = df.withColumn("rid", F.monotonically_increasing_id().cast("int"))
+    out2 = bf.select_mask_positional(df2, "chr1:15-120", index_col="rid")
+    assert dict(out2.dtypes)["index"] == "bigint"
+
+
+# --------------------------------------------------------------------------
+# winnow hash="xx64" production knob
+# --------------------------------------------------------------------------
+
+_COMMON = ("a long shared passage that recurs verbatim across many "
+           "documents in this corpus exactly once per doc")
+
+
+def _span_docs(spark):
+    rows = ([(i, f"unique preamble {i} :: " + _COMMON + f" :: suffix {i*7}")
+             for i in range(12)]
+            + [(50 + i, f"totally different text on topic {i} with no "
+                        f"shared span nearby at all padding {i}")
+               for i in range(6)]
+            + [(98, "short"), (99, None)])
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_xx64_decisions_match_md5(spark):
+    """Different hash -> different selected minima, but the dup/removal
+    DECISIONS (which docs are flagged / cut / paired / dropped) must
+    agree: fingerprint equality is all that matters downstream and the
+    winnowing guarantee holds for any deterministic gram hash."""
+    docs = _span_docs(spark)
+
+    def flagged(h):
+        return sorted(r["doc_id"] for r in dedup.duplicate_spans(
+            docs, k=25, w=8, hash=h)
+            .filter(F.col("n_dup_spans") > 0).collect())
+
+    def cut(h):
+        return sorted(r["doc_id"] for r in dedup.remove_duplicate_spans(
+            docs, k=25, w=8, hash=h)
+            .filter(F.col("n_cut_spans") > 0).collect())
+
+    def pairs(h):
+        return sorted((r["id1"], r["id2"]) for r in dedup.span_dup_pairs(
+            docs, k=25, w=8, hash=h).collect())
+
+    assert flagged("md5") == flagged("xx64")
+    assert cut("md5") == cut("xx64")
+    assert pairs("md5") == pairs("xx64")
+    # drop decisions: exact dup_frac values ARE hash-dependent near a
+    # threshold (different minima selections -> slightly different span
+    # counts, documented), so the drop test uses a bimodal corpus —
+    # verbatim copies (dup_frac exactly 1.0 under ANY hash) vs docs
+    # with clearly sub-threshold duplication
+    copies = spark.createDataFrame(
+        [(200 + i, _COMMON) for i in range(3)]
+        + [(300 + i, f"entirely singular document body number {i} "
+                     f"sharing nothing with anything else at all {i*13}")
+           for i in range(3)],
+        "doc_id long, text string")
+
+    def kept(h):
+        return sorted(r["doc_id"] for r in dedup.drop_duplicate_spans_docs(
+            copies, max_dup_frac=0.99, k=25, w=8, hash=h).collect())
+
+    # all three verbatim copies exceed the threshold (no keeper concept
+    # in the drop wrapper — that's remove_duplicate_spans'); the unique
+    # docs survive, identically under both hashes
+    km, kx = kept("md5"), kept("xx64")
+    assert km == kx == [300, 301, 302]
+
+
+def test_winnow_xx64_schema_and_nulls(spark):
+    docs = _span_docs(spark)
+    wf = dedup.winnow_fingerprints(docs, k=25, w=8, hash="xx64")
+    assert dict(wf.dtypes)["fingerprints"] == "array<bigint>"
+    got = {r["doc_id"]: r["fingerprints"] for r in wf.collect()}
+    assert got[99] is None           # null text -> NULL
+    assert got[98] == []             # shorter than k -> empty
+    assert all(isinstance(v, int) for v in got[0])
+
+
+def test_winnow_xx64_guarantee_misaligned(spark):
+    """The winnowing guarantee under xx64: any substring of length >=
+    k + w - 1 shared verbatim by two documents (at DIFFERENT offsets)
+    shares at least one fingerprint."""
+    k, w = 10, 5
+    shared = "0123456789abcdefghijklmnopqrstuvwxyz"  # len 36 >= k+w-1
+    docs = spark.createDataFrame(
+        [(1, "XX" + shared + "YYYYYYY"), (2, "qqqqqqqqqqqqq" + shared)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: set(r["fingerprints"]) for r in
+           dedup.winnow_fingerprints(docs, k=k, w=w, hash="xx64").collect()}
+    assert got[1] & got[2]
+
+
+def test_winnow_xx64_rejects_unknown_hash(spark):
+    docs = _span_docs(spark)
+    with pytest.raises(ValueError, match="hash must be"):
+        dedup.duplicate_spans(docs, hash="sha1").collect()
