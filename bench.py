@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "dedup_components",
     "dup_spans",
     "span_removal",
+    "span_dup_pairs",  # r7: single-kernel rewrite
+    "semdedup",  # r7: first bench row for the semantic-dedup family
     "bm25",
     "sample_users",
     "train_split",

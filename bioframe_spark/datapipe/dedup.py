@@ -102,7 +102,8 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         cache: bool | str = "auto",
                         max_doc_freq: int | None = None,
-                        hash_shingles: bool = False) -> DataFrame:
+                        hash_shingles: bool = False,
+                        df_strategy: str = "agg") -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id1 < id2).
 
     shingle-inverted-index self-join: explode → join on shingle → count
@@ -131,7 +132,28 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     ``n_common`` by one — both vanishingly rare, so Jaccard is exact
     with overwhelming probability. The knob for 100 TB corpora; off by
     default so the oracle-checked queries stay bit-exact portable.
+
+    ``df_strategy`` (only with ``max_doc_freq``): "agg" (default) takes
+    the document frequency with an EAGER map-side-combinable aggregate
+    over the hashed key and re-enters the hot list as a literal InSet
+    filter — partial aggregation means a boilerplate-grade hot shingle
+    never concentrates raw rows on one task. "window" computes df as
+    ``count(*)`` over the shingle partition INSIDE the one exchange the
+    self-join already pays — the explode runs ONCE and every consumer
+    (both join sides and the per-doc counts) replays shuffle files via
+    ReusedExchange instead of recomputing, so no cache is needed; the
+    cost is that a hot shingle's rows all land on one window task
+    before the cutoff drops them (no AQE rescue for windows). Same
+    tradeoff pair as duplicate_spans' strategy knob; value-identical.
     """
+    if df_strategy not in ("agg", "window"):
+        raise ValueError(f"df_strategy must be 'agg' or 'window', got "
+                         f"{df_strategy!r}")
+    window_cut = max_doc_freq is not None and df_strategy == "window"
+    if cache == "auto" and window_cut:
+        # the single-exchange formulation replaces the cache: consumers
+        # replay shuffle files, not the explode
+        cache = False
     if cache == "auto":
         from ..operators.ops import _plan_size_bytes, _threshold
         cache = _plan_size_bytes(df) <= _threshold(
@@ -139,7 +161,17 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     if hash_shingles:
         sh = sh.withColumn("shingle", F.xxhash64(F.col("shingle")))
-    if max_doc_freq is not None:
+    if window_cut:
+        # the explicit isnotnull matches the filter the inner join
+        # pushes into ITS subtrees — without it the per-doc counts
+        # consumer's exchange differs by exactly that filter and the
+        # explode runs twice instead of once (measured in the plan)
+        wsp = Window.partitionBy("shingle")
+        sh = (sh.filter(F.col("shingle").isNotNull())
+                .withColumn("__df", F.count(F.lit(1)).over(wsp))
+                .filter(F.col("__df") <= max_doc_freq)
+                .drop("__df"))
+    elif max_doc_freq is not None:
         # 100 TB skew guard: a stopword shingle occurring in d documents
         # contributes d^2 join candidates — one hot key can dominate the
         # whole stage. Drop shingles with document frequency > cutoff
@@ -161,9 +193,20 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         # contract as the other kernel gates.
         from ..operators.ops import (_SMALL_INPUT_MAX_ROWS, _bounded_pdf,
                                      _threshold)
-        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        # df is computed on the 8-BYTE HASH of the shingle even when the
+        # pipeline keeps string shingles: the cutoff decision only needs
+        # key identity, and the df-agg is a full shuffle of the exploded
+        # table — longs cut its shuffle bytes ~4x vs n-gram strings (the
+        # residual 64x exponent lived in exactly this pass). A cold
+        # shingle colliding with a hot hash (~n_hot/2^64 per shingle) is
+        # dropped with it — same vanishing-probability caveat as
+        # hash_shingles, harmless for a skew guard.
+        key = (F.col("shingle") if hash_shingles
+               else F.xxhash64(F.col("shingle")))
+        hot = (sh.select(key.alias("__k"))
+               .groupBy("__k").agg(F.count(F.lit(1)).alias("__df"))
                .filter(F.col("__df") > max_doc_freq)
-               .select("shingle"))
+               .select("__k"))
         cap = _threshold(df, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
         # probe=False: the hot frame is a filtered aggregate — probing
         # would execute the whole df-shuffle twice just to count an
@@ -171,18 +214,22 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         # bounded by maxResultSize + the post-hoc row check
         hot_pdf = _bounded_pdf(hot, cap, probe=False)
         if hot_pdf is None:
-            # implausibly many hot shingles: keep the lazy formulation
-            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            # implausibly many hot keys: keep the lazy formulation
+            sh = sh.join(F.broadcast(hot), key == F.col("__k"), "left_anti")
         elif len(hot_pdf):
-            hot_local = df.sparkSession.createDataFrame(
-                hot_pdf["shingle"].to_frame())
-            sh = sh.join(F.broadcast(hot_local), "shingle", "left_anti")
-        # empty hot list: nothing to drop, skip the join entirely
+            # literal hot SET -> a pure scan-stage filter (InSet above
+            # 10 items), no join in the plan at all
+            sh = sh.filter(~key.isin([int(v) for v in hot_pdf["__k"]]))
+        # empty hot list: nothing to drop, skip the filter entirely
     if cache:
         sh = sh.cache()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id1"), "shingle")
     b = sh.select(F.col(id_col).alias("id2"), "shingle")
+    if window_cut:
+        # force SMJ so a statically-planned broadcast build side can't
+        # bypass the shared exchange (same guard as span_dup_pairs)
+        b = b.hint("merge")
     common = (
         a.join(b, "shingle")
         .filter(F.col("id1") < F.col("id2"))

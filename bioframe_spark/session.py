@@ -49,6 +49,14 @@ def get_spark(app: str = "bioframe_spark", cpus: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the engine's null-signal convention (null text/array -> null
+        # measure, never -1) assumes ANSI null semantics: under
+        # ansi.enabled=false, size(NULL) is -1 (legacy sizeOfNull) and
+        # every size()-derived feature silently shifts. The two hottest
+        # sites are also guarded expression-level (bm25 avgdl, winnow
+        # expr ref), but the session pin is the systemic guarantee —
+        # deployments overriding this own the consequences.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # hard JVM-side bound on ANY driver collect: the kernel-gate
