@@ -1222,6 +1222,15 @@ def q_vocab_topk(spark, sf_dir):
     return ranking.vocab_topk(docs, n=50)
 
 
+def q_token_pairs(spark, sf_dir):
+    """BPE merge-candidate primitive (r7): top adjacent token pairs —
+    one map-only HOF + hash agg + TakeOrderedAndProject, the count step
+    of a tokenizer-training loop at corpus scale."""
+    from bioframe_spark.datapipe import ranking
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.token_pair_counts(docs, n=50)
+
+
 def q_span_dup_pairs(spark, sf_dir):
     from bioframe_spark.datapipe import dedup as ddp
     docs = _t(spark, sf_dir, "documents")
@@ -1371,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "language_id": q_language_id,
         "sample_mix": q_sample_mix,
+        "token_pairs": q_token_pairs,  # r7 new op (past cap; CHECKFULL covers)
         "events_json": q_events_json,
         # streaming operator driven to completion — oracle-checkable but
         # deliberately past the driver's 50-row cap (a streaming query in
@@ -3210,6 +3220,19 @@ FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
       FROM documents)
 GROUP BY 1
 ORDER BY cnt DESC, token
+LIMIT 50
+""",
+        "token_pairs": """
+SELECT pair, count(*) AS cnt
+FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS pair
+      FROM (SELECT list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '') AS tk
+            FROM documents)
+      WHERE len(tk) >= 2)
+GROUP BY 1
+ORDER BY cnt DESC, pair
 LIMIT 50
 """,
         "select_labels": select_labels,

@@ -152,6 +152,38 @@ def vocab_topk(df: DataFrame, n: int = 100, *, text_col: str = "text") -> DataFr
     return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(n)
 
 
+def token_pair_counts(df: DataFrame, n: int = 100, *,
+                      text_col: str = "text") -> DataFrame:
+    """The ``n`` most frequent ADJACENT token pairs with counts, ties
+    broken by pair (ascending) — the BPE merge-candidate primitive: a
+    tokenizer-training loop is "count adjacent pairs over the corpus,
+    merge the winner, repeat", and the count step is the part that must
+    scale to 100 TB (the merge bookkeeping is driver-sized).
+
+    Same plan shape as :func:`vocab_topk`: the pair construction is a
+    map-only HOF over token offsets (no self-join, no second explode),
+    the count is one hash aggregate with map-side partial combine, and
+    the top-n compiles to TakeOrderedAndProject (per-partition heaps +
+    a driver merge of n rows). Null / sub-2-token docs contribute no
+    pairs.
+    """
+    from ..operators.ops import _spread_if_underpartitioned
+
+    toks = _doc_tokens(text_col)
+    pair_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = (_spread_if_underpartitioned(df.select(text_col))
+         .select(F.explode(pair_arr).alias("pair")))
+    counts = t.groupBy("pair").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("pair")).limit(n)
+
+
 def bm25_scores_many(df: DataFrame, queries: dict[str, str], *,
                      id_col: str = "doc_id", text_col: str = "text",
                      k1: float = 1.2, b: float = 0.75,

@@ -480,13 +480,55 @@ def ivf_topk(
     return _rank_probed(q, c, k)
 
 
+def _coarse_quantizer(C: "np.ndarray", n_groups: int, iters: int = 4):
+    """Driver-side spherical mini-k-means over the CENTROIDS themselves
+    (C is n_centroids × dim, at most ~100k rows — trivial on the
+    driver): returns (group_of_centroid, unit group vectors). Init =
+    first n_groups in cent_id order (deterministic, same convention as
+    kmeans_centroids); empty groups keep their previous vector."""
+    import numpy as np
+
+    Cf = C.astype(np.float64)
+    Cn = Cf / np.maximum(np.sqrt((Cf * Cf).sum(axis=1))[:, None], 1e-300)
+    G = Cn[:n_groups].copy()
+    for _ in range(iters):
+        grp = (Cn @ G.T).argmax(axis=1)
+        for g in range(n_groups):
+            sel = Cn[grp == g]
+            if len(sel):
+                m = sel.sum(axis=0)
+                G[g] = m / max(float(np.sqrt((m * m).sum())), 1e-300)
+    # final REassignment against the final G: membership must be argmax
+    # w.r.t. the group vectors the router will use, so a vector sitting
+    # exactly on a centroid always probes that centroid's group
+    grp = (Cn @ G.T).argmax(axis=1)
+    return grp, G
+
+
 def _centroid_assign(df, cent_rows, cid_type, id_col, vec_col,
                      out_id, vname, nname, top):
     """Map-only nearest-centroid assignment: the QUANTIZED centroid rows
     (a few KB) are captured by a ``mapInPandas`` kernel; each batch does
     one int64-exact matmul + argmax/stable-argsort.  Tie rule = the
     (cos desc, cent_id asc) window: rows are ordered by cent_id asc and
-    ``argmax``/stable argsort return the FIRST maximum."""
+    ``argmax``/stable argsort return the FIRST maximum.
+
+    TWO-LEVEL (coarse) path — the constant-cluster-size scale escape:
+    exact assignment is O(N·n_centroids) flops, which turns quadratic
+    when n_centroids scales with the corpus (SemDeDup's ~100k-cluster
+    regime). With ``top == 1`` and n_centroids ≥
+    ``spark.bioframe.coarseAssignMinCentroids`` (default 256), vectors
+    route through ~√C super-centroids (a driver-side mini-k-means over
+    the centroid table), probe the ``spark.bioframe.coarseAssignProbes``
+    (default 2) nearest groups, and assign EXACTLY within the probed
+    candidates — per-vector cost ~(probes+1)·√C dots instead of C. The
+    result is exact argmax over the probed candidate set (same int64
+    dots, same cid-asc tie rule); a vector whose true centroid lives
+    outside its probed groups lands on its best probed centroid instead
+    — the standard IVF approximation, acceptable wherever clustering is
+    itself the heuristic (SemDeDup grouping, IVF posting lists). Small
+    centroid counts — including every oracle-checked configuration —
+    stay on the exact path."""
     import numpy as np
     import pandas as pd
 
@@ -495,6 +537,15 @@ def _centroid_assign(df, cent_rows, cid_type, id_col, vec_col,
     cids = [r["cent_id"] for r in cent_rows]
     C = np.stack([np.asarray(r["cvec"], dtype=np.int64) for r in cent_rows])
     cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+
+    spark = df.sparkSession
+    coarse_min = int(spark.conf.get(
+        "spark.bioframe.coarseAssignMinCentroids", "256"))
+    n_probes = int(spark.conf.get("spark.bioframe.coarseAssignProbes", "2"))
+    if top == 1 and len(cids) >= coarse_min:
+        return _centroid_assign_coarse(
+            df, cids, C, cn, cid_type, id_col, vec_col,
+            out_id, vname, nname, n_probes)
     v = df.select(
         F.col(id_col).alias(out_id), _quantized(F.col(vec_col), vname)
     )
@@ -535,6 +586,81 @@ def _centroid_assign(df, cent_rows, cid_type, id_col, vec_col,
                     nname: vn2[ridx],
                     "cent_id": [cids[i] for i in order.ravel()],
                 })
+
+    return v.mapInPandas(kern, schema)
+
+
+def _centroid_assign_coarse(df, cids, C, cn, cid_type, id_col, vec_col,
+                            out_id, vname, nname, n_probes):
+    """The two-level assignment kernel (see _centroid_assign). Group
+    structure is computed ONCE on the driver and captured by the
+    closure; per batch: one small float matmul routes vectors to their
+    probed groups, then one exact int64 matmul per (group × its probed
+    rows) — total flops ~N·dim·(√C·(1+probes·density)) vs N·dim·C."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    n_groups = max(2, int(np.ceil(np.sqrt(len(cids)))))
+    grp, G = _coarse_quantizer(C, n_groups)
+    members = [np.flatnonzero(grp == g) for g in range(n_groups)]
+    # an EMPTY group must never consume a probe slot (a vector whose
+    # probes all landed empty would fall through unassigned)
+    empty = np.array([len(m) == 0 for m in members])
+    p = min(n_probes, int((~empty).sum()))
+
+    v = df.select(
+        F.col(id_col).alias(out_id), _quantized(F.col(vec_col), vname)
+    )
+    schema = T.StructType([
+        T.StructField(out_id, df.schema[id_col].dataType),
+        T.StructField(vname, T.ArrayType(T.LongType())),
+        T.StructField(nname, T.LongType()),
+        T.StructField("cent_id", cid_type),
+    ])
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vname].to_numpy()).astype(np.int64)
+            vn2 = (V * V).sum(axis=1)
+            vnorm = np.maximum(np.sqrt(vn2.astype(np.float64)), 1e-300)
+            Vn = V.astype(np.float64) / vnorm[:, None]
+            # route: top-p groups per vector (stable argsort keeps the
+            # group order deterministic under exact ties)
+            gcos = Vn @ G.T
+            gcos[:, empty] = -np.inf
+            probed = np.argsort(-gcos, axis=1, kind="stable")[:, :p]
+            best = np.full(len(V), -np.inf)
+            pick = np.zeros(len(V), dtype=np.int64)
+            for g in range(n_groups):
+                m = members[g]
+                if not len(m):
+                    continue
+                rows = np.flatnonzero((probed == g).any(axis=1))
+                if not len(rows):
+                    continue
+                sub = V[rows]
+                cos = (sub @ C[m].T).astype(np.float64) / (
+                    vnorm[rows][:, None] * cn[m][None, :])
+                loc = cos.argmax(axis=1)  # first max = lowest cid in m
+                val = cos[np.arange(len(rows)), loc]
+                cand = m[loc]
+                # running best with the global (cos desc, cent_id asc)
+                # tie rule across groups
+                upd = (val > best[rows]) | (
+                    (val == best[rows]) & (cand < pick[rows]))
+                r = rows[upd]
+                best[r] = val[upd]
+                pick[r] = cand[upd]
+            yield pd.DataFrame({
+                out_id: pdf[out_id].to_numpy(),
+                vname: pdf[vname].to_numpy(),
+                nname: vn2,
+                "cent_id": [cids[i] for i in pick],
+            })
 
     return v.mapInPandas(kern, schema)
 

@@ -690,7 +690,8 @@ def stream_near_dup_pairs(docs: DataFrame, num_hashes: int = 16,
 def stream_span_contamination(docs: DataFrame, eval_docs: DataFrame,
                               k: int = 25, w: int = 16,
                               text_col: str = "text",
-                              id_col: str = "doc_id") -> DataFrame:
+                              id_col: str = "doc_id",
+                              hash: str = "md5") -> DataFrame:
     """Benchmark decontamination AT INGEST: tag each arriving document
     with how many of its winnowed span fingerprints appear anywhere in
     a STATIC eval/benchmark corpus (the span-level analog of the batch
@@ -705,6 +706,11 @@ def stream_span_contamination(docs: DataFrame, eval_docs: DataFrame,
     store — per-micro-batch cost is exactly the winnow kernel.
 
     Works identically on a batch frame (mapInPandas is mode-agnostic).
+    ``hash="xx64"`` swaps the md5 gram loop for the vectorized 64-bit
+    winnow kernel (same knob as the batch span family — the per-batch
+    kernel is this op's entire cost, so it's the knob that matters at
+    ingest rates); decisions stay hash-consistent, md5 remains the
+    oracle default.
     """
     from pyspark.sql import types as T
 
@@ -713,7 +719,7 @@ def stream_span_contamination(docs: DataFrame, eval_docs: DataFrame,
                                  _threshold)
 
     fps = (winnow_fingerprints(eval_docs, k=k, w=w, text_col=text_col,
-                               id_col=id_col)
+                               id_col=id_col, hash=hash)
            .select(F.explode("fingerprints").alias("__h")).distinct())
     cap = _threshold(eval_docs, "smallInputMaxRows", _SMALL_INPUT_MAX_ROWS)
     pdf = _bounded_pdf(fps, cap, probe=False)
@@ -736,7 +742,7 @@ def stream_span_contamination(docs: DataFrame, eval_docs: DataFrame,
     def gen(batches):
         import pandas as pd
 
-        winnow = _make_winnow_doc(k, w)
+        winnow = _make_winnow_doc(k, w, hash=hash)
         ev = bset.value
         for pdf_ in batches:
             ids, ns, nc, fr = [], [], [], []

@@ -223,6 +223,136 @@ def test_winnow_xx64_rejects_unknown_hash(spark):
         dedup.duplicate_spans(docs, hash="sha1").collect()
 
 
+def test_stream_span_contamination_xx64(spark):
+    """The streaming decontamination op takes the same hash knob as the
+    batch span family: hit COUNTS differ (different winnow selections)
+    but the contaminated/clean decision is hash-consistent."""
+    from bioframe_spark.streaming.stream_ops import stream_span_contamination
+
+    ev = spark.createDataFrame(
+        [(1, "the secret benchmark answer key is exactly this sentence "
+             "right here")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "prefix text then the secret benchmark answer key is "
+              "exactly this sentence right here and more"),
+         (11, "completely unrelated content with nothing shared at all "
+              "in any span here"),
+         (12, None)],
+        "doc_id long, text string")
+    for h in ("md5", "xx64"):
+        got = {r["doc_id"]: r["n_contaminated"]
+               for r in stream_span_contamination(
+                   docs, ev, k=25, w=8, hash=h).collect()}
+        assert got[10] > 0 and got[11] == 0 and got[12] is None, (h, got)
+
+
+def test_token_pair_counts(spark):
+    """BPE merge-candidate counts: adjacent pairs only, deterministic
+    tie-break, null/short docs contribute nothing."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b!x"), (3, "solo"), (4, None)],
+        "doc_id long, text string")
+    got = [(r["pair"], r["cnt"])
+           for r in ranking.token_pair_counts(docs, n=10).collect()]
+    # doc1 pairs: a b, b a, a b, b c; doc2: a b, b x (the ! splits)
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1), ("b x", 1)]
+    top1 = ranking.token_pair_counts(docs, n=1).collect()
+    assert [(r["pair"], r["cnt"]) for r in top1] == [("a b", 3)]
+    plan = ranking.token_pair_counts(docs, n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+class _conf:
+    """Temporarily set session confs, restoring on exit."""
+
+    def __init__(self, spark, **kv):
+        self.spark = spark
+        self.kv = kv
+
+    def __enter__(self):
+        self.prev = {}
+        for k, v in self.kv.items():
+            key = k.replace("__", ".")
+            try:
+                self.prev[key] = self.spark.conf.get(key)
+            except Exception:
+                self.prev[key] = None
+            self.spark.conf.set(key, str(v))
+
+    def __exit__(self, *exc):
+        for key, v in self.prev.items():
+            if v is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, v)
+
+
+def _clustered_embeddings(spark, n_cent=40, per=6, dim=32, seed=11):
+    """Vectors exactly AT their (seeded random unit) centroid plus tiny
+    same-direction scalings — cluster identity is unambiguous."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_cent, dim)
+    cents /= np.sqrt((cents * cents).sum(axis=1))[:, None]
+    rows = []
+    vid = 0
+    for c in range(n_cent):
+        for j in range(per):
+            rows.append((vid, (cents[c] * (1.0 + 0.001 * j)).tolist()))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_coarse_assign_matches_exact_on_separated_clusters(spark):
+    """Two-level assignment (the constant-cluster-size scale escape):
+    on well-separated clusters it must agree with exact assignment
+    100% — a vector on a centroid always probes that centroid's group
+    (the quantizer's final reassignment pins this)."""
+    from bioframe_spark.datapipe import similarity
+
+    emb = _clustered_embeddings(spark)
+
+    def keep_map(**conf):
+        with _conf(spark, **conf):
+            out = similarity.semantic_dedup(
+                emb, threshold=0.999, n_centroids=40, train_iters=0)
+            return {r["vec_id"]: (r["cent_id"], r["keep"])
+                    for r in out.collect()}
+
+    exact = keep_map(spark__bioframe__coarseAssignMinCentroids=10_000)
+    coarse = keep_map(spark__bioframe__coarseAssignMinCentroids=8)
+    assert exact == coarse
+    # sanity: the dedup actually grouped (one keeper per 6-copy cluster)
+    assert sum(1 for _, k in exact.values() if k) == 40
+
+
+def test_coarse_assign_kernel_choice(spark):
+    """The coarse kernel fires only at top==1 AND n_centroids past the
+    threshold; every oracle-checked configuration (n_centroids=16)
+    stays on the exact kernel under the default config."""
+    import numpy as np
+
+    from bioframe_spark.datapipe import similarity
+    from bioframe_spark.datapipe.similarity import _coarse_quantizer
+
+    # quantizer invariants: every centroid grouped, group vecs unit
+    rng = np.random.RandomState(3)
+    C = (rng.randn(300, 16) * 1000).astype(np.int64)
+    grp, G = _coarse_quantizer(C, 18)
+    assert grp.shape == (300,) and set(grp) <= set(range(18))
+    norms = np.sqrt((G * G).sum(axis=1))
+    nonzero = norms > 0
+    assert np.allclose(norms[nonzero], 1.0)
+    # final membership is argmax against the FINAL group vectors (the
+    # probe-coverage invariant the coarse kernel relies on)
+    Cn = C.astype(np.float64)
+    Cn /= np.sqrt((Cn * Cn).sum(axis=1))[:, None]
+    assert (grp == (Cn @ G.T).argmax(axis=1)).all()
+
+
 def test_jaccard_df_strategy_window_identical_single_explode(spark):
     """df_strategy="window" folds the df-cutoff into the one exchange
     the self-join pays: value-identical to the default eager-agg path,
