@@ -517,7 +517,10 @@ def _centroid_assign(df, cent_rows, cid_type, id_col, vec_col,
     exact assignment is O(N·n_centroids) flops, which turns quadratic
     when n_centroids scales with the corpus (SemDeDup's ~100k-cluster
     regime). With ``top == 1`` and n_centroids ≥
-    ``spark.bioframe.coarseAssignMinCentroids`` (default 256), vectors
+    ``spark.bioframe.coarseAssignMinCentroids`` (default 512 — the
+    measured crossover: at 256 centroids the routing matmul + per-group
+    loop still costs more than it saves, at 1024 it wins 1.5x and the
+    assign exponent flattens to ~0.13; §12-r07b), vectors
     route through ~√C super-centroids (a driver-side mini-k-means over
     the centroid table), probe the ``spark.bioframe.coarseAssignProbes``
     (default 2) nearest groups, and assign EXACTLY within the probed
@@ -540,7 +543,7 @@ def _centroid_assign(df, cent_rows, cid_type, id_col, vec_col,
 
     spark = df.sparkSession
     coarse_min = int(spark.conf.get(
-        "spark.bioframe.coarseAssignMinCentroids", "256"))
+        "spark.bioframe.coarseAssignMinCentroids", "512"))
     n_probes = int(spark.conf.get("spark.bioframe.coarseAssignProbes", "2"))
     if top == 1 and len(cids) >= coarse_min:
         return _centroid_assign_coarse(

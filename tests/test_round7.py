@@ -297,10 +297,13 @@ def _clustered_embeddings(spark, n_cent=40, per=6, dim=32, seed=11):
     rng = np.random.RandomState(seed)
     cents = rng.randn(n_cent, dim)
     cents /= np.sqrt((cents * cents).sum(axis=1))[:, None]
-    rows = []
-    vid = 0
+    # vec_ids 0..n_cent-1 are ONE vector per cluster: train_iters=0
+    # initializes centroids from the smallest ids, so the trained
+    # centroids ARE the cluster directions and separation is real
+    rows = [(c, cents[c].tolist()) for c in range(n_cent)]
+    vid = n_cent
     for c in range(n_cent):
-        for j in range(per):
+        for j in range(1, per):
             rows.append((vid, (cents[c] * (1.0 + 0.001 * j)).tolist()))
             vid += 1
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
