@@ -1222,6 +1222,17 @@ def q_vocab_topk(spark, sf_dir):
     return ranking.vocab_topk(docs, n=50)
 
 
+def q_quality_score(spark, sf_dir):
+    """Linear classifier inference (r7): fastText-style quality scoring
+    — broadcast weight table, one explode + per-doc sum. Weights are
+    dyadic (k/4) so every partial sum is FP-exact in any engine."""
+    from bioframe_spark.datapipe import ranking
+    docs = _t(spark, sf_dir, "documents")
+    w = {"merge": 1.5, "scan": -0.75, "value": 0.25, "fast": 2.0,
+         "hash": -1.25, "table": 0.5}
+    return ranking.linear_text_score(docs, w, bias=0.25)
+
+
 def q_token_pairs(spark, sf_dir):
     """BPE merge-candidate primitive (r7): top adjacent token pairs —
     one map-only HOF + hash agg + TakeOrderedAndProject, the count step
@@ -1381,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "sample_mix": q_sample_mix,
         "token_pairs": q_token_pairs,  # r7 new op (past cap; CHECKFULL covers)
+        "quality_score": q_quality_score,  # r7 new op (past cap; CHECKFULL covers)
         "events_json": q_events_json,
         # streaming operator driven to completion — oracle-checkable but
         # deliberately past the driver's 50-row cap (a streaming query in
@@ -3221,6 +3233,26 @@ FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
 GROUP BY 1
 ORDER BY cnt DESC, token
 LIMIT 50
+""",
+        "quality_score": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS tk
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(tk) AS token FROM toks
+), w(token, weight) AS (
+  VALUES ('merge', CAST(1.5 AS DOUBLE)), ('scan', CAST(-0.75 AS DOUBLE)),
+         ('value', CAST(0.25 AS DOUBLE)), ('fast', CAST(2.0 AS DOUBLE)),
+         ('hash', CAST(-1.25 AS DOUBLE)), ('table', CAST(0.5 AS DOUBLE))
+), s AS (
+  SELECT doc_id, sum(weight) AS sw FROM t JOIN w USING (token) GROUP BY 1
+)
+SELECT k.doc_id,
+       CASE WHEN k.tk IS NULL THEN NULL
+            ELSE round(CAST(0.25 AS DOUBLE) + coalesce(s.sw, 0), 6)
+       END AS score
+FROM toks k LEFT JOIN s USING (doc_id)
 """,
         "token_pairs": """
 SELECT pair, count(*) AS cnt

@@ -184,6 +184,70 @@ def token_pair_counts(df: DataFrame, n: int = 100, *,
     return counts.orderBy(F.col("cnt").desc(), F.col("pair")).limit(n)
 
 
+def linear_text_score(df: DataFrame, weights: dict[str, float], *,
+                      bias: float = 0.0, average: bool = False,
+                      sigmoid: bool = False,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      score_decimals: int | None = 6) -> DataFrame:
+    """Linear bag-of-words classifier INFERENCE over the corpus — the
+    fastText-style quality-classifier application pass (score every
+    document with a trained linear model, then filter / bucket / sample
+    by score): ``score = bias + Σ weights[token]`` over the document's
+    tokens (token multiplicity counts), ``average=True`` divides by the
+    token count (the fastText mean-of-features convention).
+
+    Returns (id_col, score[, prob]) — one row per input document; null
+    text keeps the corpus null-signal convention (null score), a doc
+    with no weighted tokens scores ``bias``. ``sigmoid=True`` adds the
+    logistic ``prob`` column.
+
+    100 TB design: the weight table re-enters as a BROADCAST side (a
+    classifier vocabulary is model-sized, not corpus-sized; a dict far
+    past broadcast range belongs in a feature store, not a literal), so
+    the only wide traffic is one (id, token) explode into a per-doc sum
+    with map-side partial aggregation. No literal map in the plan — a
+    100k-entry vocabulary as ``create_map`` would bloat every task's
+    serialized plan; the broadcast relation ships once per executor.
+    ``score_decimals`` pins engine-reproducible sums (same convention
+    as :func:`bm25_scores`).
+    """
+    if not weights:
+        raise ValueError("linear_text_score: empty weights")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(t, float(v)) for t, v in sorted(weights.items())],
+        "token string, weight double")
+    from ..operators.ops import _spread_if_underpartitioned
+    toks = _doc_tokens(text_col)
+    d = _spread_if_underpartitioned(df.select(id_col, text_col))
+    # explode_outer keeps zero-token docs (token=null row); __n carries
+    # the null-text signal through the aggregate
+    base = d.select(
+        F.col(id_col).alias("__id"),
+        F.when(F.col(text_col).isNotNull(), F.size(toks)).alias("__n"),
+        F.explode_outer(toks).alias("token"))
+    summed = (base.join(F.broadcast(wdf), "token", "left")
+              .groupBy("__id")
+              .agg(F.max("__n").alias("__n"),
+                   F.sum("weight").alias("__sw")))
+    sw = F.coalesce(F.col("__sw"), F.lit(0.0))
+    if average:
+        # bias + mean token contribution (the bias is a model intercept,
+        # never divided by document length)
+        sw = F.when(F.col("__n") > 0, sw / F.col("__n")).otherwise(F.lit(0.0))
+    raw = F.lit(float(bias)) + sw
+    score = F.when(F.col("__n").isNull(), F.lit(None).cast("double")) \
+             .otherwise(raw)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    out = summed.select(F.col("__id").alias(id_col), score.alias("score"))
+    if sigmoid:
+        out = out.withColumn(
+            "prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))),
+                            score_decimals or 9))
+    return out
+
+
 def bm25_scores_many(df: DataFrame, queries: dict[str, str], *,
                      id_col: str = "doc_id", text_col: str = "text",
                      k1: float = 1.2, b: float = 0.75,

@@ -223,6 +223,33 @@ def test_winnow_xx64_rejects_unknown_hash(spark):
         dedup.duplicate_spans(docs, hash="sha1").collect()
 
 
+def test_linear_text_score(spark):
+    """fastText-style linear classifier inference: exact sums over a
+    broadcast weight table, bias-only for unmatched docs, null text ->
+    null score, average divides the token sum (not the bias)."""
+    docs = spark.createDataFrame(
+        [(1, "good clean data data"), (2, "bad spam junk"), (3, ""),
+         (4, None), (5, "neutral words only")],
+        "doc_id long, text string")
+    w = {"good": 1.0, "clean": 0.5, "data": 0.25, "bad": -1.0,
+         "spam": -2.0}
+    out = {r["doc_id"]: r["score"]
+           for r in ranking.linear_text_score(docs, w, bias=0.1).collect()}
+    assert out == {1: 2.1, 2: -2.9, 3: 0.1, 4: None, 5: 0.1}
+    avg = {r["doc_id"]: r["score"] for r in ranking.linear_text_score(
+        docs, w, bias=0.1, average=True).collect()}
+    assert avg[1] == 0.6 and avg[2] == -0.9 and avg[3] == 0.1
+    sg = {r["doc_id"]: r["prob"] for r in ranking.linear_text_score(
+        docs, w, sigmoid=True).collect()}
+    assert sg[3] == 0.5 and sg[4] is None and sg[1] > 0.8
+    with pytest.raises(ValueError, match="empty weights"):
+        ranking.linear_text_score(docs, {})
+    # the weight side must enter as a broadcast, never a shuffle
+    plan = ranking.linear_text_score(docs, w) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_stream_span_contamination_xx64(spark):
     """The streaming decontamination op takes the same hash knob as the
     batch span family: hit COUNTS differ (different winnow selections)
