@@ -1233,6 +1233,15 @@ def q_quality_score(spark, sf_dir):
     return ranking.linear_text_score(docs, w, bias=0.25)
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM fluency scoring (r7): CCNet-style perplexity filter,
+    self-trained add-k model — two count aggregates + shuffle joins on
+    the bigram/unigram keys (reference-sized model, never broadcast)."""
+    from bioframe_spark.datapipe import ranking
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.bigram_lm_scores(docs)
+
+
 def q_token_pairs(spark, sf_dir):
     """BPE merge-candidate primitive (r7): top adjacent token pairs —
     one map-only HOF + hash agg + TakeOrderedAndProject, the count step
@@ -1393,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": q_sample_mix,
         "token_pairs": q_token_pairs,  # r7 new op (past cap; CHECKFULL covers)
         "quality_score": q_quality_score,  # r7 new op (past cap; CHECKFULL covers)
+        "lm_score": q_lm_score,  # r7 new op (past cap; CHECKFULL covers)
         "events_json": q_events_json,
         # streaming operator driven to completion — oracle-checkable but
         # deliberately past the driver's 50-row cap (a streaming query in
@@ -3233,6 +3243,36 @@ FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
 GROUP BY 1
 ORDER BY cnt DESC, token
 LIMIT 50
+""",
+        "lm_score": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS tk
+  FROM documents
+), bi AS (
+  SELECT doc_id, r.p AS p, r.c AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> {'p': tk[i], 'c': tk[i + 1]})) AS r
+        FROM toks WHERE len(tk) >= 2)
+), uni AS (
+  SELECT token AS p, count(*) AS uc
+  FROM (SELECT unnest(tk) AS token FROM toks) GROUP BY 1
+), bic AS (
+  SELECT p, c, count(*) AS bc FROM bi GROUP BY 1, 2
+), nv AS (SELECT count(*) AS v FROM uni),
+lp AS (
+  SELECT b.doc_id,
+         ln((bc.bc + CAST(0.5 AS DOUBLE))
+            / (u.uc + CAST(0.5 AS DOUBLE) * nv.v)) AS l
+  FROM bi b JOIN bic bc USING (p, c) JOIN uni u USING (p), nv
+), s AS (
+  SELECT doc_id, avg(l) AS score, count(*) AS nb FROM lp GROUP BY 1
+)
+SELECT t.doc_id,
+       CASE WHEN t.tk IS NULL THEN NULL ELSE round(s.score, 6) END AS score,
+       CASE WHEN t.tk IS NULL THEN NULL ELSE coalesce(s.nb, 0) END AS n_bigrams
+FROM toks t LEFT JOIN s USING (doc_id)
 """,
         "quality_score": """
 WITH toks AS (

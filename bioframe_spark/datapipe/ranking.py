@@ -248,6 +248,87 @@ def linear_text_score(df: DataFrame, weights: dict[str, float], *,
     return out
 
 
+def _bigram_structs(text_col: str):
+    """Array of (p, c) adjacent-token structs — empty for <2 tokens,
+    NULL for null text (the when() propagates the null condition)."""
+    toks = _doc_tokens(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("p"),
+                F.element_at(toks, i + F.lit(1)).alias("c")),
+        ),
+    ).otherwise(
+        F.when(F.col(text_col).isNotNull(),
+               F.array().cast("array<struct<p:string,c:string>>")))
+
+
+def bigram_lm_scores(df: DataFrame, *, ref: DataFrame | None = None,
+                     add_k: float = 0.5,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     score_decimals: int | None = 6) -> DataFrame:
+    """Per-document bigram language-model fluency score — the CCNet-
+    style perplexity filter re-expressed without an external LM: train
+    an add-k-smoothed bigram model on ``ref`` (default: the corpus
+    itself) and score every document by its mean log-probability
+    ``avg ln((c(prev,cur)+k) / (c(prev)+k·V))`` — higher = more fluent
+    under the reference distribution; gibberish, boilerplate-free spam
+    and wrong-language text score low. Returns (id_col, score, n_bigrams);
+    docs with <2 tokens have no evidence → NULL score (and null text →
+    NULL, the corpus convention).
+
+    100 TB design: the model IS two aggregates over ``ref`` (unigram
+    and bigram counts with map-side partial combine — the bigram table
+    is reference-sized, NOT broadcast; it re-enters through shuffle
+    joins keyed by the bigram/unigram, which is exactly what a
+    distributed join is for). Scoring is one explode of the scored
+    corpus joined against those counts and a per-doc average. V (vocab
+    size) is the single scalar driver action.
+    """
+    ref = df if ref is None else ref
+    k = float(add_k)
+    if k <= 0:
+        raise ValueError("add_k must be > 0 (unsmoothed zeros undefined)")
+
+    rtoks = _doc_tokens(text_col)
+    uni = (ref.select(F.explode(rtoks).alias("p"))
+           .groupBy("p").agg(F.count("*").alias("__uc")))
+    bi = (ref.select(F.explode(_bigram_structs(text_col)).alias("b"))
+          .select("b.p", "b.c")
+          .groupBy("p", "c").agg(F.count("*").alias("__bc")))
+    n_vocab = uni.count()
+
+    from ..operators.ops import _spread_if_underpartitioned
+    d = _spread_if_underpartitioned(df.select(id_col, text_col))
+    ex = d.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).isNotNull().alias("__nn"),
+        F.explode_outer(_bigram_structs(text_col)).alias("b"),
+    ).select("__id", "__nn", F.col("b.p").alias("p"),
+             F.col("b.c").alias("c"))
+    lp = F.log((F.coalesce(F.col("__bc"), F.lit(0)) + F.lit(k))
+               / (F.coalesce(F.col("__uc"), F.lit(0))
+                  + F.lit(k * float(n_vocab))))
+    scored = (ex.join(bi, ["p", "c"], "left")
+                .join(uni, ["p"], "left")
+                .groupBy("__id")
+                .agg(F.avg(F.when(F.col("p").isNotNull(), lp))
+                     .alias("score"),
+                     # null text -> NULL counter (corpus convention);
+                     # a real-but-short doc counts 0 bigrams
+                     F.when(F.max("__nn"),
+                            F.sum(F.when(F.col("p").isNotNull(), 1)
+                                  .otherwise(0)))
+                     .cast("long").alias("n_bigrams")))
+    score = (F.round(F.col("score"), score_decimals)
+             if score_decimals is not None else F.col("score"))
+    return scored.select(F.col("__id").alias(id_col),
+                         score.alias("score"), "n_bigrams")
+
+
 def bm25_scores_many(df: DataFrame, queries: dict[str, str], *,
                      id_col: str = "doc_id", text_col: str = "text",
                      k1: float = 1.2, b: float = 0.75,

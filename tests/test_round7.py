@@ -250,6 +250,34 @@ def test_linear_text_score(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_bigram_lm_scores(spark):
+    """CCNet-style fluency scoring: add-k bigram model, hand-checked
+    log-probability, null/short-doc conventions, reference-corpus mode."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat"),
+         (3, "zz qq xx"), (4, "solo"), (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["score"], r["n_bigrams"])
+           for r in ranking.bigram_lm_scores(docs).collect()}
+    # V=9 distinct tokens; doc2 bigrams: (the,cat) c=2/c(the)=3,
+    # (cat,sat) c=2/c(cat)=2, k=0.5
+    e = (math.log(2.5 / (3 + 4.5)) + math.log(2.5 / (2 + 4.5))) / 2
+    assert out[2] == (round(e, 6), 2)
+    assert out[4] == (None, 0)        # 1 token: no evidence
+    assert out[5] == (None, None)     # null text: null convention
+    assert out[1][0] > out[3][0]      # fluent beats gibberish
+    # reference-corpus mode: unseen bigrams/unigrams hit the smoothing
+    # floor ln(k / (0 + k*V)) = ln(1/V)
+    ref = docs.filter("doc_id = 1")   # V=5: the cat sat on mat
+    got = {r["doc_id"]: r["score"]
+           for r in ranking.bigram_lm_scores(docs, ref=ref).collect()}
+    assert got[3] == round(math.log(1 / 5), 6)
+    with pytest.raises(ValueError, match="add_k"):
+        ranking.bigram_lm_scores(docs, add_k=0.0)
+
+
 def test_stream_span_contamination_xx64(spark):
     """The streaming decontamination op takes the same hash knob as the
     batch span family: hit COUNTS differ (different winnow selections)
