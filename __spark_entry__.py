@@ -1233,6 +1233,14 @@ def q_quality_score(spark, sf_dir):
     return ranking.linear_text_score(docs, w, bias=0.25)
 
 
+def q_score_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (r7): exact-percentile thresholds
+    from ONE aggregate re-entering as literals -> map-only assignment
+    (no global sort, no corpus window)."""
+    from bioframe_spark.datapipe import ranking
+    return ranking.score_buckets(q_quality_score(spark, sf_dir))
+
+
 def q_lm_score(spark, sf_dir):
     """Bigram-LM fluency scoring (r7): CCNet-style perplexity filter,
     self-trained add-k model — two count aggregates + shuffle joins on
@@ -1403,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pairs": q_token_pairs,  # r7 new op (past cap; CHECKFULL covers)
         "quality_score": q_quality_score,  # r7 new op (past cap; CHECKFULL covers)
         "lm_score": q_lm_score,  # r7 new op (past cap; CHECKFULL covers)
+        "score_buckets": q_score_buckets,  # r7 new op (past cap; CHECKFULL covers)
         "events_json": q_events_json,
         # streaming operator driven to completion — oracle-checkable but
         # deliberately past the driver's 50-row cap (a streaming query in
@@ -3243,6 +3252,36 @@ FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
 GROUP BY 1
 ORDER BY cnt DESC, token
 LIMIT 50
+""",
+        "score_buckets": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS tk
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(tk) AS token FROM toks
+), w(token, weight) AS (
+  VALUES ('merge', CAST(1.5 AS DOUBLE)), ('scan', CAST(-0.75 AS DOUBLE)),
+         ('value', CAST(0.25 AS DOUBLE)), ('fast', CAST(2.0 AS DOUBLE)),
+         ('hash', CAST(-1.25 AS DOUBLE)), ('table', CAST(0.5 AS DOUBLE))
+), s AS (
+  SELECT doc_id, sum(weight) AS sw FROM t JOIN w USING (token) GROUP BY 1
+), qsc AS (
+  SELECT k.doc_id,
+         CASE WHEN k.tk IS NULL THEN NULL
+              ELSE round(CAST(0.25 AS DOUBLE) + coalesce(s.sw, 0), 6)
+         END AS score
+  FROM toks k LEFT JOIN s USING (doc_id)
+), th AS (
+  SELECT quantile_cont(score, [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS t
+  FROM qsc
+)
+SELECT q.doc_id, q.score,
+       CASE WHEN q.score IS NULL THEN NULL
+            WHEN q.score <= th.t[1] THEN 0
+            WHEN q.score <= th.t[2] THEN 1
+            ELSE 2 END AS bucket
+FROM qsc q, th
 """,
         "lm_score": """
 WITH toks AS (

@@ -329,6 +329,46 @@ def bigram_lm_scores(df: DataFrame, *, ref: DataFrame | None = None,
                          score.alias("score"), "n_bigrams")
 
 
+def score_buckets(df: DataFrame, fractions: tuple = (1 / 3, 2 / 3), *,
+                  score_col: str = "score",
+                  bucket_col: str = "bucket") -> DataFrame:
+    """Quantile bucketing of a scored corpus — the CCNet head/middle/
+    tail split generalized to any cut fractions: rows at or below the
+    ``fractions[i]`` quantile of ``score_col`` land in bucket ``i``
+    (0 = lowest scores), the rest in bucket ``len(fractions)``. NULL
+    scores get a NULL bucket (no evidence is not a tail signal).
+
+    100 TB design: thresholds come from ONE exact-percentile aggregate
+    (a single reduction — Spark's ``percentile`` is a streaming
+    aggregate, not a global sort) and re-enter as literals, so the
+    assignment pass is MAP-ONLY: no global sort, no window over the
+    corpus — the difference between this and ``ntile`` is the
+    difference between a scan and a total order at 100 TB. Exact
+    linear-interpolation quantiles (the same lower+(upper-lower)·frac
+    arithmetic DuckDB's quantile_cont uses, so the oracle is
+    bit-exact); boundary rows bucket identically in both engines
+    because the comparison sees identical doubles.
+    """
+    fr = [float(f) for f in fractions]
+    if not fr or any(not (0.0 < f < 1.0) for f in fr) or fr != sorted(fr):
+        raise ValueError(
+            "fractions must be strictly increasing values in (0, 1)")
+    row = df.select(
+        F.percentile(F.col(score_col), F.array(*[F.lit(f) for f in fr]))
+        .alias("t")).first()
+    ts = list(row["t"] or [])
+    if not ts or any(t is None for t in ts):
+        # empty / all-null corpus: nothing to threshold
+        return df.withColumn(bucket_col, F.lit(None).cast("int"))
+    expr = F.lit(len(fr)).cast("int")
+    for i in range(len(fr) - 1, -1, -1):
+        expr = F.when(F.col(score_col) <= F.lit(ts[i]), F.lit(i)) \
+                .otherwise(expr)
+    expr = F.when(F.col(score_col).isNull(),
+                  F.lit(None).cast("int")).otherwise(expr)
+    return df.withColumn(bucket_col, expr.cast("int"))
+
+
 def bm25_scores_many(df: DataFrame, queries: dict[str, str], *,
                      id_col: str = "doc_id", text_col: str = "text",
                      k1: float = 1.2, b: float = 0.75,

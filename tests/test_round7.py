@@ -250,6 +250,26 @@ def test_linear_text_score(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_score_buckets(spark):
+    """CCNet head/middle/tail: exact interpolated thresholds, map-only
+    assignment (no Window/Sort over the corpus in the plan), null
+    scores -> null bucket."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)] + [(99, None)],
+        "doc_id long, score double")
+    out = ranking.score_buckets(df)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1,
+                   6: 2, 7: 2, 8: 2, 99: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
+    with pytest.raises(ValueError, match="fractions"):
+        ranking.score_buckets(df, fractions=(0.5, 0.2))
+    # all-null corpus: typed null buckets, no crash
+    nn = spark.createDataFrame([(1, None)], "doc_id long, score double")
+    assert ranking.score_buckets(nn).collect()[0]["bucket"] is None
+
+
 def test_bigram_lm_scores(spark):
     """CCNet-style fluency scoring: add-k bigram model, hand-checked
     log-probability, null/short-doc conventions, reference-corpus mode."""
@@ -317,6 +337,26 @@ def test_token_pair_counts(spark):
     plan = ranking.token_pair_counts(docs, n=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_registry_consistency():
+    """Static contract of the driver registry: every queries() entry
+    has a DuckDB oracle, the gate (first 50) holds no streaming rows (a
+    stream hang must not stall the gate harness), and the r7 rotation
+    is in effect."""
+    import __spark_entry__ as em
+
+    qs = list(em.queries())
+    osql = em.oracle_sql()
+    assert set(osql) == set(qs)
+    gate = qs[:50]
+    assert not any(k.startswith("stream_") for k in gate)
+    for k in ("dup_spans_join", "minhash_lsh", "span_dup_pairs",
+              "semdedup"):
+        assert k in gate, k
+    for k in ("select_indices", "select_labels", "token_pairs",
+              "quality_score", "lm_score"):
+        assert k in qs[50:], k
 
 
 class _conf:
