@@ -294,8 +294,14 @@ def bigram_lm_scores(df: DataFrame, *, ref: DataFrame | None = None,
         raise ValueError("add_k must be > 0 (unsmoothed zeros undefined)")
 
     rtoks = _doc_tokens(text_col)
+    # the unigram table is VOCAB-sized (not corpus-sized) and has two
+    # consumers — the V-scalar count and the scoring join; persisting
+    # it makes the count action materialize the cache so the join reads
+    # it back instead of re-running the reference explode+aggregate
+    # (the multi-consumer re-execution hazard, SCALING §12-r06c). The
+    # handle rides on the result for release_cache().
     uni = (ref.select(F.explode(rtoks).alias("p"))
-           .groupBy("p").agg(F.count("*").alias("__uc")))
+           .groupBy("p").agg(F.count("*").alias("__uc"))).persist()
     bi = (ref.select(F.explode(_bigram_structs(text_col)).alias("b"))
           .select("b.p", "b.c")
           .groupBy("p", "c").agg(F.count("*").alias("__bc")))
@@ -325,8 +331,10 @@ def bigram_lm_scores(df: DataFrame, *, ref: DataFrame | None = None,
                      .cast("long").alias("n_bigrams")))
     score = (F.round(F.col("score"), score_decimals)
              if score_decimals is not None else F.col("score"))
-    return scored.select(F.col("__id").alias(id_col),
-                         score.alias("score"), "n_bigrams")
+    out = scored.select(F.col("__id").alias(id_col),
+                        score.alias("score"), "n_bigrams")
+    out._bioframe_cache = [uni]
+    return out
 
 
 def score_buckets(df: DataFrame, fractions: tuple = (1 / 3, 2 / 3), *,

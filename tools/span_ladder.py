@@ -148,6 +148,31 @@ def main():
                          reps)
             docs.unpersist()
 
+    if "scoring" in sections:
+        # plain replicas: term/bigram statistics scale k x — the honest
+        # worst case for the model-count aggregates and shuffle joins
+        from tools.ranking_ladder import rep_docs_plain
+
+        from bioframe_spark.datapipe import ranking
+        W = {"merge": 1.5, "scan": -0.75, "value": 0.25, "fast": 2.0,
+             "hash": -1.25, "table": 0.5}
+        for k in RUNGS:
+            docs = rep_docs_plain(docs0, k).cache()
+            nb = docs.count()
+            print(f"k={k}: {nb} docs per replica", flush=True)
+            _measure(results, rows_out, "quality_score", k,
+                     lambda: ranking.linear_text_score(docs, W, bias=0.25),
+                     reps)
+            _measure(results, rows_out, "lm_score", k,
+                     lambda: ranking.bigram_lm_scores(docs), reps)
+            _measure(results, rows_out, "token_pairs", k,
+                     lambda: ranking.token_pair_counts(docs, n=100), reps)
+            _measure(results, rows_out, "score_buckets", k,
+                     lambda: ranking.score_buckets(
+                         ranking.linear_text_score(docs, W, bias=0.25)),
+                     reps)
+            docs.unpersist()
+
     if "semdedup" in sections:
         for k in RUNGS:
             emb = rep_embeddings_orth(emb0, k).cache()
