@@ -217,6 +217,60 @@ def test_winnow_xx64_guarantee_misaligned(spark):
     assert got[1] & got[2]
 
 
+def test_winnow_xx64_kernel_matches_naive_reference():
+    """Differential fuzz of the vectorized uint64 winnow kernel against
+    a from-scratch reference: per-character polynomial hash with Python
+    int arithmetic + the deque sliding-minimum (rightmost-tie rule),
+    compared on UNSIGNED hash order (the kernel's minima convention).
+    Pure numpy — no Spark session needed."""
+    import random
+    from collections import deque
+
+    from bioframe_spark.datapipe.dedup import _make_winnow_doc_xx64
+
+    def naive_hash(g: str) -> int:
+        B, M = 0x100000001B3, (1 << 64) - 1
+        h = 0
+        for ch in g:
+            h = (h * B + ord(ch)) & M
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & M
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & M
+        return h ^ (h >> 31)
+
+    def tos(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def ref_winnow(H, w, with_pos):
+        if len(H) < w:
+            m = min(H)
+            p = len(H) - 1 - H[::-1].index(m)
+            return [(p, tos(m))] if with_pos else [tos(m)]
+        sel, dq = set(), deque()
+        for i, h in enumerate(H):
+            while dq and H[dq[-1]] >= h:
+                dq.pop()
+            dq.append(i)
+            if dq[0] <= i - w:
+                dq.popleft()
+            if i >= w - 1:
+                sel.add((dq[0], tos(H[dq[0]])) if with_pos
+                        else tos(H[dq[0]]))
+        return sorted(sel)
+
+    rng = random.Random(7)
+    for _ in range(250):
+        k = rng.randint(2, 6)
+        w = rng.randint(2, 9)
+        L = rng.randint(k, k + 60)
+        txt = "".join(rng.choice("abÆ☃xy") for _ in range(L))
+        H = [naive_hash(txt[p:p + k]) for p in range(L - k + 1)]
+        assert _make_winnow_doc_xx64(k, w)(txt) == ref_winnow(H, w, False)
+        assert _make_winnow_doc_xx64(k, w, True)(txt) == \
+            ref_winnow(H, w, True)
+
+
 def test_winnow_xx64_rejects_unknown_hash(spark):
     docs = _span_docs(spark)
     with pytest.raises(ValueError, match="hash must be"):
