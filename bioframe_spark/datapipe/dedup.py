@@ -1190,7 +1190,8 @@ def drop_duplicate_spans_docs(df: DataFrame, max_dup_frac: float = 0.5,
 def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
                            min_docs: int = 2, text_col: str = "text",
                            id_col: str = "doc_id",
-                           hash: str = "md5") -> DataFrame:
+                           hash: str = "md5",
+                           strategy: str = "window") -> DataFrame:
     """CUT duplicated spans out of the corpus, keeping one canonical
     copy — the removal half of Lee et al. 2022's exact-substring dedup
     ("remove all but one occurrence of each duplicated substring").
@@ -1210,15 +1211,28 @@ def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
     row per input document, text rewritten (NULL text passes through
     with NULL counters; untouched docs report 0/0).
 
-    Scale shape: position kernel (map-only) → one aggregation keyed by
-    fingerprint (count_distinct + min id; its two-phase expansion is
-    Spark's own) → join positions→dup-set on the fingerprint (exchange
-    reuse with the agg) → per-doc cut-list rollup (bounded by the doc's
-    own length / gram density — never corpus-sized) → one shuffle of the
-    corpus on the doc id into the Arrow cut kernel. The corpus text
-    moves through exactly one exchange; everything keyed on the
-    fingerprint carries (id, hash, pos) rows only.
+    Scale shape — the position kernel runs EXACTLY ONCE (default
+    ``strategy="window"``): its (id, hash, pos) emission crosses ONE
+    exchange on the fingerprint, where two same-partitioning windows
+    compute the distinct-doc count (a lag-based first-occurrence flag
+    summed over the partition — window ``count_distinct`` doesn't
+    exist) and the min-id keeper; the per-doc cut-list rollup (bounded
+    by the doc's own gram density — never corpus-sized) and one shuffle
+    of the corpus text into the Arrow cut kernel follow. (The first
+    formulation aggregated stats and joined them back — the kernel
+    executed once under the agg AND once under the join's probe side,
+    the §12-r06c multi-consumer hazard again; caught by
+    tools/plan_audit.py, pinned at one in test_plan_budgets.)
+    ``strategy="join"`` keeps the aggregate+join shape — its stats join
+    is AQE-skew-splittable where a corpus-hot fingerprint would pin the
+    window variant's partition on one task — and PERSISTS the kernel
+    emission so the two consumers share one execution
+    (``release_cache(result)`` frees it). The corpus text moves through
+    exactly one exchange in both modes.
     """
+    if strategy not in ("window", "join"):
+        raise ValueError(f"strategy must be 'window' or 'join', got "
+                         f"{strategy!r}")
     from pyspark.sql import types as T
 
     pos_schema = T.StructType([
@@ -1242,15 +1256,34 @@ def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
             yield pd.DataFrame({"__id": ids, "__h": hs, "__pos": ps})
 
     ex = sub.mapInPandas(gen_pos, pos_schema)
-    stats = (ex.groupBy("__h")
-               .agg(F.count_distinct("__id").alias("__nd"),
-                    F.min("__id").alias("__keeper"))
-               .filter(F.col("__nd") >= F.lit(min_docs))
-               .select("__h", "__keeper"))
-    cuts = (ex.join(stats, "__h")
-              .filter(F.col("__id") != F.col("__keeper"))
-              .groupBy("__id")
-              .agg(F.collect_list("__pos").alias("__cuts")))
+    cache_handles = []
+    if strategy == "window":
+        w_ord = Window.partitionBy("__h").orderBy("__id", "__pos")
+        w_all = Window.partitionBy("__h")
+        lagid = F.lag("__id").over(w_ord)
+        annotated = (
+            ex.withColumn("__new",
+                          F.when(lagid.isNull()
+                                 | (lagid != F.col("__id")), 1).otherwise(0))
+              .withColumn("__nd", F.sum("__new").over(w_all))
+              .withColumn("__keeper", F.min("__id").over(w_all)))
+        cuts = (annotated
+                .filter((F.col("__nd") >= F.lit(min_docs))
+                        & (F.col("__id") != F.col("__keeper")))
+                .groupBy("__id")
+                .agg(F.collect_list("__pos").alias("__cuts")))
+    else:
+        ex = ex.persist()
+        cache_handles.append(ex)
+        stats = (ex.groupBy("__h")
+                   .agg(F.count_distinct("__id").alias("__nd"),
+                        F.min("__id").alias("__keeper"))
+                   .filter(F.col("__nd") >= F.lit(min_docs))
+                   .select("__h", "__keeper"))
+        cuts = (ex.join(stats, "__h")
+                  .filter(F.col("__id") != F.col("__keeper"))
+                  .groupBy("__id")
+                  .agg(F.collect_list("__pos").alias("__cuts")))
 
     out_schema = T.StructType([
         df.schema[id_col], df.schema[text_col],
@@ -1293,7 +1326,10 @@ def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
                                 "n_cut_spans": nspans,
                                 "n_removed_chars": nchars})
 
-    return joined.mapInPandas(gen_cut, out_schema)
+    out = joined.mapInPandas(gen_cut, out_schema)
+    if cache_handles:
+        out._bioframe_cache = cache_handles
+    return out
 
 
 def span_dup_pairs(df: DataFrame, k: int = 25, w: int = 16,

@@ -151,3 +151,18 @@ def test_span_dup_pairs_single_kernel_pass(spark, frames):
     assert "isFinalPlan=true" in plan, plan
     assert plan.count("MapInPandas") == 1, plan
     assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_span_removal_two_kernel_passes(spark, frames):
+    """remove_duplicate_spans runs exactly TWO Python stages — the
+    position kernel (once: the window formulation folds the distinct-
+    doc count and keeper into the one fingerprint exchange) and the cut
+    kernel. The aggregate+join formulation executed the position kernel
+    under both the agg and the join probe side (caught by
+    tools/plan_audit.py)."""
+    _, _, docs = frames
+    out = dedup.remove_duplicate_spans(docs, k=10, w=4)
+    out.collect()
+    plan = _final_plan(out)
+    assert "isFinalPlan=true" in plan, plan
+    assert plan.count("MapInPandas") == 2, plan
