@@ -1146,7 +1146,15 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
     # each doc emits a fingerprint at most once -> count(*) keyed by the
     # fingerprint == distinct-doc count (null fingerprints are excluded
     # from dup-flagging below, their group is moot)
+    cache_handles = []
     if strategy == "join":
+        # persist the emission: the stats aggregate and the join probe
+        # side are two consumers, and exchange reuse cannot bridge an
+        # agg/join pair (the agg's exchange carries partial rows) — the
+        # kernel would execute twice (plan_audit catch, §12-r07d);
+        # release_cache(result) frees it
+        ex = ex.persist()
+        cache_handles.append(ex)
         stats = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__nd"))
         # LEFT: null-fingerprint rows (short/null docs) never match but
         # must survive into the per-doc rollup
@@ -1165,10 +1173,13 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
         "n_spans",
         F.when(F.col("n_spans").isNull(), F.lit(None))
          .otherwise(F.col("__dup")).cast("long").alias("n_dup_spans"))
-    return out.withColumn(
+    out = out.withColumn(
         "dup_frac",
         F.when(F.col("n_spans") > 0,
                F.round(F.col("n_dup_spans") / F.col("n_spans"), 9)))
+    if cache_handles:
+        out._bioframe_cache = cache_handles
+    return out
 
 
 def drop_duplicate_spans_docs(df: DataFrame, max_dup_frac: float = 0.5,
