@@ -393,6 +393,63 @@ def test_token_pair_counts(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_scoring_family_differential_random(spark):
+    """Seeded random corpora, pure-Python references: token pair
+    counts, linear scores, and bucket assignment must match a
+    from-scratch computation exactly (the ops are integer/dyadic-exact
+    by construction)."""
+    import random
+    import re as _re
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows.append((100, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def toks(t):
+        return [x for x in _re.split("[^a-z0-9]+", t.lower()) if x]
+
+    # token_pair_counts vs Counter
+    ref = Counter()
+    for _, t in rows:
+        if t is None:
+            continue
+        tk = toks(t)
+        ref.update(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["pair"], r["cnt"])
+           for r in ranking.token_pair_counts(docs, n=10).collect()]
+    assert got == want
+
+    # linear_text_score vs direct sum (dyadic weights -> exact)
+    W = {"alpha": 0.5, "beta": -0.25, "gamma": 1.25, "x1": -2.0}
+    got_s = {r["doc_id"]: r["score"]
+             for r in ranking.linear_text_score(docs, W).collect()}
+    for i, t in rows:
+        if t is None:
+            assert got_s[i] is None
+        else:
+            assert got_s[i] == sum(W.get(x, 0.0) for x in toks(t)), i
+
+    # score_buckets vs manual threshold comparison
+    scored = ranking.linear_text_score(docs, W)
+    out = {r["doc_id"]: r["bucket"]
+           for r in ranking.score_buckets(scored).collect()}
+    import numpy as np
+    vals = np.sort(np.array([v for v in got_s.values() if v is not None]))
+    t1, t2 = np.quantile(vals, [1 / 3, 2 / 3], method="linear")
+    for i, sc in got_s.items():
+        if sc is None:
+            assert out[i] is None
+        else:
+            assert out[i] == (0 if sc <= t1 else 1 if sc <= t2 else 2), i
+
+
 def test_registry_consistency():
     """Static contract of the driver registry: every queries() entry
     has a DuckDB oracle, the gate (first 50) holds no streaming rows (a
