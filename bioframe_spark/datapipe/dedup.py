@@ -246,7 +246,7 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         .select("id1", "id2", "n_common", "n_union")
     )
     if cache:
-        out._bioframe_cache = [sh]
+        _ride_cache(out, [sh])
     return out
 
 
@@ -257,7 +257,36 @@ def release_cache(df: DataFrame) -> None:
     lifecycle, unlike ``spark.catalog.clearCache()`` which evicts every
     cached frame in the session."""
     for h in getattr(df, "_bioframe_cache", None) or []:
-        h.unpersist()
+        try:
+            h.unpersist()
+        except Exception:
+            # session already stopped — nothing left to free
+            pass
+
+
+def _unpersist_handles(handles) -> None:
+    for h in handles:
+        try:
+            h.unpersist()
+        except Exception:
+            pass
+
+
+def _ride_cache(out: DataFrame, handles: list) -> DataFrame:
+    """Attach persisted-handle lifecycle to a result DataFrame:
+    ``release_cache(out)`` frees the handles deterministically, and a
+    ``weakref.finalize`` backstop unpersists them when the result object
+    is garbage-collected — so a harness that materializes the result and
+    drops the reference (the oracle gate's loop shape) does not leak a
+    CacheManager entry for the session lifetime. DataFrame ``.persist``
+    registers in the JVM CacheManager, which — unlike raw RDD caches —
+    the ContextCleaner never evicts on GC; this finalizer is the
+    Python-side substitute."""
+    import weakref
+
+    out._bioframe_cache = handles
+    weakref.finalize(out, _unpersist_handles, handles)
+    return out
 
 
 def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:
@@ -596,7 +625,7 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
         .distinct()
     )
     if cache:
-        pairs._bioframe_cache = [sig]
+        _ride_cache(pairs, [sig])
     return pairs
 
 
@@ -1178,7 +1207,7 @@ def duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
         F.when(F.col("n_spans") > 0,
                F.round(F.col("n_dup_spans") / F.col("n_spans"), 9)))
     if cache_handles:
-        out._bioframe_cache = cache_handles
+        _ride_cache(out, cache_handles)
     return out
 
 
@@ -1339,7 +1368,7 @@ def remove_duplicate_spans(df: DataFrame, k: int = 25, w: int = 16,
 
     out = joined.mapInPandas(gen_cut, out_schema)
     if cache_handles:
-        out._bioframe_cache = cache_handles
+        _ride_cache(out, cache_handles)
     return out
 
 

@@ -333,48 +333,82 @@ def bigram_lm_scores(df: DataFrame, *, ref: DataFrame | None = None,
              if score_decimals is not None else F.col("score"))
     out = scored.select(F.col("__id").alias(id_col),
                         score.alias("score"), "n_bigrams")
-    out._bioframe_cache = [uni]
+    from .dedup import _ride_cache
+    _ride_cache(out, [uni])
     return out
 
 
 def score_buckets(df: DataFrame, fractions: tuple = (1 / 3, 2 / 3), *,
                   score_col: str = "score",
-                  bucket_col: str = "bucket") -> DataFrame:
+                  bucket_col: str = "bucket",
+                  cache: bool = True,
+                  approx: bool = False,
+                  approx_accuracy: int = 10000) -> DataFrame:
     """Quantile bucketing of a scored corpus — the CCNet head/middle/
     tail split generalized to any cut fractions: rows at or below the
     ``fractions[i]`` quantile of ``score_col`` land in bucket ``i``
     (0 = lowest scores), the rest in bucket ``len(fractions)``. NULL
     scores get a NULL bucket (no evidence is not a tail signal).
 
-    100 TB design: thresholds come from ONE exact-percentile aggregate
-    (a single reduction — Spark's ``percentile`` is a streaming
-    aggregate, not a global sort) and re-enter as literals, so the
-    assignment pass is MAP-ONLY: no global sort, no window over the
+    100 TB design: thresholds come from ONE percentile aggregate (a
+    single reduction, not a global sort) and re-enter as literals, so
+    the assignment pass is MAP-ONLY: no global sort, no window over the
     corpus — the difference between this and ``ntile`` is the
-    difference between a scan and a total order at 100 TB. Exact
-    linear-interpolation quantiles (the same lower+(upper-lower)·frac
-    arithmetic DuckDB's quantile_cont uses, so the oracle is
-    bit-exact); boundary rows bucket identically in both engines
-    because the comparison sees identical doubles.
+    difference between a scan and a total order at 100 TB.
+
+    TWO passes read the input (the threshold action + the returned
+    assignment). ``cache=True`` (default) persists ``df`` before the
+    threshold action so an expensive upstream (a scoring pipeline's
+    explode + joins) runs ONCE — the multi-consumer re-execution hazard
+    this repo's plan audit polices; the handle rides on the result for
+    :func:`~bioframe_spark.datapipe.dedup.release_cache` (with a GC
+    finalizer backstop). Set ``cache=False`` when the input is a cheap
+    raw scan: re-scanning parquet beats spilling a corpus-sized cache.
+
+    Exact vs approximate thresholds: ``approx=False`` (default) uses
+    Spark's exact ``percentile`` — linear-interpolation quantiles, the
+    same lower+(upper-lower)·frac arithmetic DuckDB's quantile_cont
+    uses, so the oracle is bit-exact and boundary rows bucket
+    identically in both engines. BUT exact percentile buffers an
+    OpenHashMap of every DISTINCT score value per partition and merges
+    the maps onto one reducer — O(#distinct) memory, effectively
+    unbounded for continuous high-cardinality scores (this family's
+    6dp-rounded scores bound it at ≤ ~2·10⁷ keys per unit of score
+    range; raw unrounded doubles do NOT). For effectively-continuous
+    score domains set ``approx=True``: ``approx_percentile`` keeps a
+    fixed-size sketch (error ≤ 1/``approx_accuracy`` in rank), making
+    threshold memory corpus-independent — bucket boundaries may then
+    differ from the exact split by up to that rank error.
     """
     fr = [float(f) for f in fractions]
     if not fr or any(not (0.0 < f < 1.0) for f in fr) or fr != sorted(fr):
         raise ValueError(
             "fractions must be strictly increasing values in (0, 1)")
-    row = df.select(
-        F.percentile(F.col(score_col), F.array(*[F.lit(f) for f in fr]))
-        .alias("t")).first()
+    handles = []
+    if cache:
+        df = df.persist()
+        handles.append(df)
+    frac_arr = F.array(*[F.lit(f) for f in fr])
+    agg = (F.percentile_approx(F.col(score_col), frac_arr,
+                               F.lit(int(approx_accuracy)))
+           if approx else F.percentile(F.col(score_col), frac_arr))
+    row = df.select(agg.alias("t")).first()
     ts = list(row["t"] or [])
     if not ts or any(t is None for t in ts):
         # empty / all-null corpus: nothing to threshold
-        return df.withColumn(bucket_col, F.lit(None).cast("int"))
-    expr = F.lit(len(fr)).cast("int")
-    for i in range(len(fr) - 1, -1, -1):
-        expr = F.when(F.col(score_col) <= F.lit(ts[i]), F.lit(i)) \
-                .otherwise(expr)
-    expr = F.when(F.col(score_col).isNull(),
-                  F.lit(None).cast("int")).otherwise(expr)
-    return df.withColumn(bucket_col, expr.cast("int"))
+        out = df.withColumn(bucket_col, F.lit(None).cast("int"))
+    else:
+        expr = F.lit(len(fr)).cast("int")
+        for i in range(len(fr) - 1, -1, -1):
+            expr = F.when(F.col(score_col) <= F.lit(ts[i]), F.lit(i)) \
+                    .otherwise(expr)
+        expr = F.when(F.col(score_col).isNull(),
+                      F.lit(None).cast("int")).otherwise(expr)
+        out = df.withColumn(bucket_col, expr.cast("int"))
+    if handles:
+        from .dedup import _ride_cache
+        _ride_cache(out, handles)
+    return out
 
 
 def bm25_scores_many(df: DataFrame, queries: dict[str, str], *,

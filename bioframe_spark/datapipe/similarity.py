@@ -239,6 +239,7 @@ def semantic_dedup(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse: bool | str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus embeddings, form
@@ -263,6 +264,13 @@ def semantic_dedup(
     union-find/hash-min :func:`~bioframe_spark.datapipe.dedup.connected_components`.
     Quantized-int dots + one correctly-rounded double division keep every
     cosine bit-identical to the SQL oracle, same as embedding_dup_pairs.
+
+    ``coarse``: routes corpus→centroid assignment through the
+    approximate two-level router (see ``_centroid_assign``). ``"auto"``
+    (default) engages it at ≥ ``spark.bioframe.coarseAssignMinCentroids``
+    centroids and logs a one-line notice; ``True``/``False`` force /
+    forbid it regardless of centroid count — cluster membership (and
+    therefore which duplicates meet) can differ between the two modes.
     """
     import numpy as np
     import pandas as pd
@@ -283,7 +291,7 @@ def semantic_dedup(
     cent_rows = cents.orderBy("cent_id").collect()
     cid_type = cents.schema["cent_id"].dataType
     assigned = _centroid_assign(corpus, cent_rows, cid_type, id_col,
-                                vec_col, "id", "v", "n2", 1)
+                                vec_col, "id", "v", "n2", 1, coarse=coarse)
 
     id_type = corpus.schema[id_col].dataType
     pair_schema = T.StructType([
@@ -442,6 +450,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 2,
+    coarse: bool | str = "auto",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
 
@@ -451,6 +460,12 @@ def ivf_topk(
     join + window); queries scan only their ``n_probe`` nearest centroid
     lists — at 1000× corpus scale the scan per query drops
     ~n_centroids/n_probe-fold.
+
+    ``coarse``: "auto" (default) | True | False — whether CORPUS
+    assignment may use the approximate two-level router above the
+    session centroid threshold (auto logs a notice when it engages;
+    query probing always stays exact). Posting-list membership can
+    differ between modes.
     """
     trained = kmeans_centroids(corpus, n_centroids=n_centroids,
                                n_iter=train_iters, id_col=id_col,
@@ -474,7 +489,7 @@ def ivf_topk(
     cent_rows = cents.orderBy("cent_id").collect()
     cid_type = cents.schema["cent_id"].dataType
     c = _centroid_assign(corpus, cent_rows, cid_type, id_col, vec_col,
-                         "neighbor_id", "cv", "cn", 1)
+                         "neighbor_id", "cv", "cn", 1, coarse=coarse)
     q = _centroid_assign(queries, cent_rows, cid_type, id_col, vec_col,
                          "query_id", "qv", "qn", n_probe)
     return _rank_probed(q, c, k)
@@ -506,7 +521,7 @@ def _coarse_quantizer(C: "np.ndarray", n_groups: int, iters: int = 4):
 
 
 def _centroid_assign(df, cent_rows, cid_type, id_col, vec_col,
-                     out_id, vname, nname, top):
+                     out_id, vname, nname, top, coarse="auto"):
     """Map-only nearest-centroid assignment: the QUANTIZED centroid rows
     (a few KB) are captured by a ``mapInPandas`` kernel; each batch does
     one int64-exact matmul + argmax/stable-argsort.  Tie rule = the
@@ -545,7 +560,29 @@ def _centroid_assign(df, cent_rows, cid_type, id_col, vec_col,
     coarse_min = int(spark.conf.get(
         "spark.bioframe.coarseAssignMinCentroids", "512"))
     n_probes = int(spark.conf.get("spark.bioframe.coarseAssignProbes", "2"))
-    if top == 1 and len(cids) >= coarse_min:
+    # coarse routing is an op-level contract (ADVICE r7: the silent
+    # conf-threshold switch changed output values for callers who merely
+    # crossed 512 centroids): True forces it, False forbids it, "auto"
+    # keeps the measured-crossover default but says so out loud
+    if coarse not in ("auto", True, False):
+        raise ValueError(f"coarse must be 'auto', True or False, "
+                         f"got {coarse!r}")
+    if coarse is True and top != 1:
+        raise ValueError(
+            "coarse=True requires top-1 assignment (multi-probe query "
+            "assignment stays exact); got top=%d" % top)
+    use_coarse = (top == 1 and len(cids) >= 2
+                  and (coarse is True
+                       or (coarse == "auto" and len(cids) >= coarse_min)))
+    if use_coarse:
+        if coarse == "auto":
+            import logging
+            logging.getLogger("bioframe_spark.similarity").warning(
+                "centroid assignment: %d centroids >= "
+                "spark.bioframe.coarseAssignMinCentroids=%d — engaging "
+                "the approximate two-level (coarse) router (probes=%d). "
+                "Pass coarse=False on the calling op for exact "
+                "assignment.", len(cids), coarse_min, n_probes)
         return _centroid_assign_coarse(
             df, cids, C, cn, cid_type, id_col, vec_col,
             out_id, vname, nname, n_probes)
@@ -688,7 +725,8 @@ def _rank_probed(q, c, k):
 def build_ivf_index(corpus: DataFrame, path: str,
                     n_centroids: int = 16, train_iters: int = 2,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    coarse: bool | str = "auto") -> None:
     """Persist an IVF index: train once, write ``{path}/centroids``
     (cent_id, quantized cvec) and ``{path}/postings`` — the corpus
     assigned to its nearest centroid, PARTITIONED BY cent_id on disk.
@@ -724,7 +762,8 @@ def build_ivf_index(corpus: DataFrame, path: str,
     spark.createDataFrame(cent_rows, cents.schema).coalesce(1) \
         .write.mode("overwrite").parquet(f"{path}/centroids")
     postings = _centroid_assign(corpus, cent_rows, cid_type, id_col,
-                                vec_col, "neighbor_id", "cv", "cn", 1)
+                                vec_col, "neighbor_id", "cv", "cn", 1,
+                                coarse=coarse)
     postings.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{path}/postings")
 

@@ -1,0 +1,348 @@
+"""Round-8 additions: cache-handle lifecycle (GC finalizer backstop),
+the explicit ``coarse=`` assignment contract, and score_buckets'
+single-execution / approx-threshold knobs (the four r7 ADVICE items)."""
+import gc
+import logging
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bioframe_spark.datapipe import dedup, ranking, similarity
+
+
+def _n_cached(spark):
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def _wait_cached(spark, n, timeout=10.0):
+    """unpersist(blocking=False) drops blocks asynchronously — poll."""
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if _n_cached(spark) <= n:
+            return True
+        time.sleep(0.1)
+    return _n_cached(spark) <= n
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    return spark.createDataFrame(
+        [(i, base * 3 + f"tail {i % 2}") for i in range(8)],
+        "doc_id long, text string")
+
+
+def test_ride_cache_finalizer_releases_on_gc(spark):
+    """A harness that materializes a cache-carrying result and drops the
+    reference (the oracle gate's loop shape) must not leak a CacheManager
+    entry for the session lifetime: the weakref finalizer unpersists the
+    handles when the result object is collected (ADVICE r7 #1)."""
+    spark.catalog.clearCache()
+    base = _n_cached(spark)
+    out = dedup.duplicate_spans(_docs(spark), k=5, w=4, strategy="join")
+    handles = out._bioframe_cache
+    out.count()
+    assert _n_cached(spark) > base, "join strategy should persist its emission"
+    del out
+    gc.collect()
+    assert _wait_cached(spark, base), \
+        "GC of the result must unpersist the ridden handles"
+    del handles
+
+
+def test_release_cache_then_gc_is_safe(spark):
+    """Explicit release stays the deterministic path; the finalizer
+    firing afterwards (double unpersist) must be a no-op."""
+    spark.catalog.clearCache()
+    base = _n_cached(spark)
+    out = ranking.bigram_lm_scores(_docs(spark))
+    n = out.count()
+    assert n == 8
+    assert getattr(out, "_bioframe_cache", None)
+    dedup.release_cache(out)
+    assert _wait_cached(spark, base)
+    del out
+    gc.collect()  # finalizer double-fire: must not raise
+
+
+def _clustered(spark, n_cent=12, per=5, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_cent, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(n_cent):
+        for j in range(per):
+            rows.append((vid, (cents[c] * (1.0 + 0.001 * j)).tolist()))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_coarse_param_validation(spark):
+    emb = _clustered(spark)
+    with pytest.raises(ValueError, match="coarse"):
+        similarity.semantic_dedup(emb, n_centroids=4, train_iters=0,
+                                  coarse="nope").collect()
+
+
+def test_coarse_false_forbids_router_past_threshold(spark):
+    """coarse=False pins the exact kernel even past the session
+    threshold — same values as the exact default below it (the ADVICE
+    silent-switch fix: crossing 512 centroids no longer changes output
+    without an explicit opt-in at the call site)."""
+    from test_round7 import _conf
+
+    emb = _clustered(spark)
+
+    def keep_map(coarse, thresh):
+        with _conf(spark, spark__bioframe__coarseAssignMinCentroids=thresh):
+            out = similarity.semantic_dedup(
+                emb, threshold=0.999, n_centroids=12, train_iters=0,
+                coarse=coarse)
+            return {r["vec_id"]: (r["cent_id"], r["keep"])
+                    for r in out.collect()}
+
+    exact_default = keep_map("auto", 10_000)   # below threshold: exact
+    pinned_exact = keep_map(False, 4)          # past threshold, forbidden
+    assert exact_default == pinned_exact
+    # coarse=True forces the router even below the threshold; on
+    # well-separated clusters it must agree with exact
+    forced = keep_map(True, 10_000)
+    assert forced == exact_default
+
+
+def test_coarse_auto_logs_notice(spark, caplog):
+    """auto mode says so out loud when the approximation engages."""
+    from test_round7 import _conf
+
+    emb = _clustered(spark)
+    with _conf(spark, spark__bioframe__coarseAssignMinCentroids=4):
+        with caplog.at_level(logging.WARNING, "bioframe_spark.similarity"):
+            similarity.semantic_dedup(
+                emb, threshold=0.999, n_centroids=12, train_iters=0).count()
+    assert any("coarse" in r.message for r in caplog.records)
+    # explicit coarse=True is an opt-in: no notice
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "bioframe_spark.similarity"):
+        similarity.semantic_dedup(
+            emb, threshold=0.999, n_centroids=12, train_iters=0,
+            coarse=True).count()
+    assert not any("coarse" in r.message for r in caplog.records)
+
+
+def test_coarse_true_rejects_multiprobe(spark):
+    """coarse=True is a top-1 contract at the kernel level; public ops
+    only thread it to their top-1 corpus assignment, so both coarse
+    modes of ivf_topk stay legal (queries always probe exactly)."""
+    emb = _clustered(spark)
+    cents = similarity.kmeans_centroids(
+        emb, n_centroids=4, n_iter=0).withColumn(
+        "cvec", F.transform(F.col("cvec"),
+                            lambda x: F.round(x * similarity.QUANT)
+                            .cast("long")))
+    cent_rows = cents.orderBy("cent_id").collect()
+    with pytest.raises(ValueError, match="top-1"):
+        similarity._centroid_assign(
+            emb, cent_rows, cents.schema["cent_id"].dataType,
+            "vec_id", "embedding", "query_id", "qv", "qn", 2, coarse=True)
+    # both coarse modes of the public op work (corpus coarse / exact)
+    similarity.ivf_topk(emb.limit(3), emb, k=2, n_centroids=4,
+                        n_probe=2, train_iters=0, coarse=True).count()
+    similarity.ivf_topk(emb.limit(3), emb, k=2, n_centroids=4,
+                        n_probe=2, train_iters=0, coarse=False).count()
+
+
+def test_score_buckets_single_execution_and_release(spark):
+    """ADVICE r7 #3: the upstream scoring plan must run once. cache=True
+    persists the input before the threshold action; the assignment pass
+    reads the cache (InMemoryTableScan in the executed plan), and the
+    handle follows the release_cache lifecycle."""
+    spark.catalog.clearCache()
+    base = _n_cached(spark)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)] + [(99, None)],
+        "doc_id long, score double")
+    out = ranking.score_buckets(df)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1,
+                   6: 2, 7: 2, 8: 2, 99: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert getattr(out, "_bioframe_cache", None)
+    dedup.release_cache(out)
+    assert _wait_cached(spark, base)
+    # cache=False: no handle, identical values
+    out2 = ranking.score_buckets(df, cache=False)
+    assert not getattr(out2, "_bioframe_cache", None)
+    assert {r["doc_id"]: r["bucket"] for r in out2.collect()} == got
+
+
+def test_score_buckets_approx_thresholds(spark):
+    """ADVICE r7 #4: the approx knob for effectively-continuous score
+    domains. Sketch thresholds are data values, so boundaries may move
+    by the rank error — bucket assignment must stay monotone in score
+    and cover every non-null row; at rank-exact accuracy on small
+    distinct data the split matches the fraction sizes."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(300)], "doc_id long, score double")
+    out = ranking.score_buckets(df, fractions=(0.25, 0.5, 0.75),
+                                approx=True, cache=False)
+    rows = sorted(out.collect(), key=lambda r: r["score"])
+    buckets = [r["bucket"] for r in rows]
+    assert all(b is not None for b in buckets)
+    assert buckets == sorted(buckets), "buckets must be monotone in score"
+    from collections import Counter
+    c = Counter(buckets)
+    assert set(c) == {0, 1, 2, 3}
+    for b, n in c.items():
+        assert abs(n - 75) <= 2, (b, n)  # rank error <= 1/accuracy
+
+
+# ---------------------------------------------------------------- BPE family
+
+from bioframe_spark.datapipe import tokenize
+
+
+def _sennrich_corpus(spark):
+    """The paper's worked example as documents: low x5, lower x2,
+    newest x6, widest x3 (Sennrich et al. 2016, arXiv:1508.07909)."""
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    return spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+
+
+def test_bpe_train_worked_example(spark):
+    """Hand-derived merge sequence under the (freq desc, pair asc) tie
+    rule: es(9), est(9), est</w>(9), lo(7), low(7); then the classic
+    result — 'lowest' encodes to [low, est</w>]."""
+    docs = _sennrich_corpus(spark)
+    merges = tokenize.bpe_train(docs, n_merges=5, min_freq=1)
+    got = [(r["left"], r["right"])
+           for r in merges.orderBy("rank").collect()]
+    assert got == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                   ("l", "o"), ("lo", "w")]
+    probe = spark.createDataFrame([(0, "lowest")], "doc_id long, text string")
+    enc = tokenize.bpe_encode(probe, merges).collect()[0]
+    assert enc["tokens"] == ["low", "est</w>"]
+    assert enc["n_tokens"] == 2
+
+
+def test_bpe_encode_properties(spark):
+    """Lossless reconstruction; token count monotone non-increasing in
+    merges; zero merges = chars + end-of-word markers; null text -> null
+    tokens/count; output independent of Arrow batch split."""
+    texts = ["the cat sat on the mat", "cats eat fish, fish eat bugs!",
+             "a aa aaa aaaa", "", None, "Mixed CASE 123 tokens"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    merges = tokenize.bpe_train(docs, n_merges=12, min_freq=1)
+    import re
+    from bioframe_spark.datapipe.ranking import TOKEN_SPLIT_RE
+
+    prev = None
+    for k in (0, 3, 12):
+        mk = merges.filter(F.col("rank") < k)
+        out = {r["doc_id"]: r for r in tokenize.bpe_encode(docs, mk).collect()}
+        for i, t in enumerate(texts):
+            if t is None:
+                assert out[i]["tokens"] is None and out[i]["n_tokens"] is None
+                continue
+            words = [w for w in re.split(TOKEN_SPLIT_RE, t.lower()) if w]
+            joined = "".join(out[i]["tokens"]).replace("</w>", "")
+            assert joined == "".join(words), (k, t)
+            if k == 0:
+                assert out[i]["n_tokens"] == sum(len(w) + 1 for w in words)
+            if prev is not None:
+                assert out[i]["n_tokens"] <= prev[i]["n_tokens"], (k, t)
+        prev = out
+    # batch-split independence: 1 partition vs 5 partitions, same result
+    one = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in tokenize.bpe_encode(docs.coalesce(1), merges).collect()}
+    five = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+            for r in tokenize.bpe_encode(docs.repartition(5),
+                                         merges).collect()}
+    assert one == five
+
+
+def _naive_bpe(word_freqs: dict, n_merges: int):
+    """Independent reference: full pair recount every round (the paper's
+    pseudocode, no incremental bookkeeping) — structurally different
+    from the module's indexed loop, so agreement is evidence."""
+    words = {tuple(w) + ("</w>",): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new = {}
+        for syms, f in words.items():
+            new[tokenize._merge_word(syms, *best)] = \
+                new.get(tokenize._merge_word(syms, *best), 0) + f
+        words = new
+    return merges
+
+
+def test_bpe_train_differential(spark):
+    """Incremental trainer == naive full-recount reference on a random
+    corpus (fixed seed), merges and encodings both."""
+    import random
+    rng = random.Random(42)
+    vocab = ["ab", "abc", "banana", "bandana", "cabana", "scan", "scans",
+             "span", "spans", "plan", "b1", "2b", "aaa", "zz"]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["left"], r["right"]) for r in
+           tokenize.bpe_train(df, n_merges=25, min_freq=1)
+           .orderBy("rank").collect()]
+    # reference word counts from the same tokenization rule
+    import re
+    from collections import Counter
+    from bioframe_spark.datapipe.ranking import TOKEN_SPLIT_RE
+    wc = Counter(w for _, t in docs
+                 for w in re.split(TOKEN_SPLIT_RE, t.lower()) if w)
+    assert got == _naive_bpe(wc, 25)
+
+
+def test_bpe_train_bounds_and_edges(spark):
+    docs = _sennrich_corpus(spark)
+    with pytest.raises(ValueError, match="n_merges"):
+        tokenize.bpe_train(docs, n_merges=-1)
+    # n_merges beyond exhaustion: loop stops when no pair remains
+    m = tokenize.bpe_train(docs, n_merges=10_000, min_freq=1)
+    assert m.count() < 50
+    # empty corpus -> empty merge table, encode passes through
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    m0 = tokenize.bpe_train(empty, n_merges=5)
+    assert m0.count() == 0
+    assert tokenize.bpe_encode(empty, m0).count() == 0
+    # min_freq floors the table: rare words contribute no merges
+    rare = spark.createDataFrame(
+        [(0, "zzz"), (1, "qqq qqq qqq")], "doc_id long, text string")
+    m1 = {(r["left"], r["right"])
+          for r in tokenize.bpe_train(rare, n_merges=3, min_freq=2)
+          .collect()}
+    assert all("z" not in l and "z" not in r for l, r in m1)
+
+
+def test_word_frequencies_and_corpus_stats(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b b c C c"), (1, None), (2, ""), (3, "a.")],
+        "doc_id long, text string")
+    wf = {r["word"]: r["freq"]
+          for r in tokenize.word_frequencies(docs, min_freq=1).collect()}
+    assert wf == {"a": 2, "b": 2, "c": 3}
+    top = tokenize.word_frequencies(docs, min_freq=2, max_words=1).collect()
+    assert [(r["word"], r["freq"]) for r in top] == [("c", 3)]
+    st = tokenize.corpus_stats(docs).collect()[0]
+    assert (st["n_docs"], st["n_text"], st["n_tokens"],
+            st["n_distinct_tokens"]) == (4, 3, 7, 3)
+    # avg over non-null docs: (6 + 0 + 1)/3
+    assert abs(st["avg_doc_tokens"] - round(7 / 3, 6)) < 1e-12
+    ap = tokenize.corpus_stats(docs, approx=True).collect()[0]
+    assert ap["n_distinct_tokens"] == 3  # HLL exact at tiny cardinality

@@ -76,7 +76,14 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            res = fn(spark, sf_dir)
+            sdf = res.toPandas()
+            # ops that persist internal frames for multi-consumer reuse
+            # ride the handles on the result — free them now that the
+            # query is materialized (ADVICE r7: the harness leaked one
+            # cached dataset per q_dup_spans_join / q_lm_score run)
+            from bioframe_spark.datapipe.dedup import release_cache
+            release_cache(res)
         except Exception as e:
             results[name] = f"SPARK ERROR: {e}"
             print(f"[{name}] SPARK ERROR: {e}")
