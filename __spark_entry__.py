@@ -1295,6 +1295,28 @@ def q_token_pairs(spark, sf_dir):
     return ranking.token_pair_counts(docs, n=50)
 
 
+def q_minhash_probe(spark, sf_dir):
+    """Incremental near-dup dedup (r8): probe a 'new crawl batch'
+    (doc_id % 5 == 0) against a PERSISTED MinHash-LSH index of the rest
+    of the corpus — one scan of the compact banded signature table with
+    the new side broadcast; no re-mining of indexed text. md5 hash mode
+    → the same engine-portable seeded hashing as q_minhash_lsh, so the
+    DuckDB oracle replays both sides bit-exactly. The index build is
+    memoized per (session, sf_dir): the persisted layout IS the
+    recurring investment (same policy as q_ann_ivf_indexed)."""
+    import tempfile
+    docs = _t(spark, sf_dir, "documents")
+    key = ("mh_index", id(spark), sf_dir)
+    path = _STREAM_SRC.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="mh_index_q_")
+        dedup.build_minhash_index(docs.filter("doc_id % 5 != 0"), path,
+                                  num_hashes=32, bands=8, hash_fn="md5")
+        _STREAM_SRC[key] = path
+    return dedup.minhash_lsh_probe(docs.filter("doc_id % 5 = 0"), path,
+                                   threshold=0.5)
+
+
 def q_word_freqs(spark, sf_dir):
     """Corpus word-frequency table (r8): the tokenizer-training
     substrate — one explode + hash agg with map-side combine, min_freq
@@ -1512,7 +1534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_closest": q_stream_closest,
         "stream_coverage": q_stream_coverage,
         "stream_span_contam": q_stream_span_contam,  # r6: decontam at ingest
-        # r8: tokenizer-training family (past cap; CHECKFULL covers)
+        # r8: tokenizer-training family + incremental-index dedup
+        # (past cap; CHECKFULL covers)
+        "minhash_probe": q_minhash_probe,
         "word_freqs": q_word_freqs,
         "corpus_stats": q_corpus_stats,
         "bpe_merges": q_bpe_merges,    # iterative -> rows-only by design
@@ -2502,6 +2526,42 @@ GROUP BY c.id1, c.id2
 HAVING CAST(SUM(CASE WHEN p1.mh = p2.mh THEN 1 ELSE 0 END) AS DOUBLE) >= 0.5 * 32
 """
 
+    # incremental probe: same signature pipeline, NEW side = doc_id%5==0,
+    # INDEXED side = the rest (replays q_minhash_probe's split exactly)
+    minhash_probe = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         ))) AS shingle
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {_UHASH_M} AS h
+  FROM sh
+), hv AS (
+  SELECT doc_id, i, MIN((h * a + b) % {_UHASH_M}) AS mh
+  FROM base, (VALUES {_ab_rows}) ab(i, a, b)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM hv GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_indexed
+  FROM band a JOIN band b USING (band, bucket)
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+)
+SELECT c.id_new, c.id_indexed,
+       CAST(SUM(CASE WHEN p1.mh = p2.mh THEN 1 ELSE 0 END) AS INT) AS n_match
+FROM cand c
+JOIN hv p1 ON p1.doc_id = c.id_new
+JOIN hv p2 ON p2.doc_id = c.id_indexed AND p2.i = p1.i
+GROUP BY c.id_new, c.id_indexed
+HAVING CAST(SUM(CASE WHEN p1.mh = p2.mh THEN 1 ELSE 0 END) AS DOUBLE) >= 0.5 * 32
+"""
+
     # simhash: bits=60, max_hamming=12 → 13 chunks with bounds 60*i//13
     _sim_bounds = [60 * i // 13 for i in range(14)]
     _sim_chunks = ", ".join(
@@ -3242,6 +3302,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "sample_mix": sample_mix,
         "train_split": train_split,
         "minhash_lsh": minhash_lsh,
+        "minhash_probe": minhash_probe,
         "simhash_pairs": simhash_pairs,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,

@@ -381,6 +381,46 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
     return base.select(F.col(id_col), F.array(*slots).alias("signature"))
 
 
+def _banded_minhash(df: DataFrame, num_hashes: int, bands: int, n: int,
+                    text_col: str, id_col: str, hash_fn: str):
+    """(signature frame, banded frame) — the shared LSH substrate of the
+    self-join pair miner and the persisted-index family.
+
+    Bucket key per band: the concatenated band slice, hashed to a
+    fixed-width long in xxhash64 mode; left as the raw string in md5
+    mode (equally valid LSH bucketing, and trivially engine-portable).
+    The band index is exploded FIRST and the bucket computed from the
+    band COLUMN in one parameterized expression: spelling out one
+    bucket expression per band re-references `signature` bands× inside
+    a single projection, and Catalyst's projection collapse then
+    re-derives the whole signature tree (shingling + seeded hashing)
+    once per reference — measured 2.0 s -> 0.4 s for the banded frame
+    at sf0.1."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes=num_hashes, n=n,
+                             text_col=text_col, id_col=id_col,
+                             hash_fn=hash_fn)
+    band_key = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.col("signature"),
+                    F.col("band") * rows_per_band + F.lit(1),
+                    F.lit(rows_per_band)),
+            lambda x: x.cast("string"),
+        ),
+    )
+    banded = sig.select(
+        id_col, "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.xxhash64(band_key) if hash_fn == "xxhash64" else band_key,
+    )
+    return sig, banded
+
+
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       n: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
@@ -405,38 +445,8 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
     beat shipping ``2·num_hashes`` longs per banded row. Both modes are
     value-identical (equivalence-tested).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes=num_hashes, n=n,
-                             text_col=text_col, id_col=id_col,
-                             hash_fn=hash_fn)
-    # bucket key per band: the concatenated band slice, hashed to a
-    # fixed-width long in xxhash64 mode; left as the raw string in md5
-    # mode (equally valid LSH bucketing, and trivially engine-portable).
-    # The band index is exploded FIRST and the bucket computed from the
-    # band COLUMN in one parameterized expression: spelling out one
-    # bucket expression per band re-references `signature` bands× inside
-    # a single projection, and Catalyst's projection collapse then
-    # re-derives the whole signature tree (shingling + seeded hashing)
-    # once per reference — measured 2.0 s -> 0.4 s for the banded frame
-    # at sf0.1.
-    band_key = F.concat_ws(
-        ",",
-        F.transform(
-            F.slice(F.col("signature"),
-                    F.col("band") * rows_per_band + F.lit(1),
-                    F.lit(rows_per_band)),
-            lambda x: x.cast("string"),
-        ),
-    )
-    banded = sig.select(
-        id_col, "signature",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).withColumn(
-        "bucket",
-        F.xxhash64(band_key) if hash_fn == "xxhash64" else band_key,
-    )
+    sig, banded = _banded_minhash(df, num_hashes, bands, n,
+                                  text_col, id_col, hash_fn)
     match = F.size(
         F.filter(
             F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
@@ -481,6 +491,122 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
         .select("id1", "id2", "n_match")
         .distinct()
     )
+
+
+def build_minhash_index(df: DataFrame, path: str, *, num_hashes: int = 32,
+                        bands: int = 8, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        hash_fn: str = "xxhash64") -> None:
+    """Persist a MinHash-LSH index of the corpus: ``{path}/banded``
+    holds the banded signature table (id, signature, band, bucket),
+    ``{path}/meta`` the LSH parameters (probes validate against them —
+    signatures from mismatched parameters would silently never match).
+
+    The incremental-corpus primitive: a 100 TB corpus' TEXT is shingled
+    and hashed ONCE; every future crawl increment probes (and appends
+    to) the compact signature table — ``bands`` rows of
+    (id, 8·num_hashes B signature, long, long) per doc, orders of
+    magnitude smaller than the text — instead of re-mining the corpus
+    per batch (:func:`minhash_lsh_pairs` re-derives both sides every
+    run). Partitioned by ``band`` on disk: a reduced-band probe (recall
+    dial) prunes whole partitions at the scan."""
+    sig, banded = _banded_minhash(df, num_hashes, bands, n,
+                                  text_col, id_col, hash_fn)
+    del sig
+    banded.withColumnRenamed(id_col, "__iid") \
+        .write.mode("overwrite").partitionBy("band") \
+        .parquet(f"{path}/banded")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(num_hashes), int(bands), int(n), hash_fn)],
+        "num_hashes int, bands int, n int, hash_fn string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _minhash_index_meta(spark, path: str):
+    m = spark.read.parquet(f"{path}/meta").first()
+    if m is None:  # pragma: no cover
+        raise ValueError(f"no meta record under {path}/meta")
+    return m
+
+
+def update_minhash_index(new_docs: DataFrame, path: str, *,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """Append a new batch's banded signatures to an existing index
+    (parameters read from the stored meta, so the append can never
+    diverge from the build). Id-collision policy is the caller's:
+    probe first, append only the kept docs (the standard
+    probe → filter → append increment loop)."""
+    m = _minhash_index_meta(new_docs.sparkSession, path)
+    _, banded = _banded_minhash(new_docs, m.num_hashes, m.bands, m.n,
+                                text_col, id_col, m.hash_fn)
+    banded.withColumnRenamed(id_col, "__iid") \
+        .write.mode("append").partitionBy("band") \
+        .parquet(f"{path}/banded")
+
+
+def minhash_lsh_probe(new_docs: DataFrame, path: str, *,
+                      threshold: float = 0.5, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      exclude_same_id: bool = True,
+                      broadcast_new: bool | None = None) -> DataFrame:
+    """Near-duplicates of a NEW batch against a persisted
+    :func:`build_minhash_index` — (id_new, id_indexed, n_match), one row
+    per (new doc, indexed doc) with estimated Jaccard ≥ ``threshold``
+    (``n_match / num_hashes``, same verification rule as
+    :func:`minhash_lsh_pairs`).
+
+    Scale shape: the new side (a crawl increment) is typically tiny
+    against the index — its banded frame broadcasts
+    (``broadcast_new=None`` auto-decides from Catalyst's size estimate ×
+    bands, same policy as ``ivf_topk_indexed``), so the probe is ONE
+    scan of the banded index with a map-side hash join: no shuffle of
+    the index, no re-shingling of corpus text. A corpus-sized new batch
+    must NOT be force-broadcast — pass ``broadcast_new=False`` and the
+    probe degrades to the shuffle join it would need anyway. Scoring
+    happens in-flight on the joined signature arrays and the distinct
+    carries only (id_new, id_indexed, n_match), the same
+    score-before-distinct shuffle-bytes argument as the self-join miner.
+
+    ``exclude_same_id``: drop id_new == id_indexed rows — the trivial
+    self-matches when the batch was already appended to the index (or
+    shares its id namespace)."""
+    spark = new_docs.sparkSession
+    m = _minhash_index_meta(spark, path)
+    _, banded = _banded_minhash(new_docs, m.num_hashes, m.bands, m.n,
+                                text_col, id_col, m.hash_fn)
+    a = banded.select(F.col(id_col).alias("id_new"),
+                      F.col("signature").alias("sig1"), "band", "bucket")
+    stored = spark.read.parquet(f"{path}/banded")
+    b = stored.select(F.col("__iid").alias("id_indexed"),
+                      F.col("signature").alias("sig2"), "band", "bucket")
+    if broadcast_new is None:
+        from ..operators.ops import _plan_size_bytes
+        from .similarity import _parse_bytes_conf
+        bar = _parse_bytes_conf(
+            spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
+        broadcast_new = bar > 0 and \
+            _plan_size_bytes(new_docs) * max(m.bands, 1) <= bar
+    if broadcast_new:
+        a = F.broadcast(a)
+    match = F.size(
+        F.filter(
+            F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    out = (
+        a.join(b, ["band", "bucket"])
+        .withColumn("n_match", match)
+        .filter(F.col("n_match").cast("double")
+                >= F.lit(threshold) * F.lit(m.num_hashes))
+        .select("id_new", "id_indexed", "n_match")
+        .distinct()
+    )
+    if exclude_same_id:
+        out = out.filter(F.col("id_new") != F.col("id_indexed"))
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -346,3 +346,90 @@ def test_word_frequencies_and_corpus_stats(spark):
     assert abs(st["avg_doc_tokens"] - round(7 / 3, 6)) < 1e-12
     ap = tokenize.corpus_stats(docs, approx=True).collect()[0]
     assert ap["n_distinct_tokens"] == 3  # HLL exact at tiny cardinality
+
+
+# ------------------------------------------------- incremental minhash index
+
+def _dup_docs(spark):
+    """Docs with engineered near-dups across the old/new split."""
+    base = ("spark shuffles partition data across executors when keys "
+            "move between stages and the optimizer plans the exchange")
+    alt = base.replace("executors", "workers")
+    rows = []
+    for i in range(20):
+        # ids 0,5,10,15 form the 'new batch' under % 5; give some of
+        # them near-dups in the indexed remainder
+        rows.append((i, base if i % 3 else alt))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_index_probe_matches_selfjoin(spark, tmp_path):
+    """Probing a corpus against an index of the SAME corpus must equal
+    the self-join miner (symmetrized): the persisted path changes the
+    physical plan, not the math."""
+    docs = _dup_docs(spark)
+    path = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(docs, path, num_hashes=16, bands=4)
+    probe = dedup.minhash_lsh_probe(docs, path, threshold=0.5)
+    sym = {(min(r["id_new"], r["id_indexed"]),
+            max(r["id_new"], r["id_indexed"]), r["n_match"])
+           for r in probe.collect()}
+    pairs = {(r["id1"], r["id2"], r["n_match"])
+             for r in dedup.minhash_lsh_pairs(
+                 docs, num_hashes=16, bands=4, threshold=0.5).collect()}
+    assert sym == pairs and len(pairs) > 0
+    # every unordered pair appears in BOTH directions (disjoint id
+    # namespaces are the normal case; same-namespace callers see both)
+    assert probe.count() == 2 * len(pairs)
+
+
+def test_minhash_index_incremental_update(spark, tmp_path):
+    """The increment loop: build on the old corpus, probe the new batch
+    (cross pairs only), append, re-probe (now also sees new-vs-new)."""
+    docs = _dup_docs(spark)
+    old = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0")
+    path = str(tmp_path / "mh_inc")
+    dedup.build_minhash_index(old, path, num_hashes=16, bands=4)
+    cross = dedup.minhash_lsh_probe(new, path, threshold=0.5)
+    cross_set = {(r["id_new"], r["id_indexed"]) for r in cross.collect()}
+    # ground truth from the self-join miner on the union
+    all_pairs = {(r["id1"], r["id2"]) for r in dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.5).collect()}
+    want = {(a, b) for a, b in
+            {(x, y) for x, y in all_pairs} | {(y, x) for x, y in all_pairs}
+            if a % 5 == 0 and b % 5 != 0}
+    assert cross_set == want
+    dedup.update_minhash_index(new, path)
+    again = dedup.minhash_lsh_probe(new, path, threshold=0.5)
+    again_set = {(r["id_new"], r["id_indexed"]) for r in again.collect()}
+    # same-id trivial matches are excluded; new-vs-new now appears
+    assert all(a != b for a, b in again_set)
+    assert cross_set <= again_set
+    new_new = {(a, b) for a, b in again_set if b % 5 == 0}
+    want_nn = {(a, b) for a, b in
+               {(x, y) for x, y in all_pairs} | {(y, x) for x, y in all_pairs}
+               if a % 5 == 0 and b % 5 == 0}
+    assert new_new == want_nn
+    # exclude_same_id=False surfaces the trivial full-signature matches
+    withself = dedup.minhash_lsh_probe(new, path, threshold=0.5,
+                                       exclude_same_id=False)
+    selfs = {(r["id_new"], r["id_indexed"], r["n_match"])
+             for r in withself.collect() if r["id_new"] == r["id_indexed"]}
+    assert selfs == {(i, i, 16) for i in (0, 5, 10, 15)}
+
+
+def test_minhash_index_param_validation(spark, tmp_path):
+    docs = _dup_docs(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.build_minhash_index(docs, str(tmp_path / "x"),
+                                  num_hashes=10, bands=4)
+    # md5 mode round-trips through the stored meta (string buckets)
+    path = str(tmp_path / "mh_md5")
+    dedup.build_minhash_index(docs, path, num_hashes=16, bands=4,
+                              hash_fn="md5")
+    p = dedup.minhash_lsh_probe(docs, path, threshold=0.5)
+    assert p.count() > 0
+    # probe plan broadcasts the (tiny) new side
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
