@@ -1429,8 +1429,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_ranged": q_merge_ranged,
         "complement_ranged": q_complement_ranged,
         "pileup_ranged": q_pileup_ranged,
-        "pileup_weighted": q_pileup_weighted,
-        "overlap_right": q_overlap_right,
+        # r8 rotation: the newest physical paths belong in the gate
+        # (persisted-LSH broadcast probe; the tokenizer family's
+        # word-count substrate). pileup_weighted / overlap_right moved
+        # past the cap — both long-stable with in-gate siblings
+        # (pileup_ranged; overlap_inner/left/outer).
+        "minhash_probe": q_minhash_probe,
+        "word_freqs": q_word_freqs,
         "setdiff_on": q_setdiff_on,
         "setdiff_binned": q_setdiff_binned,
         "coverage_binned": q_coverage_binned,
@@ -1483,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,  # r1+ green; minhash_lsh pins the banded-pair shape in-gate
         "ann_topk": q_ann_topk,  # r2+ green; ann_ivf_indexed full-green, embedding kernels fuzz-pinned
         "ann_ivf_indexed": q_ann_ivf_indexed,  # r5-r6 CHECKFULL green; index layout stable
+        "pileup_weighted": q_pileup_weighted,  # r8: rotated out (sibling pileup_ranged in-gate)
+        "overlap_right": q_overlap_right,  # r8: rotated out (siblings inner/left/outer in-gate)
         "select_indices": q_select_indices,  # r6 gate green; same rid+predicate shape as select_mask (in-gate)
         "select_labels": q_select_labels,  # r6 gate green; same predicate as select_indices
         "redact": q_redact,  # r3+ green, map-only regex plan unchanged
@@ -1534,10 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_closest": q_stream_closest,
         "stream_coverage": q_stream_coverage,
         "stream_span_contam": q_stream_span_contam,  # r6: decontam at ingest
-        # r8: tokenizer-training family + incremental-index dedup
-        # (past cap; CHECKFULL covers)
-        "minhash_probe": q_minhash_probe,
-        "word_freqs": q_word_freqs,
+        # r8: tokenizer-training family (past cap; CHECKFULL covers;
+        # minhash_probe + word_freqs rotated INTO the gate above)
         "corpus_stats": q_corpus_stats,
         "bpe_merges": q_bpe_merges,    # iterative -> rows-only by design
         "bpe_tokens": q_bpe_tokens,    # depends on trained merges -> rows-only

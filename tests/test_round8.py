@@ -433,3 +433,18 @@ def test_minhash_index_param_validation(spark, tmp_path):
     # probe plan broadcasts the (tiny) new side
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_probe_plan_budget(spark, tmp_path):
+    """Probe physical shape: broadcast the (small) new side, ONE scan of
+    the stored banded table with no shuffle of it — the only shuffle in
+    the plan is the candidate-distinct (ids + n_match, tiny)."""
+    docs = _dup_docs(spark)
+    path = str(tmp_path / "mh_plan")
+    dedup.build_minhash_index(docs, path, num_hashes=16, bands=4)
+    p = dedup.minhash_lsh_probe(docs, path, threshold=0.5)
+    p.count()
+    plan = (p._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
