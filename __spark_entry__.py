@@ -1317,6 +1317,49 @@ def q_minhash_probe(spark, sf_dir):
                                    threshold=0.5)
 
 
+_CLF_WEIGHTS = {"merge": 1.5, "scan": -0.75, "value": 0.25,
+                "fast": 2.0, "hash": -1.25, "table": 0.5}
+_CLF_DIM = 1 << 16
+_CLF_BIAS = 0.25
+
+
+def _clf_slot(token: str) -> int:
+    """Driver-side replica of classifier.hash_slot(..., 'md5') — pinned
+    equal to the Spark expression in tests/test_round8.py."""
+    import hashlib
+    return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % _CLF_DIM
+
+
+def q_hashed_score(spark, sf_dir):
+    """Hashing-trick linear classifier INFERENCE (r8): token → md5 slot
+    → broadcast weight join → per-doc mean + bias. The oracle replays
+    the slot arithmetic (not a token join — an unrelated corpus token
+    colliding with a weight slot must score in BOTH engines)."""
+    from bioframe_spark.datapipe import classifier as clf
+    docs = _t(spark, sf_dir, "documents")
+    weights = {_clf_slot(t): v for t, v in _CLF_WEIGHTS.items()}
+    assert len(weights) == len(_CLF_WEIGHTS)  # fixed tokens: no collisions
+    return clf.hashed_text_score(docs, weights, dim=_CLF_DIM,
+                                 bias=_CLF_BIAS, hash_fn="md5")
+
+
+def q_train_classifier(spark, sf_dir):
+    """Distributed classifier TRAINING (r8): full-batch logistic GD,
+    per-slot sparse gradients through one map-side-combinable
+    aggregation per epoch. Iterative → rows-only driver check; the
+    math is pinned by the numpy-reference differential in
+    tests/test_round8.py. Labels here are a deterministic parity split
+    (the gate checks the machinery, not the linguistics)."""
+    import numpy as np
+    from bioframe_spark.datapipe import classifier as clf
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("int"))
+    w = clf.train_quality_classifier(docs, dim=1 << 12, epochs=3, lr=1.0)
+    idx = np.argsort(-np.abs(w[:-1]))[:20]
+    rows = [(int(i), round(float(w[i]), 6)) for i in sorted(idx.tolist())]
+    return spark.createDataFrame(rows, "slot long, weight double")
+
+
 def q_word_freqs(spark, sf_dir):
     """Corpus word-frequency table (r8): the tokenizer-training
     substrate — one explode + hash agg with map-side combine, min_freq
@@ -1546,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bpe_merges": q_bpe_merges,    # iterative -> rows-only by design
         "bpe_tokens": q_bpe_tokens,    # depends on trained merges -> rows-only
+        "hashed_score": q_hashed_score,
+        "train_classifier": q_train_classifier,  # iterative -> rows-only
     }
 
 
@@ -2531,6 +2576,37 @@ GROUP BY c.id1, c.id2
 HAVING CAST(SUM(CASE WHEN p1.mh = p2.mh THEN 1 ELSE 0 END) AS DOUBLE) >= 0.5 * 32
 """
 
+    # hashed classifier inference: the oracle replays the md5 SLOT
+    # arithmetic (not a token join — a corpus token colliding with a
+    # weight slot must score in both engines)
+    _clf_rows = ", ".join(
+        f"(CAST({_clf_slot(t)} AS BIGINT), CAST({v} AS DOUBLE))"
+        for t, v in sorted(_CLF_WEIGHTS.items()))
+    hashed_score = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9]+'),
+                               x -> x <> '') END AS tk
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(tok), 1, 15))::BIGINT % {_CLF_DIM} AS slot
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+), sums AS (
+  SELECT occ.doc_id, SUM(w.weight) AS sw
+  FROM occ LEFT JOIN (VALUES {_clf_rows}) w(slot, weight) USING (slot)
+  GROUP BY occ.doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN t.tk IS NULL THEN NULL
+            WHEN len(t.tk) > 0
+              THEN round({_CLF_BIAS} + coalesce(s.sw, 0) / len(t.tk), 6)
+            ELSE round(CAST({_CLF_BIAS} AS DOUBLE), 6) END AS score
+FROM toks t LEFT JOIN sums s USING (doc_id)
+"""
+
     # incremental probe: same signature pipeline, NEW side = doc_id%5==0,
     # INDEXED side = the rest (replays q_minhash_probe's split exactly)
     minhash_probe = f"""
@@ -3308,6 +3384,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "train_split": train_split,
         "minhash_lsh": minhash_lsh,
         "minhash_probe": minhash_probe,
+        "hashed_score": hashed_score,
         "simhash_pairs": simhash_pairs,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,

@@ -448,3 +448,124 @@ def test_minhash_probe_plan_budget(spark, tmp_path):
             .split("== Initial Plan ==")[0])
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# ---------------------------------------------- hashed quality classifier
+
+from bioframe_spark.datapipe import classifier as clf
+
+
+def _labeled(spark, n=40):
+    import random
+    rng = random.Random(7)
+    good = "clear structured prose careful reasoning data method tested"
+    bad = "click buy free offer winner casino jackpot spam links now"
+    rows = []
+    for i in range(n):
+        pos = i % 2 == 0
+        src = (good if pos else bad).split()
+        rows.append((i, " ".join(rng.choices(src, k=12)), int(pos)))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_classifier_learns_separable(spark):
+    df = _labeled(spark)
+    w, hist = clf.train_quality_classifier(
+        df, dim=1 << 12, epochs=6, lr=2.0, return_history=True)
+    assert all(b < a for a, b in zip(hist, hist[1:])), hist
+    assert abs(hist[0] - 0.6931471805599453) < 1e-9  # ln 2 at w=0
+    scored = clf.hashed_text_score(df, w, sigmoid=True)
+    got = {r["doc_id"]: r["prob"] for r in scored.collect()}
+    acc = sum((got[i] > 0.5) == (i % 2 == 0) for i in got) / len(got)
+    assert acc == 1.0
+
+
+def test_classifier_matches_numpy_reference(spark):
+    """Full-batch GD is deterministic math: replicate it in numpy on the
+    SAME hashed features and compare weights + loss history (float
+    summation order differs -> tolerance, not equality)."""
+    import math
+
+    import re
+    from bioframe_spark.datapipe.ranking import TOKEN_SPLIT_RE
+
+    df = _labeled(spark, n=24)
+    dim, epochs, lr = 1 << 10, 5, 1.5
+    w, hist = clf.train_quality_classifier(
+        df, dim=dim, epochs=epochs, lr=lr, return_history=True)
+
+    rows = df.collect()
+    # same slot mapping, computed through the Spark expression itself
+    toks = sorted({t for r in rows
+                   for t in re.split(TOKEN_SPLIT_RE, r["text"].lower()) if t})
+    tok_df = spark.createDataFrame([(t,) for t in toks], "t string")
+    slot_map = {r["t"]: r["s"] for r in tok_df.select(
+        "t", clf.hash_slot(F.col("t"), dim).alias("s")).collect()}
+
+    wr = np.zeros(dim)
+    br = 0.0
+    hist_ref = []
+    feats = []
+    for r in rows:
+        ts = [t for t in re.split(TOKEN_SPLIT_RE, r["text"].lower()) if t]
+        x = np.zeros(dim)
+        for t in ts:
+            x[slot_map[t]] += 1.0 / len(ts)
+        feats.append((x, float(r["label"])))
+    n = len(feats)
+    for _ in range(epochs):
+        g = np.zeros(dim)
+        gb = 0.0
+        loss = 0.0
+        for x, y in feats:
+            z = br + x @ wr
+            p = 1.0 / (1.0 + math.exp(-z))
+            loss += math.log1p(math.exp(-z)) + (1 - y) * z
+            g += (p - y) * x
+            gb += p - y
+        wr -= lr * g / n
+        br -= lr * gb / n
+        hist_ref.append(loss / n)
+    assert np.allclose(hist, hist_ref, rtol=0, atol=1e-9)
+    assert np.allclose(w[:-1], wr, rtol=0, atol=1e-9)
+    assert abs(w[-1] - br) < 1e-9
+
+
+def test_hashed_score_contract(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, None), (2, "")],
+        "doc_id long, text string")
+    dim = 1 << 8
+    slot = {r["t"]: r["s"] for r in spark.createDataFrame(
+        [("alpha",), ("beta",)], "t string").select(
+        "t", clf.hash_slot(F.col("t"), dim).alias("s")).collect()}
+    wv = np.zeros(dim + 1)
+    wv[slot["alpha"]] = 3.0
+    wv[slot["beta"]] = -1.0
+    wv[-1] = 0.5  # bias
+    got = {r["doc_id"]: r["score"]
+           for r in clf.hashed_text_score(df, wv).collect()}
+    assert got[0] == round(0.5 + (3.0 + (-1.0) + 3.0) / 3, 6)
+    assert got[1] is None
+    assert got[2] == 0.5  # zero tokens: bias only
+    # dict-weights path needs explicit dim; vector disagreement raises
+    with pytest.raises(ValueError, match="dim"):
+        clf.hashed_text_score(df, {0: 1.0})
+    with pytest.raises(ValueError, match="dim"):
+        clf.hashed_text_score(df, wv, dim=dim + 5)
+    with pytest.raises(ValueError, match="hash_fn"):
+        clf.hash_slot(F.col("t"), 16, "sha9")
+    # md5 mode slot matches the documented engine-portable arithmetic
+    import hashlib
+    s = spark.createDataFrame([("alpha",)], "t string").select(
+        clf.hash_slot(F.col("t"), dim, "md5").alias("s")).first()["s"]
+    assert s == int(hashlib.md5(b"alpha").hexdigest()[:15], 16) % dim
+
+
+def test_classifier_input_validation(spark):
+    df = _labeled(spark, n=6)
+    with pytest.raises(ValueError, match="epochs"):
+        clf.train_quality_classifier(df, epochs=0)
+    empty = df.filter("label IS NULL")
+    with pytest.raises(ValueError, match="no labeled rows"):
+        clf.train_quality_classifier(empty, dim=64, epochs=1)
