@@ -459,14 +459,22 @@ def test_registry_consistency():
 
     qs = list(em.queries())
     osql = em.oracle_sql()
-    assert set(osql) == set(qs)
+    # every oracle maps to a registered query; every query has a full
+    # oracle EXCEPT the documented rows-only set (iterative algorithms
+    # — BPE training and classifier GD — and their dependents, exactly
+    # the non-SQL-expressible case the driver contract carves out)
+    assert set(osql) <= set(qs)
+    rows_only = {"bpe_merges", "bpe_tokens", "train_classifier"}
+    assert set(qs) - set(osql) == rows_only
     gate = qs[:50]
     assert not any(k.startswith("stream_") for k in gate)
+    assert not any(k in rows_only for k in gate)
     for k in ("dup_spans_join", "minhash_lsh", "span_dup_pairs",
-              "semdedup"):
+              "semdedup", "minhash_probe", "word_freqs"):
         assert k in gate, k
     for k in ("select_indices", "select_labels", "token_pairs",
-              "quality_score", "lm_score"):
+              "quality_score", "lm_score", "pileup_weighted",
+              "overlap_right"):
         assert k in qs[50:], k
 
 

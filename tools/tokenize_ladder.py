@@ -78,6 +78,19 @@ def main():
         measure("bpe_encode",
                 lambda: tokenize.bpe_encode(docs, merges)
                 .select("doc_id", "n_tokens"))
+        # classifier: one training epoch over a k x labeled set (labeled
+        # sets are model-sized in practice — the rung prices the epoch
+        # machinery: feature pass + margin agg + slot-gradient shuffle)
+        from pyspark.sql import functions as F
+        from bioframe_spark.datapipe import classifier as _clf
+        labeled = docs.withColumn(
+            "label", (F.abs(F.xxhash64("doc_id")) % 2).cast("int"))
+        def _train_once():
+            _clf.train_quality_classifier(labeled, dim=1 << 16,
+                                          epochs=1, lr=1.0)
+            return spark.range(1)
+
+        measure("clf_epoch", _train_once)
         docs.unpersist()
 
     print("\n| op | t1 | t4 | t16 | t64 | exp 16->64 | rows 1/64 |")
