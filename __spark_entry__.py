@@ -1360,6 +1360,16 @@ def q_train_classifier(spark, sf_dir):
     return spark.createDataFrame(rows, "slot long, weight double")
 
 
+def q_normalize(spark, sf_dir):
+    """Canonical text normalization (r8): control-strip → NFC →
+    lowercase → whitespace collapse + trim, the pass every pipeline
+    runs before hashing/dedup. JVM regexp steps + one Arrow unicode
+    UDF; DuckDB replays it with regexp_replace/nfc_normalize/lower."""
+    from bioframe_spark.datapipe import text as tx
+    docs = _t(spark, sf_dir, "documents")
+    return tx.normalize_text(docs, lowercase=True).select("doc_id", "text")
+
+
 def q_word_freqs(spark, sf_dir):
     """Corpus word-frequency table (r8): the tokenizer-training
     substrate — one explode + hash agg with map-side combine, min_freq
@@ -1591,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,    # depends on trained merges -> rows-only
         "hashed_score": q_hashed_score,
         "train_classifier": q_train_classifier,  # iterative -> rows-only
+        "normalize": q_normalize,
     }
 
 
@@ -3385,6 +3396,20 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "minhash_lsh": minhash_lsh,
         "minhash_probe": minhash_probe,
         "hashed_score": hashed_score,
+        # step order mirrors normalize_text: control-strip -> NFC ->
+        # lower -> whitespace collapse + trim; explicit \x0b class (Java
+        # \s and RE2 \s disagree there)
+        "normalize": """
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE trim(regexp_replace(
+                   lower(nfc_normalize(regexp_replace(
+                     text, '[\\x00-\\x08\\x0e-\\x1f\\x7f]',
+                     '', 'g'))),
+                   '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))
+       END AS text
+FROM documents
+""",
         "simhash_pairs": simhash_pairs,
         "embedding_dups": embedding_dups,
         "ann_topk": ann_topk,

@@ -7,6 +7,8 @@ Python UDFs in the hot path. Designed for the ``documents`` table shape
 
 from __future__ import annotations
 
+import pandas as pd  # annotation target for the one Arrow UDF below
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -577,6 +579,68 @@ def remove_boilerplate_lines(docs: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------------------
 
 _DOMAIN_RE = r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?//([^/?#@]*@)?([^/?#:]+)"
+
+
+# control strip leaves the five ASCII whitespace controls
+# (\t \n \x0b \x0c \r) to the whitespace step — stripping \x0b/\x0c
+# here would GLUE adjacent words instead of spacing them
+_CONTROL_RE = "[\\x00-\\x08\\x0e-\\x1f\\x7f]"
+# explicit whitespace class — Java regex \s and DuckDB/RE2 \s disagree
+# on \x0b, so the oracle-portable form spells the class out
+_WS_RE = "[ \\t\\n\\r\\f\\x0b]+"
+
+
+def normalize_text(df: DataFrame, *, text_col: str = "text",
+                   output_col: str | None = None,
+                   nfc: bool = True, lowercase: bool = False,
+                   strip_accents: bool = False,
+                   strip_control: bool = True,
+                   collapse_whitespace: bool = True) -> DataFrame:
+    """Canonical text normalization — the pass every pipeline runs
+    BEFORE hashing/dedup/tokenization, because exact dedup keyed on
+    un-normalized text silently misses byte-different equal strings
+    (C4/CCNet both normalize first). Fixed step order: control-char
+    strip → unicode NFC → accent strip → lowercase → whitespace
+    collapse + trim. ``output_col=None`` replaces ``text_col``.
+
+    Plan shape: everything except the unicode steps is JVM
+    ``regexp_replace``/``lower`` (codegen, map-only). NFC / accent
+    strip need Python's unicodedata — ONE Arrow-batched pandas UDF
+    covering both, skipped entirely (pure-JVM plan) when both are off.
+    At 100 TB this is a bare projection on the scan either way —
+    no shuffle, no driver traffic. DuckDB oracle: ``regexp_replace(...,
+    'g')`` + ``nfc_normalize`` + ``strip_accents`` + ``lower`` +
+    ``trim`` compose to the same string (pinned at the gate on the
+    ASCII corpus; unicode behavior pinned in pytest)."""
+    out = output_col or text_col
+    col = F.col(text_col)
+    if strip_control:
+        col = F.regexp_replace(col, _CONTROL_RE, "")
+    if nfc or strip_accents:
+        @F.pandas_udf("string")
+        def _uni(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            def fix(x):
+                if x is None:
+                    return None
+                if nfc:
+                    x = unicodedata.normalize("NFC", x)
+                if strip_accents:
+                    x = "".join(
+                        c for c in unicodedata.normalize("NFD", x)
+                        if not unicodedata.combining(c))
+                    x = unicodedata.normalize("NFC", x)
+                return x
+
+            return s.map(fix, na_action="ignore")
+
+        col = _uni(col)
+    if lowercase:
+        col = F.lower(col)
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, _WS_RE, " "))
+    return df.withColumn(out, col)
 
 
 def extract_domain(url: Column, strip_www: bool = True) -> Column:

@@ -569,3 +569,33 @@ def test_classifier_input_validation(spark):
     empty = df.filter("label IS NULL")
     with pytest.raises(ValueError, match="no labeled rows"):
         clf.train_quality_classifier(empty, dim=64, epochs=1)
+
+
+# ----------------------------------------------------------- normalize_text
+
+from bioframe_spark.datapipe import text as tx
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(0, "  Hello\t\tWorld\x00\x1f  "), (1, "école  CAFÉ"),
+         (2, None), (3, ""), (4, "a\x0bb")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in tx.normalize_text(df, lowercase=True).collect()}
+    assert out[0] == "hello world"
+    # NFC composes e + combining acute into é; case preserved sans lower
+    assert out[1] == "école café"
+    assert out[2] is None and out[3] == ""
+    assert out[4] == "a b"  # \x0b is whitespace in BOTH engines' class
+    acc = {r["doc_id"]: r["text"]
+           for r in tx.normalize_text(df, lowercase=True,
+                                      strip_accents=True).collect()}
+    assert acc[1] == "ecole cafe"
+    # output_col keeps the original column
+    kept = tx.normalize_text(df, output_col="clean").collect()
+    assert {r["doc_id"]: r["text"] for r in kept}[1] == "école  CAFÉ"
+    # pure-JVM plan when the unicode steps are off
+    plan = tx.normalize_text(df, nfc=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
