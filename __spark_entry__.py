@@ -997,6 +997,32 @@ def _stream_source(spark, sf_dir):
     return src
 
 
+def _doc_stream_source(spark, sf_dir):
+    """Session-memoized 3-chunk parquet source of (doc_id, text) —
+    shared by the document-streaming gate rows (span decontamination,
+    quality-at-ingest). One-time write per (session, sf_dir): the
+    chunk split is deterministic, so reps/queries time the operator,
+    not derivation scans + rewrites (same memo as _stream_source)."""
+    import tempfile
+
+    key = ("contam", id(spark), sf_dir)
+    src = _STREAM_SRC.get(key)
+    if src is not None:
+        return src
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="stream_contam_q_")
+    chunk = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(3))
+    dc = docs.persist()
+    try:
+        for c in range(3):
+            dc.filter(chunk == c).coalesce(1).write.mode(
+                "overwrite").parquet(f"{src}/f{c}")
+    finally:
+        dc.unpersist()
+    _STREAM_SRC[key] = src
+    return src
+
+
 def _drive_stream(spark, sf_dir, build, capture):
     """Shared drive-to-completion scaffolding for the streaming gate
     rows: the derived ``a`` intervals split into three deterministic
@@ -1360,6 +1386,33 @@ def q_train_classifier(spark, sf_dir):
     return spark.createDataFrame(rows, "slot long, weight double")
 
 
+def q_stream_quality(spark, sf_dir):
+    """Model-based quality scoring AT INGEST (r8): the hashed linear
+    classifier applied statelessly per micro-batch (JVM slot arrays +
+    one Arrow kernel over the broadcast weight vector — no shuffle, no
+    state store). Driven to completion over the 3-chunk document
+    stream; the snapshot equals the batch op and therefore the
+    hashed_score DuckDB oracle (bit-exact — same double chain)."""
+    from bioframe_spark.streaming import stream_ops
+
+    src = _doc_stream_source(spark, sf_dir)
+    weights = {_clf_slot(t): v for t, v in _CLF_WEIGHTS.items()}
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    out = stream_ops.stream_quality_score(
+        stream, weights, dim=_CLF_DIM, bias=_CLF_BIAS, hash_fn="md5")
+    rows = []
+    q = (out.writeStream
+         .foreachBatch(lambda bdf, _bid: rows.extend(
+             (r["doc_id"], r["score"]) for r in bdf.collect()))
+         .outputMode("append").trigger(availableNow=True).start())
+    finished = q.awaitTermination(300)
+    q.stop()
+    if not finished:
+        raise TimeoutError("stream_quality still running after 300 s")
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def q_normalize(spark, sf_dir):
     """Canonical text normalization (r8): control-strip → NFC →
     lowercase → whitespace collapse + trim, the pass every pipeline
@@ -1431,22 +1484,7 @@ def q_stream_span_contam(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ev = docs.filter(_F.col("doc_id") % 10 == 0)
-    key = ("contam", id(spark), sf_dir)
-    src = _STREAM_SRC.get(key)
-    if src is None:
-        # one-time per (session, sf_dir): the streamed chunk files are
-        # deterministic, so reps/queries time the operator, not 3
-        # derivation scans + writes (same memo as _stream_source)
-        src = tempfile.mkdtemp(prefix="stream_contam_q_")
-        chunk = _F.pmod(_F.xxhash64(_F.col("doc_id")), _F.lit(3))
-        dc = docs.persist()
-        try:
-            for c in range(3):
-                dc.filter(chunk == c).coalesce(1).write.mode(
-                    "overwrite").parquet(f"{src}/f{c}")
-        finally:
-            dc.unpersist()
-        _STREAM_SRC[key] = src
+    src = _doc_stream_source(spark, sf_dir)
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
     out = stream_ops.stream_span_contamination(stream, ev, k=25, w=16)
@@ -1602,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_score": q_hashed_score,
         "train_classifier": q_train_classifier,  # iterative -> rows-only
         "normalize": q_normalize,
+        "stream_quality": q_stream_quality,  # r8: classifier at ingest
     }
 
 
@@ -3396,6 +3435,9 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "minhash_lsh": minhash_lsh,
         "minhash_probe": minhash_probe,
         "hashed_score": hashed_score,
+        # the streamed snapshot is the batch op on the same rows —
+        # identical oracle
+        "stream_quality": hashed_score,
         # step order mirrors normalize_text: control-strip -> NFC ->
         # lower -> whitespace collapse + trim; explicit \x0b class (Java
         # \s and RE2 \s disagree there)

@@ -103,6 +103,11 @@ BENCH_QUERIES = [
     "ann_ivf_indexed",
     "events_hourly",
     "sessions",
+    # r8 additions: normalization, tokenizer family, hashed classifier
+    "normalize",
+    "word_freqs",
+    "bpe_tokens",
+    "hashed_score",
 ]
 
 

@@ -38,6 +38,8 @@ Streaming analogs of the batch operators that are order-insensitive:
 
 from __future__ import annotations
 
+import pandas as pd  # annotation target for the scoring Arrow UDF
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -760,3 +762,92 @@ def stream_span_contamination(docs: DataFrame, eval_docs: DataFrame,
                                 "n_contaminated": nc, "contamination": fr})
 
     return sub.mapInPandas(gen, out_schema)
+
+
+def stream_quality_score(docs: DataFrame, weights, *, dim: int | None = None,
+                         bias: float | None = None,
+                         hash_fn: str = "xxhash64",
+                         threshold: float | None = None,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         score_decimals: int | None = 6) -> DataFrame:
+    """Hashed-classifier quality scoring AT INGEST — the model-based
+    filter applied where the data arrives, before anything is stored.
+
+    Streaming-legal reformulation of
+    :func:`~bioframe_spark.datapipe.classifier.hashed_text_score`: the
+    batch plan's explode → broadcast join → per-doc groupBy is a
+    STATEFUL aggregation under streaming semantics (a doc_id could
+    recur across micro-batches), so here the per-doc sum never leaves
+    the row — tokens and feature slots are computed as JVM array
+    expressions (the same ``hash_slot`` the trainer used), and ONE
+    stateless Arrow kernel indexes the broadcast weight vector
+    (``sum(w[slots]) / n + bias``, vectorized concat + reduceat — no
+    hashing in Python, no shuffle, no state store). Append-mode safe;
+    works identically on a batch frame.
+
+    ``weights``: the ``dim + 1`` vector from ``train_quality_classifier``
+    (bias folded in), or a (slot, weight) DataFrame / mapping with
+    explicit ``dim``/``bias``. ``threshold`` adds a ``keep`` flag
+    (score ≥ threshold; null score → null keep — no evidence is not a
+    removal signal). Scores are bit-identical to the batch op
+    (equivalence-tested live in tests/test_round8.py)."""
+    import numpy as np
+
+    from ..datapipe.classifier import hash_slot
+    from ..datapipe.ranking import _doc_tokens
+
+    if isinstance(weights, np.ndarray):
+        if dim is not None and dim != len(weights) - 1:
+            raise ValueError(f"dim={dim} disagrees with weight vector "
+                             f"length {len(weights)} (dim + 1 expected)")
+        dim = len(weights) - 1
+        bias = float(weights[-1]) if bias is None else float(bias)
+        wv = np.asarray(weights[:-1], dtype="float64")
+    else:
+        if dim is None:
+            raise ValueError("dim is required with non-vector weights")
+        bias = float(bias or 0.0)
+        wv = np.zeros(int(dim), dtype="float64")
+        if isinstance(weights, DataFrame):
+            for r in weights.collect():
+                wv[int(r["slot"])] = float(r["weight"])
+        else:
+            for s, v in weights.items():
+                wv[int(s)] = float(v)
+    bw = docs.sparkSession.sparkContext.broadcast(wv)
+
+    toks = _doc_tokens(text_col)
+    slots = F.transform(toks, lambda t: hash_slot(t, int(dim), hash_fn))
+    sub = docs.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNotNull(), slots).alias("__slots"))
+
+    @F.pandas_udf("double")
+    def _mean_w(sl: pd.Series) -> pd.Series:
+        w = bw.value
+        nulls = sl.isna()
+        lens = np.fromiter(
+            (0 if n else len(a) for n, a in zip(nulls, sl)),
+            dtype="int64", count=len(sl))
+        out = np.zeros(len(sl), dtype="float64")
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype="int64") for n, a in zip(nulls, sl)
+                 if not n and len(a)])
+            offs = np.concatenate(([0], np.cumsum(lens[lens > 0])[:-1]))
+            sums = np.add.reduceat(w[flat], offs)
+            out[nz] = sums / lens[nz]
+        res = pd.Series(out)
+        res[nulls.to_numpy()] = None
+        return res
+
+    score = F.lit(bias) + _mean_w(F.col("__slots"))
+    score = F.when(F.col("__slots").isNull(),
+                   F.lit(None).cast("double")).otherwise(score)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    out = sub.select(id_col, score.alias("score"))
+    if threshold is not None:
+        out = out.withColumn("keep", F.col("score") >= F.lit(float(threshold)))
+    return out

@@ -599,3 +599,49 @@ def test_normalize_text(spark):
     plan = tx.normalize_text(df, nfc=False) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------- quality at ingest
+
+def test_stream_quality_score_matches_batch(spark, tmp_path):
+    """The streaming-legal reformulation (JVM slot arrays + stateless
+    Arrow kernel) must be BIT-identical to the batch broadcast-join op —
+    same double chain, batch-frame and live-stream both."""
+    from bioframe_spark.streaming import stream_ops
+
+    docs = _labeled(spark, n=30).drop("label")
+    rng = np.random.default_rng(11)
+    dim = 1 << 10
+    wv = np.zeros(dim + 1)
+    wv[rng.integers(0, dim, 50)] = rng.normal(size=50)
+    wv[-1] = -0.2
+    batch = {r["doc_id"]: r["score"]
+             for r in clf.hashed_text_score(docs, wv).collect()}
+    same = {r["doc_id"]: r["score"]
+            for r in stream_ops.stream_quality_score(docs, wv).collect()}
+    assert batch == same  # bit-exact, not approximately
+    # null text -> null score -> null keep
+    edge = spark.createDataFrame([(1, None), (2, "")],
+                                 "doc_id long, text string")
+    rows = {r["doc_id"]: (r["score"], r["keep"]) for r in
+            stream_ops.stream_quality_score(edge, wv,
+                                            threshold=0.0).collect()}
+    assert rows[1] == (None, None)
+    assert rows[2] == (round(float(wv[-1]), 6), False)
+    # live: availableNow over 2 chunk files == batch
+    src = str(tmp_path / "sq_src")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{src}/f0")
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(f"{src}/f1")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    got = []
+    q = (stream_ops.stream_quality_score(stream, wv).writeStream
+         .foreachBatch(lambda bdf, _b: got.extend(
+             (r["doc_id"], r["score"]) for r in bdf.collect()))
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    q.stop()
+    assert dict(got) == batch
+    # weight-shape validation mirrors the batch op
+    with pytest.raises(ValueError, match="dim"):
+        stream_ops.stream_quality_score(docs, {0: 1.0})
