@@ -906,13 +906,26 @@ def lsh_bucketed_topk(
         return pd.Series(bits @ weights)
 
     mk_bucket = F.pandas_udf(_bucket_kernel, "long")
+
+    # coalesce-to-sentinel makes the bucket column NON-NULLABLE (the
+    # kernel never returns null, so it is semantically free): without
+    # it the inner join pushes an isnotnull(bucket) predicate below the
+    # projection and the extraction pass evaluates the kernel TWICE per
+    # side — one ArrowEvalPython for the filter, another for the output
+    # column (4 kernel passes total in the executed plan; the r8
+    # plan-audit sweep caught it). With the coalesce the isnotnull
+    # constant-folds away and each side runs ONE kernel pass (pinned in
+    # tests/test_plan_budgets.py).
+    def bucket(col):
+        return F.coalesce(mk_bucket(col), F.lit(-1))
+
     q = queries.select(
         F.col(id_col).alias("query_id"), _quantized(F.col(vec_col), "qv"),
-        mk_bucket(F.col(vec_col)).alias("bucket"),
+        bucket(F.col(vec_col)).alias("bucket"),
     ).withColumn("qn", _norm2(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _quantized(F.col(vec_col), "cv"),
-        mk_bucket(F.col(vec_col)).alias("bucket"),
+        bucket(F.col(vec_col)).alias("bucket"),
     ).withColumn("cn", _norm2(F.col("cv")))
     joined = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     cos = (

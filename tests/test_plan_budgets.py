@@ -166,3 +166,24 @@ def test_span_removal_two_kernel_passes(spark, frames):
     plan = _final_plan(out)
     assert "isFinalPlan=true" in plan, plan
     assert plan.count("MapInPandas") == 2, plan
+
+
+def test_ann_lsh_single_bucket_kernel_per_side(spark):
+    """The LSH bucket kernel runs ONCE per join side. Without the
+    non-nullable coalesce the inner join pushes isnotnull(bucket) below
+    the projection and the extraction pass evaluates the kernel twice
+    per side (4 ArrowEvalPython in the executed plan — r8 plan-audit
+    catch); the sentinel makes that filter constant-fold away."""
+    import numpy as np
+
+    from bioframe_spark.datapipe import similarity
+
+    rng = np.random.default_rng(2)
+    emb = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    out = similarity.lsh_bucketed_topk(
+        emb.filter("vec_id < 5"), emb, k=3, n_planes=4, dim=8)
+    out.collect()
+    plan = _final_plan(out)
+    assert plan.count("ArrowEvalPython") == 2, plan
