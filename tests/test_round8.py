@@ -645,3 +645,53 @@ def test_stream_quality_score_matches_batch(spark, tmp_path):
     # weight-shape validation mirrors the batch op
     with pytest.raises(ValueError, match="dim"):
         stream_ops.stream_quality_score(docs, {0: 1.0})
+
+
+# ------------------------------------------------------------- property fuzz
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texty = st.lists(
+    st.one_of(st.text(alphabet="ab1 \t\n\x0b\x00é.É,-", max_size=30),
+              st.text(max_size=20), st.none()),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_texty)
+def test_normalize_idempotent(spark, texts):
+    """normalize ∘ normalize == normalize (every step is a projection
+    onto its own fixed point: NFC, accent strip, case fold, single
+    spaces, no stripped controls)."""
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    once = tx.normalize_text(df, lowercase=True, strip_accents=True)
+    twice = tx.normalize_text(once, lowercase=True, strip_accents=True)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(st.text(alphabet="abcde 123.,", max_size=50),
+                      min_size=1, max_size=5),
+       n_merges=st.integers(min_value=0, max_value=15))
+def test_bpe_encode_lossless_fuzz(spark, texts, n_merges):
+    """Reconstruction invariant under arbitrary corpora and merge
+    counts: concatenated tokens minus end-of-word markers == the
+    pre-tokenized words, for every doc."""
+    import re
+    from bioframe_spark.datapipe.ranking import TOKEN_SPLIT_RE
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    merges = tokenize.bpe_train(df, n_merges=n_merges, min_freq=1)
+    out = {r["doc_id"]: r for r in tokenize.bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in re.split(TOKEN_SPLIT_RE, t.lower()) if w]
+        assert "".join(out[i]["tokens"]).replace("</w>", "") == \
+            "".join(words), (t, out[i]["tokens"])
+        assert out[i]["n_tokens"] == len(out[i]["tokens"])
