@@ -186,13 +186,23 @@ def _encode_word(word: str, ranks: dict, end_of_word: str) -> list:
     return syms
 
 
+def save_bpe(merges: DataFrame, path: str) -> None:
+    """Persist a learned merge table — train once, encode forever
+    (the same build-once contract as ``build_ivf_index`` /
+    ``build_minhash_index``). ``bpe_encode`` accepts the path
+    directly."""
+    merges.orderBy("rank").coalesce(1).write.mode("overwrite") \
+        .parquet(path)
+
+
 def bpe_encode(df: DataFrame, merges, *, text_col: str = "text",
                id_col: str = "doc_id",
                end_of_word: str = END_OF_WORD) -> DataFrame:
     """Tokenize the corpus with a learned merge table.
 
-    ``merges``: the (rank, left, right) DataFrame from :func:`bpe_train`
-    or a rank-ordered list of (left, right) pairs. Returns
+    ``merges``: the (rank, left, right) DataFrame from :func:`bpe_train`,
+    a path written by :func:`save_bpe`, or a rank-ordered list of
+    (left, right) pairs. Returns
     (id_col, tokens ARRAY<STRING>, n_tokens LONG); null text keeps the
     corpus null-signal convention (null tokens, null count).
 
@@ -205,6 +215,8 @@ def bpe_encode(df: DataFrame, merges, *, text_col: str = "text",
 
     from pyspark.sql import types as T
 
+    if isinstance(merges, str):
+        merges = df.sparkSession.read.parquet(merges)
     if isinstance(merges, DataFrame):
         from ..operators.ops import _bounded_pdf, _threshold
         cap = _threshold(merges, "bpeMaxMerges", 1_000_000)

@@ -695,3 +695,18 @@ def test_bpe_encode_lossless_fuzz(spark, texts, n_merges):
         assert "".join(out[i]["tokens"]).replace("</w>", "") == \
             "".join(words), (t, out[i]["tokens"])
         assert out[i]["n_tokens"] == len(out[i]["tokens"])
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """Persisted merge table encodes identically to the in-memory one
+    (train once, encode forever — same contract as the other persisted
+    layouts)."""
+    docs = _sennrich_corpus(spark)
+    merges = tokenize.bpe_train(docs, n_merges=5, min_freq=1)
+    path = str(tmp_path / "bpe")
+    tokenize.save_bpe(merges, path)
+    a = {r["doc_id"]: tuple(r["tokens"])
+         for r in tokenize.bpe_encode(docs, merges).collect()}
+    b = {r["doc_id"]: tuple(r["tokens"])
+         for r in tokenize.bpe_encode(docs, path).collect()}
+    assert a == b
