@@ -1423,6 +1423,27 @@ def q_normalize(spark, sf_dir):
     return tx.normalize_text(docs, lowercase=True).select("doc_id", "text")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """The composed crawl-increment loop (r8): probe the 'new batch'
+    (doc_id % 5 == 0) against the persisted index of the rest, drop
+    cross-index near-dups, resolve within-batch dups to the min-id
+    member. update=False = dry run, so the gate row is idempotent
+    (no index mutation between runs); md5 mode → the DuckDB oracle
+    replays probe + batch self-join + recursive-CC canonical pick."""
+    docs = _t(spark, sf_dir, "documents")
+    key = ("mh_index", id(spark), sf_dir)  # same index as q_minhash_probe
+    path = _STREAM_SRC.get(key)
+    if path is None:
+        import tempfile
+        path = tempfile.mkdtemp(prefix="mh_index_q_")
+        dedup.build_minhash_index(docs.filter("doc_id % 5 != 0"), path,
+                                  num_hashes=32, bands=8, hash_fn="md5")
+        _STREAM_SRC[key] = path
+    new = docs.filter("doc_id % 5 = 0").select("doc_id", "text")
+    return dedup.incremental_dedup(new, path, threshold=0.5,
+                                   update=False).select("doc_id")
+
+
 def q_word_freqs(spark, sf_dir):
     """Corpus word-frequency table (r8): the tokenizer-training
     substrate — one explode + hash agg with map-side combine, min_freq
@@ -1641,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_classifier": q_train_classifier,  # iterative -> rows-only
         "normalize": q_normalize,
         "stream_quality": q_stream_quality,  # r8: classifier at ingest
+        "incremental_dedup": q_incremental_dedup,  # r8: the index loop
     }
 
 
@@ -2626,6 +2648,71 @@ GROUP BY c.id1, c.id2
 HAVING CAST(SUM(CASE WHEN p1.mh = p2.mh THEN 1 ELSE 0 END) AS DOUBLE) >= 0.5 * 32
 """
 
+    # the composed increment loop: crossed = verified probe hits;
+    # within-batch dups among the remainder resolve via recursive CC to
+    # the min-id member (same canonical rule as dedup_canonical)
+    incremental_dedup = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, GREATEST(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         ))) AS shingle
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT % {_UHASH_M} AS h
+  FROM sh
+), hv AS (
+  SELECT doc_id, i, MIN((h * a + b) % {_UHASH_M}) AS mh
+  FROM base, (VALUES {_ab_rows}) ab(i, a, b)
+  GROUP BY doc_id, i
+), band AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM hv GROUP BY doc_id, i // 4
+), xpairs AS (
+  SELECT c.id_new, c.id_indexed
+  FROM (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_indexed
+        FROM band a JOIN band b USING (band, bucket)
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0) c
+  JOIN hv p1 ON p1.doc_id = c.id_new
+  JOIN hv p2 ON p2.doc_id = c.id_indexed AND p2.i = p1.i
+  GROUP BY c.id_new, c.id_indexed
+  HAVING SUM(CASE WHEN p1.mh = p2.mh THEN 1 ELSE 0 END) >= 16
+), kept0 AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 5 = 0
+    AND doc_id NOT IN (SELECT id_new FROM xpairs)
+), bpairs AS (
+  SELECT c.id1, c.id2
+  FROM (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM band a JOIN band b USING (band, bucket)
+        JOIN kept0 k1 ON k1.doc_id = a.doc_id
+        JOIN kept0 k2 ON k2.doc_id = b.doc_id
+        WHERE a.doc_id < b.doc_id) c
+  JOIN hv p1 ON p1.doc_id = c.id1
+  JOIN hv p2 ON p2.doc_id = c.id2 AND p2.i = p1.i
+  GROUP BY c.id1, c.id2
+  HAVING SUM(CASE WHEN p1.mh = p2.mh THEN 1 ELSE 0 END) >= 16
+), e2 AS (
+  SELECT id1 AS u, id2 AS v FROM bpairs
+  UNION
+  SELECT id2, id1 FROM bpairs
+), nodes AS (
+  SELECT DISTINCT u AS id FROM e2
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e2.u, reach.r FROM reach JOIN e2 ON e2.v = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+)
+SELECT k.doc_id FROM kept0 k
+WHERE NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.id = k.doc_id AND comp.component <> comp.id)
+"""
+
     # hashed classifier inference: the oracle replays the md5 SLOT
     # arithmetic (not a token join — a corpus token colliding with a
     # weight slot must score in both engines)
@@ -3434,6 +3521,7 @@ LEFT JOIN hits h USING (chrom, start, "end")
         "train_split": train_split,
         "minhash_lsh": minhash_lsh,
         "minhash_probe": minhash_probe,
+        "incremental_dedup": incremental_dedup,
         "hashed_score": hashed_score,
         # the streamed snapshot is the batch op on the same rows —
         # identical oracle

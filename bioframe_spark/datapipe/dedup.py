@@ -264,10 +264,10 @@ def release_cache(df: DataFrame) -> None:
             pass
 
 
-def _unpersist_handles(handles) -> None:
-    for h in handles:
+def _unpersist_jdfs(jdfs) -> None:
+    for j in jdfs:
         try:
-            h.unpersist()
+            j.unpersist(False)
         except Exception:
             pass
 
@@ -281,11 +281,17 @@ def _ride_cache(out: DataFrame, handles: list) -> DataFrame:
     CacheManager entry for the session lifetime. DataFrame ``.persist``
     registers in the JVM CacheManager, which — unlike raw RDD caches —
     the ContextCleaner never evicts on GC; this finalizer is the
-    Python-side substitute."""
+    Python-side substitute.
+
+    The finalizer captures the JVM handles, NOT the Python DataFrames:
+    finalize args are strong references, so holding the Python objects
+    would pin a handle list containing ``out`` itself (the
+    ``incremental_dedup`` shape, where the persisted frame IS the
+    result) and the finalizer would never fire."""
     import weakref
 
     out._bioframe_cache = handles
-    weakref.finalize(out, _unpersist_handles, handles)
+    weakref.finalize(out, _unpersist_jdfs, [h._jdf for h in handles])
     return out
 
 
@@ -607,6 +613,57 @@ def minhash_lsh_probe(new_docs: DataFrame, path: str, *,
     if exclude_same_id:
         out = out.filter(F.col("id_new") != F.col("id_indexed"))
     return out
+
+
+def incremental_dedup(new_docs: DataFrame, path: str, *,
+                      threshold: float = 0.5, text_col: str = "text",
+                      id_col: str = "doc_id", within_batch: bool = True,
+                      update: bool = True) -> DataFrame:
+    """One increment of the crawl-dedup loop against a persisted
+    :func:`build_minhash_index`: drop every new document that
+    near-duplicates an INDEXED document (probe), resolve duplicates
+    WITHIN the batch (the probe cannot see new-vs-new — min-id doc per
+    duplicate component survives, same rule as
+    :func:`drop_near_duplicates`), append the survivors' signatures to
+    the index, and return the surviving rows (all original columns).
+
+    The standard ingestion shape: corpus text is hashed once ever;
+    each increment costs one probe scan of the compact signature table
+    plus a batch-sized self-join — never a re-mine of the corpus
+    (measured: probe ~flat across a 64× index growth, SCALING
+    §12-r08). ``update=False`` = dry run (what WOULD survive).
+    LSH parameters come from the stored meta, so every increment is
+    automatically consistent with the build. The returned frame is
+    persisted when ``update=True`` (it feeds both the index append and
+    the caller) — ``release_cache(result)`` / GC frees it."""
+    # exclude_same_id=False: inside the increment loop a same-id match
+    # IS a duplicate — a re-submitted document must be rejected against
+    # its own earlier index entry, not excused by sharing its id
+    hits = minhash_lsh_probe(new_docs, path, threshold=threshold,
+                             text_col=text_col, id_col=id_col,
+                             exclude_same_id=False)
+    matched = hits.select(F.col("id_new").alias(id_col)).distinct()
+    kept = new_docs.join(matched, id_col, "left_anti")
+    if within_batch:
+        m = _minhash_index_meta(new_docs.sparkSession, path)
+        pairs = minhash_lsh_pairs(kept, num_hashes=m.num_hashes,
+                                  bands=m.bands, threshold=threshold,
+                                  text_col=text_col, id_col=id_col,
+                                  hash_fn=m.hash_fn)
+        kept = drop_near_duplicates(kept, pairs, id_col=id_col)
+    if update:
+        # the survivors' plan READS {path}/banded and the append below
+        # WRITES it — a self-invalidating lineage: any re-evaluation
+        # after the append (cache eviction, a second action) would see
+        # the survivors' own signatures, match every doc to itself
+        # (exclude_same_id=False) and return empty. localCheckpoint
+        # severs the lineage BEFORE the append; it also makes the
+        # probe/self-join pipeline run exactly once for both consumers
+        # (the append + the caller).
+        kept = _truncate_lineage(kept)
+        update_minhash_index(kept, path, text_col=text_col,
+                             id_col=id_col)
+    return kept
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -710,3 +710,38 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     b = {r["doc_id"]: tuple(r["tokens"])
          for r in tokenize.bpe_encode(docs, path).collect()}
     assert a == b
+
+
+def test_incremental_dedup_loop(spark, tmp_path):
+    """The full increment: cross-index dups dropped, within-batch dups
+    resolved to the min-id member, survivors appended so the NEXT
+    identical batch is fully rejected. The result is localCheckpointed
+    BEFORE the append (its plan reads the very files the append
+    rewrites — without the barrier a re-evaluation would match every
+    survivor to its own fresh signature and return empty; this test
+    re-collects after the append to pin that)."""
+    base = ("spark shuffles partition data across executors when keys "
+            "move between stages and catalyst plans the exchange ")
+    old = spark.createDataFrame(
+        [(i, base + f"indexed variant {i}") for i in range(10)],
+        "doc_id long, text string")
+    path = str(tmp_path / "inc")
+    dedup.build_minhash_index(old, path, num_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        [(100, base + "indexed variant 3"),          # dup of indexed
+         (101, base + "fresh text about parquet"),   # batch-dup pair...
+         (102, base + "fresh text about parquet"),   # ...keep min id 101
+         (103, "completely unrelated short doc about gardening and soil "
+               "quality in raised beds with compost")],
+        "doc_id long, text string")
+    kept = dedup.incremental_dedup(batch, path, threshold=0.8)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [101, 103], ids
+    # SECOND action on the same result, after the append: must still
+    # read [101, 103], not re-evaluate into self-matches
+    assert sorted(r["doc_id"] for r in kept.collect()) == [101, 103]
+    # survivors are indexed now: the same batch again is fully rejected
+    # (same ids re-submitted = duplicates of their own index entries)
+    again = dedup.incremental_dedup(batch, path, threshold=0.8,
+                                    update=False)
+    assert again.count() == 0
