@@ -83,9 +83,21 @@ def _overlap_pairs(starts1, ends1, starts2, ends2):
     matches the intervals that start within [its start, its effective end).
     Output-linear, fully vectorized.
     """
-    e1 = np.where(ends1 == starts1, ends1 + 1, ends1)
-    e2 = np.where(ends2 == starts2, ends2 + 1, ends2)
+    # point rewrite WITHOUT ends+1 (a point at INT64_MAX would wrap
+    # negative and silently vanish from / corrupt the sweep): rank-
+    # compress the coordinates, then key starts as 2·rank and effective
+    # ends as 2·rank + is_point — "starts[q] < ends[p] + 1" becomes
+    # "2·rs < 2·re + 1", exact and overflow-free at any int64 value
     n1, n2 = starts1.shape[0], starts2.shape[0]
+    all_coords = np.unique(np.concatenate([starts1, starts2, ends1, ends2]))
+    rs1 = np.searchsorted(all_coords, starts1)
+    rs2 = np.searchsorted(all_coords, starts2)
+    re1 = np.searchsorted(all_coords, ends1)
+    re2 = np.searchsorted(all_coords, ends2)
+    starts1 = 2 * rs1
+    starts2 = 2 * rs2
+    e1 = 2 * re1 + (re1 == rs1)  # rank equality == zero-length (point)
+    e2 = 2 * re2 + (re2 == rs2)
     starts = np.concatenate([starts1, starts2])
     ends = np.concatenate([e1, e2])
     sides = np.concatenate([np.zeros(n1, bool), np.ones(n2, bool)])
@@ -183,9 +195,15 @@ def _closest_kernel(
     # consistent with the binned strategy's (dist, tie, start2, end2) window.
     order_e = np.lexsort([-np.arange(n2), tie * -1, e2])
     order_s = np.lexsort([tie, s2])
+    # flags rank overlap entries (0) before neighbor entries (1) at
+    # equal distance — the old encoding (neighbor dd = dist + 1, output
+    # dd - 1) wrapped at dist = INT64_MAX (a point at the int64 edge
+    # reported distance 0 and outranked real overlaps; hypothesis
+    # falsified it at r8)
     cand1 = [ov1]
     cand2 = [ov2]
     dists = [np.zeros(ov1.shape[0], dtype=np.int64)]
+    flags = [np.zeros(ov1.shape[0], dtype=np.int8)]
     for strand_mask, up_side in ((along, "left"), (~along, "right")):
         ids = np.where(strand_mask)[0]
         if ids.size == 0:
@@ -208,22 +226,25 @@ def _closest_kernel(
                 c1, c2, d = c1[m], c2[m], d[m]
             cand1.append(ids[c1])
             cand2.append(c2)
-            dists.append(np.maximum(d, 0) + 1)  # +1 ranks behind overlaps
+            dists.append(np.maximum(d, 0))
+            flags.append(np.ones(c1.shape[0], dtype=np.int8))
 
     ids1 = np.concatenate(cand1)
     ids2 = np.concatenate(cand2)
     dd = np.concatenate(dists)
+    fl = np.concatenate(flags)
     if ids1.shape[0] == 0:
         sel1 = np.array([], dtype=np.int64)
         sel2 = np.array([], dtype=np.int64)
         seld = np.array([], dtype=np.int64)
     else:
-        order = np.lexsort([ids2, tie[ids2], dd, ids1])
+        order = np.lexsort([ids2, tie[ids2], fl, dd, ids1])
         ids1, ids2, dd = ids1[order], ids2[order], dd[order]
         # dedupe (a candidate can appear via both the overlap and a neighbor
         # path, e.g. a zero-length df2 interval exactly at start1, with
-        # non-adjacent dd=0 and dd=1 entries) — global first-occurrence per
-        # pair; the array is sorted by (ids1, dd, ...) so first = min dd
+        # overlap (dd=0, flag=0) and abutting (dd=0, flag=1) entries) —
+        # global first-occurrence per pair; the array is sorted by
+        # (ids1, dd, flag, ...) so first = min (dd, flag)
         pair_key = ids1 * (n2 + 1) + ids2
         _, first = np.unique(pair_key, return_index=True)
         keep = np.sort(first)
@@ -240,7 +261,7 @@ def _closest_kernel(
     miss = np.where(~matched)[0]
     out1 = np.concatenate([sel1, miss])
     out2 = np.concatenate([sel2, np.full(miss.shape[0], -1, dtype=np.int64)])
-    outd = np.concatenate([np.maximum(seld - np.where(seld > 0, 1, 0), 0),
+    outd = np.concatenate([seld,
                            np.zeros(miss.shape[0], dtype=np.int64)])
     return out1, out2, outd, pdf1, pdf2
 

@@ -745,3 +745,35 @@ def test_incremental_dedup_loop(spark, tmp_path):
     again = dedup.incremental_dedup(batch, path, threshold=0.8,
                                     update=False)
     assert again.count() == 0
+
+
+def test_closest_point_at_int64_max(spark):
+    """Regression (hypothesis r8 falsifier): a point at INT64_MAX must
+    report its true distance, not 0 — the cogroup kernel's neighbor
+    rank encoding (dist + 1) and the overlap sweep's point rewrite
+    (end + 1) both wrapped at the int64 edge. The binned strategy was
+    already correct; all three must agree."""
+    import bioframe_spark as bf
+
+    I64 = (1 << 63) - 1
+    a = spark.createDataFrame(
+        [("chr1", I64, I64), ("chr2", I64 - 260, I64 - 49)],
+        "chrom string, start long, end long")
+    b = spark.createDataFrame([("chr1", 0, 0), ("chr1", 0, 0)],
+                              "chrom string, start long, end long")
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    cog = canon(bf.closest(a, b, strategy="cogroup", suffixes=("", "_b")))
+    binned = canon(bf.closest(a, b, strategy="binned", suffixes=("", "_b")))
+    assert cog == binned
+    d = [r[-1] for r in cog if r[0] == "chr1" and r[3] is not None]
+    assert d == [I64], cog
+    # identical points at the edge still OVERLAP (distance 0) — the
+    # rank-compressed sweep keeps the point rewrite without ends+1
+    p = spark.createDataFrame([("chr1", I64, I64)],
+                              "chrom string, start long, end long")
+    both = canon(bf.closest(p, p.select("*"), strategy="cogroup",
+                            suffixes=("", "_b")))
+    assert both[0][-1] == 0, both
