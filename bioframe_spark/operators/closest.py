@@ -596,12 +596,29 @@ def _closest_binned(
     # spills instead of evicting.
     from pyspark.storagelevel import StorageLevel
 
+    # a zero-length df2 row exactly at INT64_MAX can never fall inside a
+    # half-open probe window whose padded end saturates at INT64_MAX —
+    # rewrite it (JOIN CANDIDACY ONLY) to [MAX-1, MAX): a superset of
+    # its true candidacy, corrected by the keep filter; the original
+    # start is restored right after each rung's join. Guarded by the
+    # observed span so normal data keeps an untouched plan. (The bottom
+    # edge needs no rewrite: a half-open window's START is inclusive and
+    # the padded start saturates to INT64_MIN below.)
+    edge_fix = have_span and stats["hi"] == INT64_MAX
+    df2j = df2
+    if edge_fix:
+        df2j = df2.withColumn("__cb_os", F.col(sk2)).withColumn(
+            sk2,
+            F.when((F.col(sk2) == F.col(ek2))
+                   & (F.col(sk2) == F.lit(INT64_MAX)),
+                   F.lit(INT64_MAX - 1)).otherwise(F.col(sk2)))
+
     # df2 is scanned once per rung — persist it across the ladder so
     # rungs 2+ read the cache, not the source (the r4 ladder re-scanned
     # and re-measured df2 every escalation); skipped on the small path
     # (a small scan costs less than the cache bookkeeping)
-    df2p = (df2.persist(StorageLevel.MEMORY_AND_DISK)
-            if n_rounds > 1 and not small else df2)
+    df2p = (df2j.persist(StorageLevel.MEMORY_AND_DISK)
+            if n_rounds > 1 and not small else df2j)
 
     done_parts = []
     remaining = d1
@@ -634,7 +651,9 @@ def _closest_binned(
             "__cb_cap": capc,
             sk1: F.when(F.col(sk1).isNull(), F.col(sk1)).otherwise(
                 F.coalesce(F.try_subtract(F.col(sk1), pad),
-                           F.lit(-INT64_MAX))),
+                           F.lit(-INT64_MAX - 1))),  # saturate to MIN:
+            # the window start is INCLUSIVE, so a candidate at the very
+            # bottom of the domain stays reachable
             ek1: F.when(F.col(ek1).isNull(), F.col(ek1)).otherwise(
                 F.coalesce(F.try_add(F.col(ek1), pad),
                            F.lit(INT64_MAX))),
@@ -642,6 +661,12 @@ def _closest_binned(
         pairs = overlap(probe, df2p, how="inner", suffixes=suffixes,
                         cols1=cols1, cols2=cols2,
                         _bin_hint=_hint(min(mean_cap0 * m, bound)))
+        if edge_fix:
+            # restore the edge points' true start before any distance /
+            # side / output computation
+            pairs = pairs.withColumn(sk2 + sfx2,
+                                     F.col("__cb_os" + sfx2)) \
+                         .drop("__cb_os" + sfx2)
         is_ov = overlap_predicate(s1o, e1o, s2c, e2c)
         ee1 = effective_end(s1o, e1o)
         ee2 = effective_end(s2c, e2c)

@@ -777,3 +777,17 @@ def test_closest_point_at_int64_max(spark):
     both = canon(bf.closest(p, p.select("*"), strategy="cogroup",
                             suffixes=("", "_b")))
     assert both[0][-1] == 0, both
+    # second falsifier: the BINNED ladder's padded probe window is
+    # half-open and its end saturates at INT64_MAX, so a df2 POINT at
+    # the edge was unreachable — the nearest neighbor of (I64-500)
+    # must be the edge point at distance 500, not the origin points
+    a2 = spark.createDataFrame([("chr1", I64 - 500, I64 - 500)],
+                               "chrom string, start long, end long")
+    b2 = spark.createDataFrame(
+        [("chr1", 0, 0), ("chr1", 0, 0), ("chr1", I64, I64)],
+        "chrom string, start long, end long")
+    for strat in ("cogroup", "binned"):
+        got = canon(bf.closest(a2, b2, strategy=strat,
+                               suffixes=("", "_b")))
+        assert got == [("chr1", I64 - 500, I64 - 500,
+                        "chr1", I64, I64, 500)], (strat, got)
