@@ -175,6 +175,23 @@ def train_quality_classifier(df: DataFrame, *, label_col: str = "label",
     return (out, history) if return_history else out
 
 
+def _collect_weight_rows(wdf: DataFrame, dim: int) -> list:
+    """Bounded collect of a (slot, weight) model DataFrame. The frame
+    is ≤ ``dim`` rows by contract (one per hash slot); routing it
+    through ``ops._bounded_pdf`` makes a malformed — corpus-sized —
+    frame fail loudly with a clear error instead of OOMing the driver,
+    like every other bounded collect in the package."""
+    from ..operators.ops import _bounded_pdf
+
+    pdf = _bounded_pdf(wdf.select("slot", "weight"), int(dim), probe=False)
+    if pdf is None:
+        raise ValueError(
+            f"weights DataFrame has more than dim={dim} rows — not a "
+            "(slot, weight) model table")
+    return [(int(s), float(v))
+            for s, v in zip(pdf["slot"].tolist(), pdf["weight"].tolist())]
+
+
 def hashed_text_score(df: DataFrame, weights, *, dim: int | None = None,
                       bias: float | None = None,
                       hash_fn: str = "xxhash64",
@@ -207,8 +224,7 @@ def hashed_text_score(df: DataFrame, weights, *, dim: int | None = None,
             raise ValueError("dim is required with non-vector weights")
         bias = float(bias or 0.0)
         if isinstance(weights, DataFrame):
-            items = [(int(r["slot"]), float(r["weight"]))
-                     for r in weights.collect()]
+            items = _collect_weight_rows(weights, int(dim))
         else:
             items = [(int(s), float(v)) for s, v in sorted(weights.items())]
     wdf = spark.createDataFrame(items or [(int(-1), 0.0)],

@@ -647,7 +647,8 @@ def incremental_dedup(new_docs: DataFrame, path: str, *,
     if within_batch:
         m = _minhash_index_meta(new_docs.sparkSession, path)
         pairs = minhash_lsh_pairs(kept, num_hashes=m.num_hashes,
-                                  bands=m.bands, threshold=threshold,
+                                  bands=m.bands, n=m.n,
+                                  threshold=threshold,
                                   text_col=text_col, id_col=id_col,
                                   hash_fn=m.hash_fn)
         kept = drop_near_duplicates(kept, pairs, id_col=id_col)

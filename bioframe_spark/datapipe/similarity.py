@@ -490,8 +490,12 @@ def ivf_topk(
     cid_type = cents.schema["cent_id"].dataType
     c = _centroid_assign(corpus, cent_rows, cid_type, id_col, vec_col,
                          "neighbor_id", "cv", "cn", 1, coarse=coarse)
+    # coarse=False here regardless of the corpus-side setting: the
+    # docstring's contract is "query probing always stays exact", and
+    # n_probe=1 with many centroids would otherwise auto-engage the
+    # two-level router for queries too
     q = _centroid_assign(queries, cent_rows, cid_type, id_col, vec_col,
-                         "query_id", "qv", "qn", n_probe)
+                         "query_id", "qv", "qn", n_probe, coarse=False)
     return _rank_probed(q, c, k)
 
 
@@ -789,8 +793,9 @@ def ivf_topk_indexed(queries: DataFrame, path: str, k: int = 10,
     cents = spark.read.parquet(f"{path}/centroids")
     cent_rows = cents.orderBy("cent_id").collect()
     cid_type = cents.schema["cent_id"].dataType
+    # query probing always stays exact (same contract as ivf_topk)
     q = _centroid_assign(queries, cent_rows, cid_type, id_col, vec_col,
-                         "query_id", "qv", "qn", n_probe)
+                         "query_id", "qv", "qn", n_probe, coarse=False)
     if broadcast_queries is None:
         from ..operators.ops import _plan_size_bytes
         bar = _parse_bytes_conf(

@@ -809,11 +809,17 @@ def stream_quality_score(docs: DataFrame, weights, *, dim: int | None = None,
         bias = float(bias or 0.0)
         wv = np.zeros(int(dim), dtype="float64")
         if isinstance(weights, DataFrame):
-            for r in weights.collect():
-                wv[int(r["slot"])] = float(r["weight"])
+            from ..datapipe.classifier import _collect_weight_rows
+            items = _collect_weight_rows(weights, int(dim))
         else:
-            for s, v in weights.items():
-                wv[int(s)] = float(v)
+            items = [(int(s), float(v)) for s, v in weights.items()]
+        # out-of-range slots are SKIPPED, matching the batch op's
+        # broadcast-join semantics exactly (a slot the hash can never
+        # produce simply never matches there); a negative slot must not
+        # silently write from the array end
+        for s, v in items:
+            if 0 <= s < int(dim):
+                wv[s] = v
     bw = docs.sparkSession.sparkContext.broadcast(wv)
 
     toks = _doc_tokens(text_col)
