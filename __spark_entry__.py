@@ -1554,7 +1554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- previously uncovered (hard gate rows needed this round) --
         "merge_ranged": q_merge_ranged,
-        "complement_ranged": q_complement_ranged,
         "pileup_ranged": q_pileup_ranged,
         # r8 rotation: the newest physical paths belong in the gate
         # (persisted-LSH broadcast probe; the tokenizer family's
@@ -1585,8 +1584,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complement": q_complement,
         "closest": q_closest,
         "closest_binned": q_closest_binned,  # r6: small side of the size gate
-        "closest_perchrom": q_closest_perchrom,  # r6: big side (forced)
         "closest_broadcast": q_closest_broadcast,
+        # r9 rotation (r8 verdict #3): the two newest composed paths —
+        # JVM model inference and the incremental-crawl dedup loop —
+        # take per-round oracle pressure; closest_perchrom /
+        # complement_ranged rotate past the cap (long-stable, same-path
+        # in-gate siblings closest/closest_binned and complement).
+        "hashed_score": q_hashed_score,
+        "incremental_dedup": q_incremental_dedup,
         "subtract": q_subtract,
         "assign_view": q_assign_view,
         "dedup_exact": q_dedup_exact,
@@ -1673,11 +1678,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bpe_merges": q_bpe_merges,    # iterative -> rows-only by design
         "bpe_tokens": q_bpe_tokens,    # depends on trained merges -> rows-only
-        "hashed_score": q_hashed_score,
         "train_classifier": q_train_classifier,  # iterative -> rows-only
         "normalize": q_normalize,
         "stream_quality": q_stream_quality,  # r8: classifier at ingest
-        "incremental_dedup": q_incremental_dedup,  # r8: the index loop
+        # r9: rotated past the cap (hashed_score + incremental_dedup
+        # moved INTO the gate above); both long-stable with same-path
+        # in-gate siblings
+        "closest_perchrom": q_closest_perchrom,
+        "complement_ranged": q_complement_ranged,
     }
 
 

@@ -470,11 +470,13 @@ def test_registry_consistency():
     assert not any(k.startswith("stream_") for k in gate)
     assert not any(k in rows_only for k in gate)
     for k in ("dup_spans_join", "minhash_lsh", "span_dup_pairs",
-              "semdedup", "minhash_probe", "word_freqs"):
+              "semdedup", "minhash_probe", "word_freqs",
+              # r9 rotation: the two newest composed paths in-gate
+              "hashed_score", "incremental_dedup"):
         assert k in gate, k
     for k in ("select_indices", "select_labels", "token_pairs",
               "quality_score", "lm_score", "pileup_weighted",
-              "overlap_right"):
+              "overlap_right", "closest_perchrom", "complement_ranged"):
         assert k in qs[50:], k
 
 
