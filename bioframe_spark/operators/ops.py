@@ -1058,10 +1058,16 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
             F.lit(False))
     local_border = F.when(local_prev.isNull(), F.lit(True)).otherwise(local_border)
 
-    ragg = dd.groupBy(*keys, "__rng").agg(F.max(ek).alias("__rmax"))
-    wr = Window.partitionBy(*keys).orderBy("__rng").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # r9 (guide §2.3/§2.4): the carry aggregate reads the PRE-dedup input —
+    # per-(keys, range) max end is duplicate-invariant, so this branch is a
+    # column-pruned scan + partial aggregation of a tiny (keys × ranges)
+    # table instead of a second execution of the dedup aggregate + its
+    # exchange (the historical shape re-ran scan→dedup-agg for the carry
+    # AND the offsets branch: 3 scans / 3 dedup aggs per query, visible as
+    # three parquet Scan nodes in plans/r09/merge_ranged_before.txt).
+    ragg = df.groupBy(
+        *keys, F.floor(F.col(sk) / F.lit(range_width)).alias("__rng")
+    ).agg(F.max(ek).alias("__rmax"))
     carry = ragg.select(
         *[F.col(k).alias("__c_" + k) for k in keys],
         F.col("__rng").alias("__c_rng"),
@@ -1081,8 +1087,24 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
         "__b", border_eff.cast("long")
     ).withColumn(
         "__local_isl", F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        # per-range effective-border count as a WINDOW column over the
+        # same (keys, __rng) partitioning — no extra exchange, and the
+        # offsets table below derives from the persisted frame instead of
+        # replaying the whole subtree as a groupBy branch
+        "__k", F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding,
+                                               Window.unboundedFollowing))
     )
-    kcounts = dd.groupBy(*keys, "__rng").agg(F.sum("__b").alias("__k"))
+    # ONE materialization point: the offsets branch and the caller's
+    # consumer both read this frame; without it each consumer re-executes
+    # scan → dedup agg → exchange → windows (no exchange reuse across the
+    # branches — column pruning de-canonicalizes the subtrees). Same
+    # persist-the-shared-frame convention as merge()'s premerge path.
+    from pyspark.storagelevel import StorageLevel
+    dd = dd.persist(StorageLevel.MEMORY_AND_DISK)
+    # partitioning (keys, __rng) is preserved by the cache, so this
+    # aggregate is map-side only (no exchange) over the persisted rows
+    kcounts = dd.groupBy(*keys, "__rng").agg(F.max("__k").alias("__k"))
     offsets = kcounts.select(
         *[F.col(k).alias("__o_" + k) for k in keys],
         F.col("__rng").alias("__o_rng"),
@@ -1104,7 +1126,7 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     # range's first effective border get __ofs = the previous chain's last
     # island number
     dd = dd.withColumn("__island", F.col("__ofs") + F.col("__local_isl"))
-    return dd.drop("__rng", "__M", "__b", "__local_isl", "__ofs")
+    return dd.drop("__rng", "__M", "__b", "__local_isl", "__ofs", "__k")
 
 
 _RANGED_PILEUP_BYTES = 64 << 20  # pileup's two-phase ranged scan-sum

@@ -157,6 +157,45 @@ def stream_sessionize(events: DataFrame, gap: str = "30 seconds",
     )
 
 
+def _island_merge_arrays(s, e, c, min_dist):
+    """Vectorized weighted island merge over int64 numpy arrays
+    (r9 optimization-round rewrite of the per-tuple Python loop, guide
+    §4.2: the stateful kernels hand whole batches to numpy instead of
+    sorting Python tuple lists — the per-batch cost was the sort +
+    interpreted fuse loop over every input row).
+
+    Semantics identical to the historical sequential loop (the border
+    test against the PREFIX running max equals the test against the
+    current island's max end, because a border is exactly where the
+    prefix max is cleared): sort by (start, end, count); border where
+    start clears prev running max end (+ min_dist; strict ``>=`` when
+    min_dist is None so coincident points never fuse); per-island
+    (min start, max end, sum count) via reduceat. The overflow clamp
+    mirrors batch ``try_add`` semantics: a running max near INT64_MAX
+    (sentinel ends) + min_dist saturates, so nothing can clear it and
+    the border is false.
+    """
+    import numpy as np
+
+    n = len(s)
+    if n == 0:
+        return s, e, c
+    order = np.lexsort((c, e, s))
+    s, e, c = s[order], e[order], c[order]
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = np.iinfo(np.int64).min
+    if n > 1:
+        np.maximum.accumulate(e[:-1], out=prev[1:])
+    if min_dist is None:
+        border = s >= prev
+    else:
+        lim = np.iinfo(np.int64).max - int(min_dist)
+        border = s > np.minimum(prev, lim) + np.int64(min_dist)
+    border[0] = True
+    idx = np.flatnonzero(border)
+    return s[idx], np.maximum.reduceat(e, idx), np.add.reduceat(c, idx)
+
+
 def _weighted_island_merge(rows, min_dist):
     """Weighted island merge of (start, end, count) tuples — the
     reference border rule (strict ``>=`` under min_dist=None, so
@@ -164,17 +203,15 @@ def _weighted_island_merge(rows, min_dist):
     relies on: this function is ASSOCIATIVE over row batches — merging
     any prefix first and feeding its islands (as weighted rows) back in
     with the rest yields the same islands as one pass (fuzz-tested over
-    random splits in tests/test_round4.py)."""
-    out = []
-    for s, e, c in sorted(rows):
-        if out:
-            ps, pe, pc = out[-1]
-            fuse = (s < pe) if min_dist is None else (s <= pe + min_dist)
-            if fuse:
-                out[-1] = (ps, max(pe, e), pc + c)
-                continue
-        out.append((s, e, c))
-    return out
+    random splits in tests/test_round4.py; the fuzz now also covers the
+    vectorized kernel, which this list API delegates to)."""
+    import numpy as np
+
+    if not rows:
+        return []
+    arr = np.asarray(rows, dtype=np.int64)
+    s, e, c = _island_merge_arrays(arr[:, 0], arr[:, 1], arr[:, 2], min_dist)
+    return list(zip(s.tolist(), e.tolist(), c.tolist()))
 
 
 def stream_merge(stream: DataFrame, min_dist: int | None = 0,
@@ -216,27 +253,33 @@ def stream_merge(stream: DataFrame, min_dist: int | None = 0,
     ])
 
     def fn(key, pdfs, state):
-        rows = []
+        import numpy as np
+
+        # array-native end to end (no Python tuple lists): state arrays
+        # + batch columns concatenate into one int64 triple fed to the
+        # vectorized island kernel
+        ss, es, cs = [], [], []
         if state.exists:
             starts, ends, counts = state.get
-            rows.extend(zip(starts, ends, counts))
+            ss.append(np.asarray(starts, dtype="int64"))
+            es.append(np.asarray(ends, dtype="int64"))
+            cs.append(np.asarray(counts, dtype="int64"))
         for pdf in pdfs:
-            rows.extend(zip(pdf[sk].astype("int64"),
-                            pdf[ek].astype("int64"),
-                            [1] * len(pdf)))
-        if not rows:
+            if len(pdf):
+                ss.append(pdf[sk].to_numpy("int64"))
+                es.append(pdf[ek].to_numpy("int64"))
+                cs.append(np.ones(len(pdf), dtype="int64"))
+        if not ss:
             return
-        islands = _weighted_island_merge(rows, min_dist)
-        state.update((
-            [int(s) for s, _, _ in islands],
-            [int(e) for _, e, _ in islands],
-            [int(c) for _, _, c in islands],
-        ))
+        s, e, c = _island_merge_arrays(
+            np.concatenate(ss), np.concatenate(es), np.concatenate(cs),
+            min_dist)
+        state.update((s.tolist(), e.tolist(), c.tolist()))
         yield pd.DataFrame({
-            ck: [key[0]] * len(islands),
-            sk: [s for s, _, _ in islands],
-            ek: [e for _, e, _ in islands],
-            "n_intervals": [c for _, _, c in islands],
+            ck: np.repeat(key[0], len(s)),
+            sk: s,
+            ek: e,
+            "n_intervals": c,
         })
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -293,26 +336,30 @@ def stream_complement(stream: DataFrame, view: dict,
     ])
 
     def fn(key, pdfs, state):
+        import numpy as np
+
         chrom = key[0]
         length = view.get(chrom)
-        rows = []
+        ss, es = [], []
         if state.exists:
             starts, ends = state.get
-            rows.extend((s, e, 1) for s, e in zip(starts, ends))
+            ss.append(np.asarray(starts, dtype="int64"))
+            es.append(np.asarray(ends, dtype="int64"))
         for pdf in pdfs:
-            rows.extend(zip(pdf[sk].astype("int64"),
-                            pdf[ek].astype("int64"),
-                            [1] * len(pdf)))
-        if not rows or length is None:
+            if len(pdf):
+                ss.append(pdf[sk].to_numpy("int64"))
+                es.append(pdf[ek].to_numpy("int64"))
+        if not ss or length is None:
             return
-        islands = _weighted_island_merge(rows, 0)
-        state.update((
-            [int(s) for s, _, _ in islands],
-            [int(e) for _, e, _ in islands],
-        ))
+        sarr = np.concatenate(ss)
+        isl_s, isl_e, _ = _island_merge_arrays(
+            sarr, np.concatenate(es), np.ones(len(sarr), dtype="int64"), 0)
+        state.update((isl_s.tolist(), isl_e.tolist()))
+        # the gap sweep stays a Python loop — islands are output-sized
+        # (disjoint spans), orders of magnitude below the row count
         gaps = []
         cur = 0
-        for s, e, _ in islands:
+        for s, e in zip(isl_s, isl_e):
             s, e = max(int(s), 0), min(int(e), length)
             if e <= 0 or s >= length:
                 continue
@@ -427,12 +474,9 @@ def stream_cluster(stream: DataFrame, min_dist: int = 0,
             [int(x) for x in rows["e"]],
             [int(x) for x in rows["c"]],
         ))
-        islands = _weighted_island_merge(
-            list(zip(rows["s"], rows["e"], rows["c"])), min_dist)
-        isl_s = np.fromiter((s for s, _, _ in islands), dtype="int64",
-                            count=len(islands))
-        isl_e = np.fromiter((e for _, e, _ in islands), dtype="int64",
-                            count=len(islands))
+        isl_s, isl_e, _ = _island_merge_arrays(
+            rows["s"].to_numpy("int64"), rows["e"].to_numpy("int64"),
+            rows["c"].to_numpy("int64"), min_dist)
         idx = np.searchsorted(isl_s, rows["s"].to_numpy("int64"),
                               side="right") - 1
         yield pd.DataFrame({
