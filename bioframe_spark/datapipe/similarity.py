@@ -272,12 +272,12 @@ def semantic_dedup(
     forbid it regardless of centroid count — cluster membership (and
     therefore which duplicates meet) can differ between the two modes.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
-
-    from .dedup import connected_components
 
     trained = kmeans_centroids(corpus, n_centroids=n_centroids,
                                n_iter=train_iters, id_col=id_col,
@@ -294,50 +294,84 @@ def semantic_dedup(
                                 vec_col, "id", "v", "n2", 1, coarse=coarse)
 
     id_type = corpus.schema[id_col].dataType
-    pair_schema = T.StructType([
-        T.StructField("id1", id_type),
-        T.StructField("id2", id_type),
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("cent_id", cid_type),
+        T.StructField("keep", T.BooleanType()),
     ])
 
-    def pairs_kern(key, pdf):
-        if len(pdf) < 2:
-            return pd.DataFrame({"id1": pdf["id"].iloc[:0],
-                                 "id2": pdf["id"].iloc[:0]})
+    # r9 optimization-round fuse (guide §1.2 step 1): duplicate groups
+    # NEVER cross clusters (pairs are within-cluster by construction), and
+    # the keep rule (lowest own-centroid cosine, ties to the smaller id)
+    # is a per-component decision — so the pair graph, its connected
+    # components AND the representative pick all happen inside ONE
+    # per-cluster kernel on the single cent_id shuffle. The historical
+    # shape ran a pairs kernel, the distributed connected_components
+    # machinery (persist + count + hash-min/union-find jobs), a second
+    # corpus pass for own-centroid cosines, a join and a window — ~8 jobs
+    # and two corpus scans for decisions that were cluster-local all
+    # along. Task memory contract is unchanged: one cluster's vector
+    # block (the SemDeDup invariant: raise n_centroids until blocks fit).
+    # Cosines stay bit-identical to the SQL oracle: int64-exact dots,
+    # one double division by (sqrt(n2) * sqrt(cnorm)) in the same
+    # operation order as the old expression chain.
+    cent_map = {
+        r["cent_id"]: (np.asarray(r["cvec"], dtype=np.int64),
+                       math.sqrt(float(r["cnorm"])))
+        for r in cent_rows
+    }
+
+    def cluster_kern(key, pdf):
         ids = pdf["id"].to_numpy()
-        M = np.stack(pdf["v"].to_numpy()).astype(np.int64)
-        n = np.sqrt((M * M).sum(axis=1).astype(np.float64))
-        cos = (M @ M.T).astype(np.float64) / (n[:, None] * n[None, :])
-        ii, jj = np.where(cos >= threshold)
-        tri = ii < jj  # each unordered pair once, no self pairs
-        i1, i2 = ids[ii[tri]], ids[jj[tri]]
-        flip = i1 > i2
-        return pd.DataFrame({"id1": np.where(flip, i2, i1),
-                             "id2": np.where(flip, i1, i2)})
+        keep = np.ones(len(pdf), dtype=bool)
+        if len(pdf) >= 2:
+            M = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            n = np.sqrt((M * M).sum(axis=1).astype(np.float64))
+            cos = (M @ M.T).astype(np.float64) / (n[:, None] * n[None, :])
+            ii, jj = np.where(cos >= threshold)
+            tri = ii < jj  # each unordered pair once, no self pairs
+            ii, jj = ii[tri], jj[tri]
+            if len(ii):
+                # union-find over row indices — same components as the
+                # hash-min label propagation over the same edge set
+                parent = list(range(len(pdf)))
 
-    pairs = assigned.groupBy("cent_id").applyInPandas(pairs_kern, pair_schema)
-    comp = connected_components(pairs, "id1", "id2")
+                def find(x):
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
 
-    # cosine of each row to its OWN centroid (broadcast join on the tiny
-    # centroid table; quantized-int dot via a fold — one column, exact)
-    with_c = assigned.join(F.broadcast(cents), "cent_id")
-    ccos = (_dot(F.col("v"), F.col("cvec")).cast("double")
-            / (F.sqrt(F.col("n2").cast("double"))
-               * F.sqrt(F.col("cnorm").cast("double"))))
-    scored = with_c.select("id", "cent_id", ccos.alias("__ccos"))
+                for a, b in zip(ii.tolist(), jj.tolist()):
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[rb] = ra
+                cvec, csqrt = cent_map[key[0]]
+                ccos = (M @ cvec).astype(np.float64) / (
+                    np.sqrt(pdf["n2"].to_numpy().astype(np.float64))
+                    * csqrt)
+                roots = np.fromiter((find(i) for i in range(len(pdf))),
+                                    dtype=np.int64, count=len(pdf))
+                sizes = np.bincount(roots, minlength=len(pdf))
+                in_group = sizes[roots] >= 2
+                # representative = first member in (ccos asc, id asc)
+                # order — the old window's row_number()==1 rule
+                seen = set()
+                for i in sorted(np.flatnonzero(in_group).tolist(),
+                                key=lambda i: (ccos[i], ids[i])):
+                    r = roots[i]
+                    if r in seen:
+                        keep[i] = False
+                    else:
+                        seen.add(r)
+        return pd.DataFrame({
+            id_col: ids,
+            "cent_id": pdf["cent_id"].to_numpy(),
+            "keep": keep,
+        })
 
-    labeled = scored.join(
-        comp.withColumnRenamed("id", "__cid"),
-        scored["id"] == F.col("__cid"), "left").drop("__cid")
-    # the representative window runs ONLY over duplicate-group members
-    # (dup-group rows are the post-threshold survivors — tiny next to the
-    # corpus); rows in no group must not funnel into one null-key window
-    # partition, they keep unconditionally
-    in_group = labeled.filter(F.col("component").isNotNull())
-    loners = labeled.filter(F.col("component").isNull())
-    w = Window.partitionBy("component").orderBy(F.asc("__ccos"), F.asc("id"))
-    kept = in_group.withColumn("keep", F.row_number().over(w) == 1)
-    out = kept.unionByName(loners.withColumn("keep", F.lit(True)))
-    return out.select(F.col("id").alias(id_col), "cent_id", "keep")
+    return assigned.groupBy("cent_id").applyInPandas(cluster_kern,
+                                                     out_schema)
 
 
 def kmeans_centroids(

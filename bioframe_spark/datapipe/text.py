@@ -205,6 +205,121 @@ def redaction_counts(df: DataFrame, text_col: str = "text",
     })
 
 
+_SIGNAL_COLS = ["n_lines", "n_dup_lines", "n_dup_line_chars", "n_ngrams",
+                "n_dup_ngrams", "n_dup_ngram_chars", "top_bigram",
+                "top_bigram_count", "top_bigram_chars"]
+_TOKFEAT_COLS = ["__ntok", "__tokchars", "__alpha", "__stop",
+                 "__linechars", "__chars"]
+
+
+def _signals_udf(sep: str, ngram: int, char_union: bool,
+                 token_features: bool, stopwords=None):
+    """One Arrow-batched pandas UDF computing every repetition signal
+    (and optionally the gopher per-token features) from the text column
+    alone (r9 optimization round, guide §4.2: the previous pure-JVM
+    higher-order-function chain evaluated interpreted per element —
+    measured 1.47 s for 5,000 short docs at sf0.1 vs ~0.25 s for this
+    batch kernel; HOF lambdas do not participate in whole-stage codegen).
+
+    Exactness contract (the reason the JVM chain could be replaced):
+    every output is an integer count or a string, and each piece has a
+    direct Python equivalent with identical semantics —
+    ``F.split(t, lit)`` with limit -1 == ``str.split(lit)`` (both keep
+    leading/trailing empties), Spark string ordering is UTF-8 byte order
+    == Python code-point order for the tie rule, and the char-union
+    sweep is the same (chars, next-token, next-space) recurrence over
+    ascending duplicated-occurrence indices. Only the text column
+    crosses the Python boundary (a struct-returning scalar pandas UDF) —
+    other columns stay JVM-side, so column pruning at the scan is
+    unaffected."""
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("n_lines", T.LongType()),
+        T.StructField("n_dup_lines", T.LongType()),
+        T.StructField("n_dup_line_chars", T.LongType()),
+        T.StructField("n_ngrams", T.LongType()),
+        T.StructField("n_dup_ngrams", T.LongType()),
+        T.StructField("n_dup_ngram_chars", T.LongType()),
+        T.StructField("top_bigram", T.StringType()),
+        T.StructField("top_bigram_count", T.LongType()),
+        T.StructField("top_bigram_chars", T.LongType()),
+    ]
+    if token_features:
+        fields += [T.StructField(c, T.LongType()) for c in _TOKFEAT_COLS]
+    schema = T.StructType(fields)
+    sw = frozenset(stopwords or EN_STOPWORDS)
+    ncols = len(fields)
+
+    def _has_alpha(tok: str) -> bool:
+        return any("A" <= ch <= "Z" or "a" <= ch <= "z" for ch in tok)
+
+    def compute(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None or (isinstance(t, float)):  # null text -> all null
+                rows.append((None,) * ncols)
+                continue
+            lines = t.split(sep)
+            toks = t.split(" ")
+            nt = len(toks)
+            grams = ([" ".join(toks[i:i + ngram])
+                      for i in range(nt - ngram + 1)]
+                     if nt >= ngram else [])
+            n_lines = len(lines)
+            lc = Counter(lines)
+            n_dup_lines = n_lines - len(lc)
+            dup_line_chars = (sum(map(len, lines))
+                              - sum(map(len, lc)))
+            n_grams = len(grams)
+            gc = Counter(grams)
+            n_dup_ngrams = n_grams - len(gc)
+            if char_union:
+                # ascending sweep over duplicated-occurrence indices:
+                # occurrence i covers tokens [i, i+n-1] and interior
+                # spaces [i, i+n-2]; (tc, sc) = next uncovered token /
+                # space, so every char is counted at most once
+                dup_gchars = 0
+                if n_dup_ngrams:
+                    toklen = [len(x) for x in toks]
+                    tc = sc = 0
+                    for i, g in enumerate(grams):
+                        if gc[g] < 2:
+                            continue
+                        a = i if i > tc else tc
+                        dup_gchars += sum(toklen[a:i + ngram])
+                        sp = (i + ngram - 2) - (i if i > sc else sc) + 1
+                        if sp > 0:
+                            dup_gchars += sp
+                        tc, sc = i + ngram, i + ngram - 1
+            else:
+                dup_gchars = None
+            if nt >= 2:
+                bc = Counter(" ".join(toks[i:i + 2]) for i in range(nt - 1))
+                best_count = max(bc.values())
+                best = min(g for g, c in bc.items() if c == best_count)
+                top_chars = best_count * len(best)
+            else:
+                best, best_count, top_chars = None, 0, 0
+            row = (n_lines, n_dup_lines, dup_line_chars, n_grams,
+                   n_dup_ngrams, dup_gchars, best, best_count, top_chars)
+            if token_features:
+                row = row + (
+                    nt,
+                    sum(map(len, toks)),
+                    sum(1 for x in toks if _has_alpha(x)),
+                    sum(1 for x in toks if x in sw),
+                    sum(map(len, lines)),
+                    len(t),
+                )
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    return F.pandas_udf(compute, returnType=schema)
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        sep: str = "\n", ngram: int = 5,
                        char_union: bool = True) -> DataFrame:
@@ -237,143 +352,21 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
       top_bigram_count   its occurrence count
       top_bigram_chars   count * length(top_bigram)
 
-    Scale shape: map-only — every signal is a higher-order array
-    expression over the row's own tokens; the top-bigram mode is ONE
-    run-length fold over a per-row sorted bigram array (O(k log k),
-    k = bigrams per doc). No shuffle, no UDF, embarrassingly parallel
-    at any corpus size. The fold and the token/line arrays are staged
-    through aliased columns so Catalyst keeps each expensive expression
-    single-evaluated instead of inlining it into every consumer (a
-    nested-HOF argmax formulation of this op compiled into a
-    pathologically large codegen unit and never finished at 500 rows)."""
-    import re as _re
-
-    t = F.col(text_col)
-    sum_len = lambda arr: F.aggregate(
-        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-
-    n_tok = F.size("__toks")
-
-    def _grams(n: int) -> Column:
-        return F.when(
-            n_tok >= n,
-            F.transform(
-                F.sequence(F.lit(0), n_tok - n),
-                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, n))),
-        ).otherwise(F.array().cast("array<string>"))
-
-    # Run-length scan over the SORTED bigram array: state carries the best
-    # run so far and the current run; a run only replaces the best on a
-    # strictly greater count, so among tied maxima the lexicographically
-    # smallest bigram (seen first in sorted order) wins — deterministic
-    # across engines.
-    def _close(a, cond):
-        return (F.when(cond, a["cur"]).otherwise(a["best"]).alias("best"),
-                F.when(cond, a["cc"]).otherwise(a["bc"]).alias("bc"))
-
-    fold = F.aggregate(
-        "__bi",
-        F.struct(
-            F.lit(None).cast("string").alias("best"),
-            F.lit(0).cast("long").alias("bc"),
-            F.lit(None).cast("string").alias("cur"),
-            F.lit(0).cast("long").alias("cc")),
-        lambda a, x: F.struct(
-            *_close(a, ~x.eqNullSafe(a["cur"]) & (a["cc"] > a["bc"])),
-            x.alias("cur"),
-            F.when(x.eqNullSafe(a["cur"]), a["cc"] + 1)
-            .otherwise(F.lit(1).cast("long")).alias("cc")),
-        lambda a: F.struct(*_close(a, a["cc"] > a["bc"])))
-
-    staged = (
-        df.withColumns({"__lines": F.split(t, _re.escape(sep)),
-                        "__toks": tokens(t)})
-        .withColumns({"__grams": _grams(ngram),
-                      "__bi": F.array_sort(_grams(2))})
-        .withColumns({"__top": fold})
+    Scale shape: map-only — ONE Arrow-batched pandas UDF over the text
+    column computes every signal per batch (r9: replaced the pure-JVM
+    higher-order-function chain, whose lambdas evaluate interpreted
+    outside whole-stage codegen — measured ~6x slower than this kernel
+    on sf0.1 documents; see ``_signals_udf`` for the exactness
+    contract). No shuffle, embarrassingly parallel at any corpus size;
+    only the text column crosses the Python boundary, so scan-level
+    column pruning of payload columns is unaffected. Null text => every
+    signal null together."""
+    sig = _signals_udf(sep, ngram, char_union, token_features=False)
+    tagged = df.withColumn("__sig", sig(F.col(text_col)))
+    return tagged.select(
+        *df.columns,
+        *[F.col("__sig")[c].alias(c) for c in _SIGNAL_COLS],
     )
-    if char_union:
-        # (gram, index) pairs sorted by gram: equal-gram runs are
-        # adjacent, so an occurrence is duplicated iff its neighbor in
-        # the sorted order shares its gram. The filter's lambda may read
-        # the staged __zsrt via F.get (it is ALSO the HOF input, so
-        # codegen subexpression-elimination keeps it single-evaluated —
-        # a derived array referenced ONLY inside a lambda is re-inlined
-        # per element, measured 2.5x the whole op).
-        staged = (
-            staged
-            .withColumn("__zsrt", F.when(
-                F.size("__grams") > 0,
-                F.array_sort(F.arrays_zip(
-                    F.col("__grams").alias("g"),
-                    F.sequence(F.lit(0), F.size("__grams") - 1).alias("i"))),
-            ).otherwise(F.array().cast("array<struct<g:string,i:int>>")))
-            .withColumn("__dupidx", F.array_sort(F.transform(
-                F.filter(
-                    "__zsrt",
-                    lambda x, j:
-                    x["g"].eqNullSafe(F.get(F.col("__zsrt"), j - 1)["g"])
-                    | x["g"].eqNullSafe(F.get(F.col("__zsrt"), j + 1)["g"])),
-                lambda x: x["i"])))
-        )
-        # char-union of duplicated-gram occurrences via ONE ascending
-        # sweep over the (sorted, usually tiny) duplicated-occurrence
-        # index array: occurrence i covers tokens [i, i+n-1] and the n-1
-        # interior spaces [i, i+n-2]; the fold carries (chars, next
-        # uncovered token, next uncovered space) so every token is
-        # length-summed at most once. Cost: O(G log G) for the zip-sort
-        # + O(duplication) for the sweep — a dup-free doc's sweep input
-        # is empty. Map-only, no shuffle.
-        zero = F.lit(0).cast("long")
-
-        def _sweep(acc, i):
-            tc, sc = acc["tc"], acc["sc"]
-            a_tok = F.greatest(i, tc)
-            new_tok_chars = F.aggregate(
-                F.slice("__toks", a_tok + 1, i + (ngram - 1) - a_tok + 1),
-                zero, lambda s, x: s + F.length(x))
-            new_spaces = F.greatest(
-                zero, (i + (ngram - 2) - F.greatest(i, sc) + 1).cast("long"))
-            return F.struct(
-                (acc["chars"] + new_tok_chars + new_spaces).alias("chars"),
-                (i + ngram).alias("tc"),
-                (i + (ngram - 1)).alias("sc"),
-            )
-
-        dup_chars = F.aggregate(
-            "__dupidx",
-            F.struct(zero.alias("chars"),
-                     F.lit(0).alias("tc"), F.lit(0).alias("sc")),
-            _sweep,
-            lambda acc: acc["chars"],
-        )
-        staged = staged.withColumn("__gdupchars", dup_chars)
-    else:
-        staged = staged.withColumn(
-            "__gdupchars", F.lit(None).cast("long"))
-    sig = {
-        "n_lines": F.size("__lines").cast("long"),
-        "n_dup_lines": (F.size("__lines")
-                        - F.size(F.array_distinct("__lines"))).cast("long"),
-        "n_dup_line_chars": (sum_len(F.col("__lines"))
-                             - sum_len(F.array_distinct("__lines"))),
-        "n_ngrams": F.size("__grams").cast("long"),
-        "n_dup_ngrams": (F.size("__grams")
-                         - F.size(F.array_distinct("__grams"))).cast("long"),
-        "n_dup_ngram_chars": F.col("__gdupchars"),
-        "top_bigram": F.col("__top")["best"],
-        "top_bigram_count": F.col("__top")["bc"],
-        "top_bigram_chars": F.coalesce(
-            F.col("__top")["bc"] * F.length(F.col("__top")["best"]),
-            F.lit(0)).cast("long"),
-    }
-    # null text => every signal null TOGETHER (size(null array) is -1 in
-    # non-ANSI Spark, which would otherwise mix -1 counts with null char
-    # sums); downstream gopher verdicts then inherit null uniformly
-    sig = {k: F.when(t.isNotNull(), v) for k, v in sig.items()}
-    return staged.withColumns(sig).drop(
-        "__lines", "__toks", "__grams", "__bi", "__top",
-        "__zsrt", "__dupidx", "__gdupchars")
 
 
 def gopher_quality_filter(df: DataFrame, text_col: str = "text",
@@ -404,32 +397,23 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
                       (duplicate occurrences / total n-grams) instead.
       keep            all of the above
 
-    Scale shape: inherits repetition_signals' map-only plan; the extra
-    token features are array expressions over the same staged token
-    column. No shuffle, no UDF. The char-union sweep (the most
-    expensive repetition expression) is computed ONLY when the
-    configured measure actually thresholds on it."""
-    rep = repetition_signals(df, text_col=text_col, sep=sep, ngram=ngram,
-                             char_union=dup_ngram_measure == "chars")
+    Scale shape: map-only; the repetition signals AND the per-token
+    features come out of the ONE Arrow-batched signal kernel
+    (``_signals_udf`` with ``token_features=True`` — r9: the per-token
+    features were separate interpreted JVM HOFs over a re-split token
+    array). No shuffle. The char-union sweep (the most expensive signal)
+    is computed ONLY when the configured measure thresholds on it."""
+    if dup_ngram_measure not in ("chars", "count"):
+        raise ValueError("dup_ngram_measure must be 'chars' or 'count'")
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = F.size(toks)
-    tok_chars = F.aggregate(toks, F.lit(0).cast("long"),
-                            lambda a, x: a + F.length(x))
-    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    import re as _re
-
-    line_chars = F.aggregate(F.split(t, _re.escape(sep)),
-                             F.lit(0).cast("long"),
-                             lambda a, x: a + F.length(x))
-    staged = rep.withColumns({
-        "__ntok": n_tok.cast("long"),
-        "__tokchars": tok_chars,
-        "__alpha": alpha.cast("long"),
-        "__stop": stopword_count(t).cast("long"),
-        "__linechars": line_chars,
-        "__chars": char_count(t).cast("long"),
-    })
+    sig = _signals_udf(sep, ngram, dup_ngram_measure == "chars",
+                       token_features=True)
+    tagged = df.withColumn("__sig", sig(t))
+    staged = tagged.select(
+        *df.columns,
+        *[F.col("__sig")[c].alias(c)
+          for c in _SIGNAL_COLS + _TOKFEAT_COLS],
+    )
     c = F.col
     rules = {
         "r_word_count": (c("__ntok") >= min_words) & (c("__ntok") <= max_words),
