@@ -484,18 +484,41 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       "band", "bucket")
     b = banded.select(F.col(id_col).alias("id2"), F.col("signature").alias("sig2"),
                       "band", "bucket")
-    # score and threshold BEFORE the dedup distinct: a pair sharing k
-    # bands is scored k times (cheap integer compare of two in-memory
-    # arrays), but the distinct shuffle then carries only
-    # (id1, id2, n_match) — three small ints — instead of two
-    # num_hashes-long signature arrays per surviving candidate row
+    # kept-once pair rule instead of a distinct (r9, guide §2.4, same
+    # rewrite as simhash_dup_pairs): both signatures ride the joined row,
+    # so "is this the pair's FIRST equal-bucket band" is a map-side
+    # predicate — each surviving pair is kept exactly once, with no
+    # pair-sized dedup exchange. Bucket keys are recomputed per band with
+    # the SAME expression _banded_minhash used (xxhash64 of the slice key
+    # in xx mode, the raw slice key otherwise), so the kept band matches
+    # the join's bucket-equality semantics exactly, hash collisions
+    # included; the joined band always satisfies it, so the kept row
+    # exists for every surviving pair.
+    rows_per_band = num_hashes // bands
+
+    def _bkey(sig_col, band_i: int):
+        ks = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(sig_col, band_i * rows_per_band + 1,
+                        rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return F.xxhash64(ks) if hash_fn == "xxhash64" else ks
+
+    first_eq = F.lit(None).cast("int")
+    for bb in reversed(range(bands)):
+        first_eq = F.when(
+            _bkey(F.col("sig1"), bb) == _bkey(F.col("sig2"), bb), F.lit(bb)
+        ).otherwise(first_eq)
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("n_match", match)
         .filter(F.col("n_match").cast("double") >= F.lit(threshold) * F.lit(num_hashes))
+        .filter(F.col("band") == first_eq)
         .select("id1", "id2", "n_match")
-        .distinct()
     )
 
 
@@ -773,11 +796,14 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     n_chunks = max_hamming + 1
     bounds = [bits * i // n_chunks for i in range(n_chunks + 1)]
 
-    def _slice(lo: int, hi: int):
+    def _slice_of(col: Column, lo: int, hi: int) -> Column:
         if hi - lo >= 64:
-            return F.col("simhash")
+            return col
         mask = (1 << (hi - lo)) - 1
-        return F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
+        return F.shiftrightunsigned(col, lo).bitwiseAND(F.lit(mask))
+
+    def _slice(lo: int, hi: int):
+        return _slice_of(F.col("simhash"), lo, hi)
 
     chunks_arr = F.array(*[
         F.struct(F.lit(i).alias("chunk_id"),
@@ -795,18 +821,27 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
                       "chunk_id", "chunk")
     b = chunks.select(F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"),
                       "chunk_id", "chunk")
-    # hamming computed and filtered BEFORE the pair-dedup distinct (same
-    # rationale as minhash_lsh_pairs): a pair colliding in k slices is
-    # scored k times — one xor+popcount — and the distinct then carries
-    # only surviving (id1, id2, hamming) rows instead of every raw
-    # bucket collision with both hash columns
+    # kept-once pair rule instead of a distinct (r9, guide §2.4): a pair
+    # colliding in k slices appears k times, but BOTH signatures ride the
+    # joined row, so "is this the pair's FIRST equal slice" is a map-side
+    # predicate on sh1^sh2 — each surviving pair is kept exactly once at
+    # its lowest equal slice, with no pair-sized dedup exchange (the old
+    # distinct shuffled every surviving pair again; 7.3M rows at sf0.1).
+    # Pigeonhole guarantees hamming <= max_hamming implies >= 1 equal
+    # slice, so the kept row always exists — identical row set.
+    xor = F.col("sh1").bitwiseXOR(F.col("sh2"))
+    first_eq = F.lit(None).cast("int")
+    for i in reversed(range(n_chunks)):
+        first_eq = F.when(
+            _slice_of(xor, bounds[i], bounds[i + 1]) == 0, F.lit(i)
+        ).otherwise(first_eq)
     pairs = (
         a.join(b, ["chunk_id", "chunk"])
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
         .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("chunk_id") == first_eq)
         .select("id1", "id2", "hamming")
-        .distinct()
     )
     if cache:
         _ride_cache(pairs, [sig])

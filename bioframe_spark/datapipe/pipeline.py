@@ -51,6 +51,13 @@ def curate_corpus(
     """
     gated = docs.filter(token_count(F.col(text_col)) >= min_tokens)
     exact = drop_exact_duplicates(gated, text_col=text_col, id_col=id_col)
+    # the exact-dedup survivors feed BOTH the pair miner and the final
+    # canonical anti-join; without a persist each consumer replays
+    # scan -> gate -> dedup window -> semi join (r9; same shared-frame
+    # persist convention as merge()'s premerge path and the CC edge
+    # cache)
+    from pyspark.storagelevel import StorageLevel
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = ngram_jaccard_pairs(exact, n=n, threshold=jaccard_threshold,
                                 text_col=text_col, id_col=id_col,
                                 max_doc_freq=max_doc_freq)

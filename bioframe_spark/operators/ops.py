@@ -2699,7 +2699,8 @@ def pileup(df: DataFrame, weight_col: str | None = None, cols=None,
     valid = df.filter(F.col(ck).isNotNull() & F.col(sk).isNotNull() & F.col(ek).isNotNull())
     starts = valid.select(F.col(ck), F.col(sk).alias("__pos"), wcol.alias("__d"))
     ends = valid.select(F.col(ck), F.col(ek).alias("__pos"), (-wcol).alias("__d"))
-    ev = starts.unionByName(ends).groupBy(ck, "__pos").agg(F.sum("__d").alias("__d"))
+    ev_src = starts.unionByName(ends)
+    ev = ev_src.groupBy(ck, "__pos").agg(F.sum("__d").alias("__d"))
     if range_width is None:
         w = Window.partitionBy(ck).orderBy("__pos")
         seg = ev.withColumns(
@@ -2720,8 +2721,15 @@ def pileup(df: DataFrame, weight_col: str | None = None, cols=None,
             }
         )
         wr = Window.partitionBy("__r_ck").orderBy("__r_rng")
+        # the carry table reads the RAW events (r9): per-range sum and min
+        # are position-duplicate-invariant, so this branch is a map-side
+        # partial aggregation to a tiny (chrom × ranges) table instead of
+        # a replay of the (chrom, pos) event aggregation and its
+        # input-sized exchange
         rtab = (
-            ev.groupBy(F.col(ck).alias("__r_ck"), F.col("__rng").alias("__r_rng"))
+            ev_src.groupBy(
+                F.col(ck).alias("__r_ck"),
+                F.floor(F.col("__pos") / F.lit(range_width)).alias("__r_rng"))
             .agg(F.sum("__d").alias("__tot"), F.min("__pos").alias("__rmin"))
             .select(
                 "__r_ck", "__r_rng",
