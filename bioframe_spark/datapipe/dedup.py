@@ -484,41 +484,28 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       "band", "bucket")
     b = banded.select(F.col(id_col).alias("id2"), F.col("signature").alias("sig2"),
                       "band", "bucket")
-    # kept-once pair rule instead of a distinct (r9, guide §2.4, same
-    # rewrite as simhash_dup_pairs): both signatures ride the joined row,
-    # so "is this the pair's FIRST equal-bucket band" is a map-side
-    # predicate — each surviving pair is kept exactly once, with no
-    # pair-sized dedup exchange. Bucket keys are recomputed per band with
-    # the SAME expression _banded_minhash used (xxhash64 of the slice key
-    # in xx mode, the raw slice key otherwise), so the kept band matches
-    # the join's bucket-equality semantics exactly, hash collisions
-    # included; the joined band always satisfies it, so the kept row
-    # exists for every surviving pair.
-    rows_per_band = num_hashes // bands
-
-    def _bkey(sig_col, band_i: int):
-        ks = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(sig_col, band_i * rows_per_band + 1,
-                        rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        return F.xxhash64(ks) if hash_fn == "xxhash64" else ks
-
-    first_eq = F.lit(None).cast("int")
-    for bb in reversed(range(bands)):
-        first_eq = F.when(
-            _bkey(F.col("sig1"), bb) == _bkey(F.col("sig2"), bb), F.lit(bb)
-        ).otherwise(first_eq)
+    # score and threshold BEFORE the dedup distinct: a pair sharing k
+    # bands is scored k times (cheap integer compare of two in-memory
+    # arrays), but the distinct shuffle then carries only
+    # (id1, id2, n_match) — three small ints — instead of two
+    # num_hashes-long signature arrays per surviving candidate row.
+    # r9 NOTE: the simhash-style kept-once rewrite (drop the distinct,
+    # keep each pair at its first equal band, tested in flight on the
+    # signature slices) was implemented and ladder-measured here in two
+    # variants (array-slice compare; element-wise compare) — BOTH lost
+    # to the distinct at the 4x/16x rungs (2.53/7.72 s distinct vs
+    # 3.6-4.0/8.7-9.3 s kept-once): unlike simhash, whose slice test is
+    # two bit-ops on one long, a minhash band test compares
+    # rows_per_band hash values per band per collision row, which costs
+    # more than deduping the narrow surviving rows. Measured, rejected;
+    # see OPTIMIZATION_r09.md.
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("n_match", match)
         .filter(F.col("n_match").cast("double") >= F.lit(threshold) * F.lit(num_hashes))
-        .filter(F.col("band") == first_eq)
         .select("id1", "id2", "n_match")
+        .distinct()
     )
 
 
