@@ -1063,8 +1063,25 @@ def _drive_stream(spark, sf_dir, build, capture):
     # drive), restored immediately after.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(N_CHROMS))
+    # Ephemeral per-drive checkpoint on tmpfs (r9, guide §6): the drive
+    # recomputes everything from the chunk files each call and discards
+    # its checkpoint, so its offset/commit/state-delta writes (8 stores x
+    # 3 batches + CRC sidecars) are pure harness I/O. Measured effect is
+    # small: one interleaved A/B read ~0.2 s/drive, a later 3x-interleaved
+    # re-check read a wash at warm steady-state with ~0.5 s off the cold
+    # first drive — kept because it moves pure-scratch writes off the
+    # data filesystem either way. Production streams that need recovery
+    # set a durable location instead (SPARK_GRAFT_STREAM_CKPT_DIR).
+    import os
+    import shutil
+    import tempfile
+    ck_root = os.environ.get(
+        "SPARK_GRAFT_STREAM_CKPT_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
+    ck = tempfile.mkdtemp(prefix="stream_gate_ck_", dir=ck_root)
     try:
         q = (build(stream).writeStream
+             .option("checkpointLocation", ck)
              .foreachBatch(lambda bdf, _bid: capture(bdf.toPandas(), snap))
              .outputMode("update").trigger(availableNow=True).start())
         # the conf is captured into the stream's offset metadata when the
@@ -1074,6 +1091,7 @@ def _drive_stream(spark, sf_dir, build, capture):
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(ck, ignore_errors=True)
     if not finished:
         raise TimeoutError("streaming gate query still running after 300 s")
     return snap
