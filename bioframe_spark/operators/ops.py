@@ -593,6 +593,21 @@ def _outer_path(L, jt, stats, bin_size, lo, hi) -> str:
     1M estimated ~ 4M actual ~ tens of seconds of one straggler task).
     Density hotspots are invisible to these global aggregates; clusters
     with known hot regions should set ``spark.bioframe.outerPath=anti``.
+
+    Second term (r9, guide §2.3/§8): even with NO hot value, the window
+    path's one exchange carries the full joined OUTPUT (every payload
+    column x every pair), while the anti path's two extra passes are
+    column-pruned INPUT scans — so past a total-output size the window
+    loses outright. Switch to 'anti' when the uniform-density pair
+    estimate ``n1*n2*(len1/bin+1)*(len2/bin+1)/n_bins`` exceeds
+    ``spark.bioframe.outerPairRows``. The estimate ignores per-chrom
+    concentration and runs ~85x above the true pair count on the bench
+    corpus — the default bar (2e9 estimator units) is therefore
+    calibrated by direct A/B, not taken literally: the replicated-corpus
+    ladder (1x/4x/16x, AQE on) measured window faster at 5.6M actual
+    pairs (2.88 vs 3.72 s), a wash at ~23M (3.85 vs 3.75), anti faster
+    at 90M (10.58 vs 9.07); 2e9 units ~ the wash point, keeping the
+    small-scale regime on the measured-faster window path.
     """
     mode = "auto"
     try:
@@ -613,7 +628,11 @@ def _outer_path(L, jt, stats, bin_size, lo, hi) -> str:
     if jt in ("right_outer", "full_outer"):
         hot = max(hot, ((stats.max2 or 0) / bin_size + 1.0) * l_per_bin)
     bar = _threshold(L, "outerHotRows", 1_000_000)
-    return "anti" if hot > bar else "window"
+    if hot > bar:
+        return "anti"
+    pairs = n_bins * l_per_bin * r_per_bin
+    pair_bar = _threshold(L, "outerPairRows", 2_000_000_000)
+    return "anti" if pairs > pair_bar else "window"
 
 
 def with_bin(df: DataFrame, bin_size: int, cols=None,

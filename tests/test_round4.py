@@ -53,6 +53,16 @@ def test_outer_path_auto_rule(spark, tmp_path):
     # bare-tuple hint (sizing unknown) keeps the status quo
     assert ops._outer_path(a, "left_outer", (0, 1000, 100), 100, 0,
                            1000) == "window"
+    # r9 second term: NO hot row, but a total-output pair estimate over
+    # spark.bioframe.outerPairRows flips to anti (the window path's one
+    # exchange carries the full joined output; the anti path's extra
+    # passes are column-pruned input scans — ladder-measured crossover)
+    spark.conf.set("spark.bioframe.outerPairRows", "1")
+    try:
+        assert ops._outer_path(a, "left_outer", stats, stats[2],
+                               stats[0], stats[1]) == "anti"
+    finally:
+        spark.conf.unset("spark.bioframe.outerPairRows")
 
 
 @pytest.mark.parametrize("how", ["left", "right", "outer"])
