@@ -562,6 +562,88 @@ def update_minhash_index(new_docs: DataFrame, path: str, *,
         .parquet(f"{path}/banded")
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for any Hadoop-supported URI."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _list_data_files(fs, p):
+    """(n_files, total_bytes) over data files under p (recursive,
+    _SUCCESS/_committed markers excluded)."""
+    it = fs.listFiles(p, True)
+    n = b = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        b += st.getLen()
+    return n, b
+
+
+def minhash_index_stats(spark, path: str) -> dict:
+    """File count / bytes of the banded signature table — the
+    maintenance signal :func:`compact_minhash_index` acts on."""
+    fs, p = _hadoop_fs(spark, f"{path}/banded")
+    n, b = _list_data_files(fs, p)
+    return {"n_files": n, "bytes": b}
+
+
+def compact_minhash_index(spark, path: str, *,
+                          target_file_bytes: int = 128 << 20) -> dict:
+    """Rewrite the banded signature table into size-targeted files.
+
+    :func:`update_minhash_index` appends one file set per band per
+    increment, so a long-running crawl loop accretes small files
+    (N increments × bands data files) and every probe pays a
+    footer-read + task per file. Compaction reads the banded table
+    once, rewrites it at ``ceil(band_bytes / target_file_bytes)``
+    files per band (≥1), and swaps the rewrite in with two FS renames
+    (``banded`` → ``banded.old`` → delete). Values are untouched — the
+    probe result set is bit-identical before and after (tested +
+    soak-verified, SCALING §12-r09b).
+
+    Maintenance contract: single-writer, like the build — run it
+    between increments, not concurrently with an append or an active
+    probe (the rename swap is not transactional on stores without
+    atomic rename). Crash before the first rename leaves the index
+    untouched (stale ``banded.compacting`` is overwritten next run);
+    between the renames, ``banded.old`` still holds the full table.
+    Returns ``{files_before, files_after, bytes}``."""
+    import math
+
+    m = _minhash_index_meta(spark, path)
+    base = f"{path}/banded"
+    fs, p = _hadoop_fs(spark, base)
+    files_before, total_bytes = _list_data_files(fs, p)
+    per_band = max(1, math.ceil(
+        total_bytes / max(int(m.bands), 1) / max(int(target_file_bytes), 1)))
+    df = spark.read.parquet(base)
+    # band is a partition column: repartition on (band, salt) so each
+    # task writes into exactly one band directory, per_band tasks each
+    df = df.repartition(
+        int(m.bands) * per_band, F.col("band"),
+        F.pmod(F.xxhash64("__iid"), F.lit(per_band)))
+    tmp = f"{base}.compacting"
+    df.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    jvm = spark._jvm
+    old = jvm.org.apache.hadoop.fs.Path(f"{base}.old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(p, old):  # pragma: no cover - FS-specific failure
+        raise IOError(f"compact_minhash_index: could not move {base} aside")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p):
+        fs.rename(old, p)  # pragma: no cover - restore, then fail loudly
+        raise IOError(f"compact_minhash_index: could not swap in {tmp}")
+    fs.delete(old, True)
+    files_after, _ = _list_data_files(fs, p)
+    return {"files_before": files_before, "files_after": files_after,
+            "bytes": total_bytes}
+
+
 def minhash_lsh_probe(new_docs: DataFrame, path: str, *,
                       threshold: float = 0.5, text_col: str = "text",
                       id_col: str = "doc_id",

@@ -91,21 +91,35 @@ def _bpe_merge_loop(words: list, freqs: list, n_merges: int):
     the words that contain it, update the pair counts INCREMENTALLY
     (only affected words are re-scanned — the classic subword-nmt
     optimization; a full recount per merge would be O(n_merges · corpus
-    symbols))."""
+    symbols)).
+
+    Best-pair selection is a lazy max-heap (r9): entries are pushed at
+    every count increase and re-validated at pop time (a stale pop —
+    heap value != current count — re-pushes at the current count), so
+    each merge costs O(log #pairs) amortized instead of a full scan of
+    the pair-count dict. Every pair's max live heap entry is >= its true
+    count at all times, and ties pop in ascending pair order, so the pop
+    sequence reproduces the scan's (max count, lexicographically
+    smallest) choice exactly — differential-fuzzed against the scan in
+    tests/test_round9.py. At a real tokenizer's 8k-32k merges the scan
+    is O(n_merges · #pairs) driver time (~70 s at 8k merges on the sf0.1
+    vocab); the heap makes it ~2 s."""
+    import heapq
+
     counts, where = _pair_stats(words, freqs)
+    heap = [(-c, p) for p, c in counts.items() if c > 0]
+    heapq.heapify(heap)
     merges = []
-    for _ in range(n_merges):
-        best = None
-        for p, c in counts.items():
-            if c <= 0:
-                continue
-            if best is None or c > counts[best] or \
-                    (c == counts[best] and p < best):
-                best = p
-        if best is None:
-            break
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        cur = counts.get(best, 0)
+        if cur != -negc:
+            if cur > 0:  # stale entry: re-file at the true count
+                heapq.heappush(heap, (-cur, best))
+            continue
         merges.append(best)
         left, right = best
+        grew: set = set()
         for wi in list(where.get(best, ())):
             old = words[wi]
             new = _merge_word(old, left, right)
@@ -120,9 +134,17 @@ def _bpe_merge_loop(words: list, freqs: list, n_merges: int):
             for pair in zip(new, new[1:]):
                 counts[pair] = counts.get(pair, 0) + f
                 where.setdefault(pair, set()).add(wi)
+                grew.add(pair)
             words[wi] = new
         counts.pop(best, None)
         where.pop(best, None)
+        # one push per pair whose count grew this merge, at its
+        # end-of-iteration value (pops only happen between iterations,
+        # so the >=-true-count heap invariant holds where it matters)
+        for pair in grew:
+            c = counts.get(pair, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, pair))
     return merges
 
 
@@ -168,12 +190,29 @@ def bpe_train(df: DataFrame, n_merges: int = 100, *,
         [(i, l, r) for i, (l, r) in enumerate(merges)], schema)
 
 
+# words at/above this many symbols take the heap/linked-list encoder:
+# the rescan encoder is O(L^2) in word length, the heap path O(L log L).
+# Crossover micro-measured at ~20-32 symbols (SCALING §12-r09); below it
+# the rescan's lower constant wins on the Zipf head.
+_HEAP_ENCODE_MIN_SYMS = 24
+
+
 def _encode_word(word: str, ranks: dict, end_of_word: str) -> list:
     """Greedy rank-order application (the standard BPE encoder): merge
     the lowest-rank applicable pair's occurrences, repeat until no
     learned pair remains. Reproduces training segmentation for words the
-    trainer saw."""
+    trainer saw.
+
+    Long words (>= :data:`_HEAP_ENCODE_MIN_SYMS` symbols) dispatch to
+    the heap/linked-list form (r9): the rescan form re-walks the whole
+    symbol list per applied merge — O(L^2), 5.4 s for ONE 32k-char word
+    (a base64 blob / DNA run is one "word" under the alnum-run
+    pre-tokenizer) vs 60 ms for the heap form at identical output
+    (differential-fuzzed incl. adversarial rank tables,
+    tests/test_round9.py)."""
     syms = list(word) + [end_of_word]
+    if len(syms) >= _HEAP_ENCODE_MIN_SYMS:
+        return _encode_word_heap(syms, ranks)
     while len(syms) > 1:
         best_rank, best_pair = None, None
         for p in zip(syms, syms[1:]):
@@ -184,6 +223,86 @@ def _encode_word(word: str, ranks: dict, end_of_word: str) -> list:
             break
         syms = list(_merge_word(tuple(syms), *best_pair))
     return syms
+
+
+def _encode_word_heap(syms: list, ranks: dict) -> list:
+    """Heap/linked-list BPE encoder — the standard O(L log L) form.
+
+    Semantics are EXACTLY the rescan encoder's: repeatedly take the
+    lowest-rank pair present and merge all its occurrences left-to-right
+    (non-overlapping). The heap holds (rank, pair) lazily — an entry is
+    pushed when a pair (re)appears; at pop time an empty occurrence set
+    means stale. Merging pair p never creates a new occurrence of p
+    itself (the merged symbol is left+right, and left+right == left or
+    == right is impossible for non-empty symbols), so consuming p's
+    occurrence set completes p's round exactly like one `_merge_word`
+    pass; pairs created by the round enter the heap with their own
+    ranks, reproducing the rescan's next-minimum choice."""
+    import heapq
+
+    n = len(syms)
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(0, n - 1))
+    alive = [True] * n
+    occ: dict = {}
+    heap: list = []
+    for i in range(n - 1):
+        p = (syms[i], syms[i + 1])
+        r = ranks.get(p)
+        if r is not None:
+            s = occ.get(p)
+            if s is None:
+                occ[p] = {i}
+                heapq.heappush(heap, (r, p))
+            else:
+                s.add(i)
+    while heap:
+        _, p = heapq.heappop(heap)
+        s = occ.get(p)
+        if not s:
+            occ.pop(p, None)
+            continue
+        left, right = p
+        for i in sorted(s):
+            if not alive[i] or syms[i] != left:
+                continue
+            j = nxt[i]
+            if j == -1 or syms[j] != right:
+                continue
+            h, k = prv[i], nxt[j]
+            if h != -1:  # neighbor pair (syms[h], left) is now stale
+                sq = occ.get((syms[h], left))
+                if sq is not None:
+                    sq.discard(h)
+            if k != -1:  # neighbor pair (right, syms[k]) is now stale
+                sq = occ.get((right, syms[k]))
+                if sq is not None:
+                    sq.discard(j)
+            merged = left + right
+            syms[i] = merged
+            alive[j] = False
+            nxt[i] = k
+            if k != -1:
+                prv[k] = i
+            new_pairs = []
+            if h != -1:
+                new_pairs.append(((syms[h], merged), h))
+            if k != -1:
+                new_pairs.append(((merged, syms[k]), i))
+            for q, pos in new_pairs:
+                rq = ranks.get(q)
+                if rq is None:
+                    continue
+                s2 = occ.get(q)
+                if s2 is None:
+                    occ[q] = {pos}
+                    heapq.heappush(heap, (rq, q))
+                else:
+                    if not s2:  # consumed earlier: its heap entry is gone
+                        heapq.heappush(heap, (rq, q))
+                    s2.add(pos)
+        occ.pop(p, None)
+    return [syms[i] for i in range(n) if alive[i]]
 
 
 def save_bpe(merges: DataFrame, path: str) -> None:

@@ -720,3 +720,136 @@ def test_winnow_guarantee_and_removal_bookkeeping(spark, docs, shared):
     # context-independently in EVERY doc, keeper = doc 0 -> cut
     for i in range(1, len(docs)):
         assert shared not in by_id[i]["text"], (rows, out)
+
+
+# ---------------------------------------------------------------------------
+# r9 (VERDICT-r8 #6): adversarial null/edge unicode fuzz over the r8 text
+# family — astral-plane codepoints, combining-char-only strings, zero-width
+# joiners, control bytes, empty / whitespace-only / null docs, across
+# normalize_text, bpe_encode and hashed_text_score.
+
+_ADVERSARIAL_ALPHABET = (
+    "ab1 \t\n\x0b\x00\x1f\x7f.É é"          # ascii, controls, accents
+    "́̈"                           # combining-only material
+    "​‍"                           # zero-width space / joiner
+    "\U0001d11e\U0001f600\U0001f3f3"         # astral: G-clef, emoji, flag
+    "Ａａ"                           # fullwidth A/a
+)
+
+_adv_texts = st.lists(
+    st.one_of(st.text(alphabet=_ADVERSARIAL_ALPHABET, max_size=40),
+              st.just("́̈́"),           # combining-only
+              st.just(""), st.just("   \t\x0b  "),     # zero-token docs
+              st.just("x" * 60),       # one long word (heap-encoder path)
+              st.none()),
+    min_size=1, max_size=6)
+
+
+def _mirror_normalize(x, *, strip_accents=True):
+    """Exact driver-side mirror of normalize_text(lowercase=False):
+    the UDF part IS this unicodedata code; the JVM parts are explicit
+    ASCII character classes and a space-only trim."""
+    import re
+    import unicodedata
+
+    if x is None:
+        return None
+    x = re.sub("[\x00-\x08\x0e-\x1f\x7f]", "", x)
+    x = unicodedata.normalize("NFC", x)
+    if strip_accents:
+        x = "".join(c for c in unicodedata.normalize("NFD", x)
+                    if not unicodedata.combining(c))
+        x = unicodedata.normalize("NFC", x)
+    x = re.sub("[ \t\n\r\f\x0b]+", " ", x)
+    return x.strip(" ")
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_adv_texts)
+def test_normalize_adversarial_differential(spark, texts):
+    from bioframe_spark.datapipe import text as tx
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in tx.normalize_text(df, lowercase=False,
+                                      strip_accents=True).collect()}
+    want = {i: _mirror_normalize(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_adv_texts)
+def test_normalize_adversarial_idempotent(spark, texts):
+    from bioframe_spark.datapipe import text as tx
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    once = tx.normalize_text(df, lowercase=True, strip_accents=True)
+    twice = tx.normalize_text(once, lowercase=True, strip_accents=True)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_adv_texts)
+def test_bpe_encode_adversarial_roundtrip(spark, texts):
+    """Token concatenation must reconstruct every pre-tokenized word +
+    its </w> marker; zero-token docs give ([], 0); null gives (null,
+    null). Covers the heap-encoder dispatch (60-char word) and astral /
+    combining / zero-width text through Arrow both ways."""
+    import re
+
+    from bioframe_spark.datapipe import tokenize
+    from bioframe_spark.datapipe.ranking import TOKEN_SPLIT_RE
+
+    split_re = re.compile(TOKEN_SPLIT_RE)
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    merges = [("x", "x"), ("xx", "xx"), ("a", "b"), ("1", "</w>"),
+              ("xxxx", "xxxx"), ("b", "1")]
+    out = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in tokenize.bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        toks, n = out[i]
+        if t is None:
+            assert toks is None and n is None
+            continue
+        words = [w for w in split_re.split(t.lower()) if w]
+        assert "".join(toks) == "".join(
+            w + tokenize.END_OF_WORD for w in words), (t, toks)
+        assert n == len(toks)
+        if not words:
+            assert toks == [] and n == 0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_adv_texts)
+def test_hashed_score_adversarial_edges(spark, texts):
+    """null text -> null score; zero-token docs -> score == bias;
+    everything else finite — no crash on astral/combining tokens."""
+    import math
+    import re
+
+    from bioframe_spark.datapipe import classifier as clf
+    from bioframe_spark.datapipe.ranking import TOKEN_SPLIT_RE
+
+    split_re = re.compile(TOKEN_SPLIT_RE)
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["score"]
+           for r in clf.hashed_text_score(
+               df, {3: 0.5, 7: -0.25}, dim=16, bias=0.125).collect()}
+    for i, t in enumerate(texts):
+        assert i in out
+        if t is None:
+            assert out[i] is None
+            continue
+        assert out[i] is not None and math.isfinite(out[i])
+        if not [w for w in split_re.split(t.lower()) if w]:
+            assert out[i] == 0.125

@@ -150,3 +150,186 @@ def test_session_memo_misses_on_id_reuse():
     assert entry._session_memo(S(), key, _mk("three")) == "three"
     assert built == ["one", "two", "three"]
     entry._STREAM_SRC.pop(key, None)
+
+
+# ---------------------------------------------------------------------------
+# r9 optimization round: BPE heap encoder / heap trainer equivalence.
+# Both rewrites must reproduce the pre-r9 rescan forms EXACTLY (the
+# operators' values are oracle/worked-example pinned); these pin the
+# equivalence with the reference forms inlined verbatim.
+
+
+def _ref_encode_rescan(word, ranks, eow):
+    """The pre-r9 rescan encoder, verbatim."""
+    from bioframe_spark.datapipe.tokenize import _merge_word
+
+    syms = list(word) + [eow]
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        syms = list(_merge_word(tuple(syms), *best_pair))
+    return syms
+
+
+def _ref_train_scan(words, freqs, n_merges):
+    """The pre-r9 full-scan best-pair trainer loop, verbatim."""
+    from bioframe_spark.datapipe.tokenize import _merge_word, _pair_stats
+
+    counts, where = _pair_stats(words, freqs)
+    merges = []
+    for _ in range(n_merges):
+        best = None
+        for p, c in counts.items():
+            if c <= 0:
+                continue
+            if best is None or c > counts[best] or \
+                    (c == counts[best] and p < best):
+                best = p
+        if best is None:
+            break
+        merges.append(best)
+        left, right = best
+        for wi in list(where.get(best, ())):
+            old = words[wi]
+            new = _merge_word(old, left, right)
+            if new == old:
+                continue
+            f = freqs[wi]
+            for pair in zip(old, old[1:]):
+                counts[pair] -= f
+                s = where.get(pair)
+                if s is not None:
+                    s.discard(wi)
+            for pair in zip(new, new[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+                where.setdefault(pair, set()).add(wi)
+            words[wi] = new
+        counts.pop(best, None)
+        where.pop(best, None)
+    return merges
+
+
+def test_bpe_heap_trainer_matches_scan_trainer():
+    import random
+
+    from bioframe_spark.datapipe.tokenize import END_OF_WORD, _bpe_merge_loop
+
+    rng = random.Random(909)
+    for _ in range(120):
+        alpha = "abcdef"[: rng.randint(2, 6)]
+        corpus = ["".join(rng.choice(alpha)
+                          for _ in range(rng.randint(1, 12)))
+                  for _ in range(rng.randint(1, 80))]
+        freqs = [rng.randint(1, 20) for _ in corpus]
+        words = [tuple(w) + (END_OF_WORD,) for w in corpus]
+        n = rng.randint(0, 60)
+        a = _ref_train_scan([tuple(w) for w in words], list(freqs), n)
+        b = _bpe_merge_loop([tuple(w) for w in words], list(freqs), n)
+        assert a == b
+
+
+def test_bpe_heap_encoder_matches_rescan_encoder():
+    import random
+
+    from bioframe_spark.datapipe.tokenize import (
+        END_OF_WORD, _bpe_merge_loop, _encode_word, _encode_word_heap)
+
+    rng = random.Random(911)
+    corpus = ["".join(rng.choice("abcdefghij")
+                      for _ in range(rng.randint(1, 15)))
+              for _ in range(2000)]
+    words = [tuple(w) + (END_OF_WORD,) for w in corpus]
+    merges = _bpe_merge_loop(words, [rng.randint(1, 50) for _ in corpus],
+                             500)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # trained table: every word length, spanning the dispatch threshold
+    for _ in range(4000):
+        w = "".join(rng.choice("abcdefghij")
+                    for _ in range(rng.randint(1, 64)))
+        assert _encode_word(w, ranks, END_OF_WORD) == \
+            _ref_encode_rescan(w, ranks, END_OF_WORD)
+    # adversarial rank tables (pairs of merged symbols, shuffled ranks —
+    # inverted-rank creations the trained case never produces)
+    for _ in range(1500):
+        w = "".join(rng.choice("ab") for _ in range(rng.randint(1, 30)))
+        pairs, syms = set(), ["a", "b"]
+        for _ in range(rng.randint(1, 30)):
+            left, right = rng.choice(syms), rng.choice(syms)
+            pairs.add((left, right))
+            syms.append(left + right)
+        plist = list(pairs)
+        rng.shuffle(plist)
+        r2 = {p: i for i, p in enumerate(plist)}
+        assert _encode_word_heap(list(w) + [END_OF_WORD], r2) == \
+            _ref_encode_rescan(w, r2, END_OF_WORD)
+
+
+def test_bpe_long_word_encodes_fast_and_right():
+    import time
+
+    from bioframe_spark.datapipe.tokenize import (
+        END_OF_WORD, _encode_word)
+
+    # 8k-char single word (a base64 blob is one "word" under the
+    # alnum-run pre-tokenizer): the rescan form needs ~0.7 s, the heap
+    # dispatch must stay well under that; output must round-trip.
+    word = ("abcdabcdeabcdef" * 600)[:8000]
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("abc", "d"): 2,
+             ("e", "f"): 3, ("abcd", "e"): 4}
+    t0 = time.time()
+    out = _encode_word(word, ranks, END_OF_WORD)
+    dt = time.time() - t0
+    assert "".join(out) == word + END_OF_WORD
+    assert "abcd" in out and "abcde" in out and "ef" in out
+    assert dt < 0.5, f"heap dispatch too slow: {dt:.2f}s"
+
+
+def test_compact_minhash_index_preserves_probe(spark, tmp_path):
+    """After N appends the banded table holds N+1 file sets; compaction
+    must shrink the file count without changing a single probe row, keep
+    the meta intact, and leave the index appendable."""
+    path = str(tmp_path / "mh_soak")
+    docs = [(i, f"the quick document number {i} talks about topic "
+                f"{i % 7} and subject {i % 3}") for i in range(40)]
+    base = spark.createDataFrame(docs[:20], "doc_id long, text string")
+    dedup.build_minhash_index(base, path, num_hashes=16, bands=4)
+    for lo in (20, 25, 30, 35):
+        inc = spark.createDataFrame(docs[lo:lo + 5],
+                                    "doc_id long, text string")
+        dedup.update_minhash_index(inc, path)
+
+    probe = spark.createDataFrame(
+        [(100, docs[3][1]), (101, docs[33][1]),
+         (102, "completely unrelated fresh text about nothing")],
+        "doc_id long, text string")
+    pre_rows = sorted(map(tuple, dedup.minhash_lsh_probe(
+        probe, path, threshold=0.5).collect()))
+    assert {r[0] for r in pre_rows} == {100, 101}
+
+    before = dedup.minhash_index_stats(spark, path)
+    out = dedup.compact_minhash_index(spark, path)
+    after = dedup.minhash_index_stats(spark, path)
+    assert out["files_before"] == before["n_files"]
+    assert out["files_after"] == after["n_files"]
+    assert after["n_files"] < before["n_files"]
+    assert after["n_files"] >= 4  # one per band at this size
+    import os as _os
+    assert not _os.path.exists(f"{path}/banded.old")
+    assert not _os.path.exists(f"{path}/banded.compacting")
+
+    post_rows = sorted(map(tuple, dedup.minhash_lsh_probe(
+        probe, path, threshold=0.5).collect()))
+    assert post_rows == pre_rows
+
+    # the compacted index keeps working as an increment target
+    batch = spark.createDataFrame(
+        [(200, docs[5][1]), (201, "genuinely new text payload here")],
+        "doc_id long, text string")
+    kept = dedup.incremental_dedup(batch, path, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [201]
+    dedup.release_cache(kept)
