@@ -529,8 +529,9 @@ def build_minhash_index(df: DataFrame, path: str, *, num_hashes: int = 32,
     sig, banded = _banded_minhash(df, num_hashes, bands, n,
                                   text_col, id_col, hash_fn)
     del sig
-    banded.withColumnRenamed(id_col, "__iid") \
-        .write.mode("overwrite").partitionBy("band") \
+    out = _size_banded_write(banded.withColumnRenamed(id_col, "__iid"),
+                             df, bands)
+    out.write.mode("overwrite").partitionBy("band") \
         .parquet(f"{path}/banded")
     spark = df.sparkSession
     spark.createDataFrame(
@@ -557,9 +558,38 @@ def update_minhash_index(new_docs: DataFrame, path: str, *,
     m = _minhash_index_meta(new_docs.sparkSession, path)
     _, banded = _banded_minhash(new_docs, m.num_hashes, m.bands, m.n,
                                 text_col, id_col, m.hash_fn)
-    banded.withColumnRenamed(id_col, "__iid") \
-        .write.mode("append").partitionBy("band") \
+    out = _size_banded_write(banded.withColumnRenamed(id_col, "__iid"),
+                             new_docs, m.bands)
+    out.write.mode("append").partitionBy("band") \
         .parquet(f"{path}/banded")
+
+
+def _size_banded_write(banded: DataFrame, source: DataFrame,
+                       bands: int, target_file_bytes: int = 128 << 20
+                       ) -> DataFrame:
+    """Size the banded write to the data, not the shuffle default: an
+    un-repartitioned append emits (shuffle tasks × bands) files — ~128
+    per 100-doc increment, the accretion the §12-r09b soak measured.
+    Targets ceil(source_bytes / 128 MiB) files per band (the source
+    TEXT size upper-bounds total signature bytes for docs past a few
+    hundred chars, and a crawl batch under that is tiny anyway), keyed
+    (band, salt) so each write task lands in exactly one band
+    directory. Signature COMPUTE parallelism is untouched — it runs in
+    the map stage before this exchange. Unknown size estimate (e.g. a
+    createDataFrame-backed LogicalRDD reports Long.MaxValue) → leave
+    the plan's own partitioning; storage-backed batches — the
+    production increment shape — estimate from file sizes."""
+    import math
+
+    from ..operators.ops import _plan_size_bytes
+
+    est = _plan_size_bytes(source)
+    if est >= (1 << 50):  # unknown
+        return banded
+    per_band = max(1, math.ceil(est / max(int(target_file_bytes), 1)))
+    return banded.repartition(
+        int(bands) * per_band, F.col("band"),
+        F.pmod(F.xxhash64("__iid"), F.lit(per_band)))
 
 
 def _hadoop_fs(spark, path: str):

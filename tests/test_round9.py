@@ -333,3 +333,33 @@ def test_compact_minhash_index_preserves_probe(spark, tmp_path):
     kept = dedup.incremental_dedup(batch, path, threshold=0.5)
     assert sorted(r["doc_id"] for r in kept.collect()) == [201]
     dedup.release_cache(kept)
+
+
+def test_minhash_index_writes_are_size_targeted(spark, tmp_path):
+    """Build and every append must emit ONE file per band at small-batch
+    sizes (not shuffle-tasks x bands — the accretion the soak measured);
+    the probe must keep finding its duplicates through the new layout."""
+    path = str(tmp_path / "mh_sized")
+    docs = [(i, f"document number {i} discussing topic {i % 5} in "
+                f"considerable and repetitive detail") for i in range(30)]
+
+    def _pq(rows, name):
+        # production shape: batches come from storage (a parquet scan
+        # gives the accurate file-size estimate the sizing keys on;
+        # a createDataFrame LogicalRDD estimates unknown -> sizing
+        # correctly skips, covered below)
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    dedup.build_minhash_index(_pq(docs[:20], "base"), path,
+                              num_hashes=16, bands=4)
+    assert dedup.minhash_index_stats(spark, path)["n_files"] == 4
+    for lo in (20, 25):
+        dedup.update_minhash_index(_pq(docs[lo:lo + 5], f"b{lo}"), path)
+    assert dedup.minhash_index_stats(spark, path)["n_files"] == 12
+    probe = spark.createDataFrame([(100, docs[22][1])],
+                                  "doc_id long, text string")
+    hits = dedup.minhash_lsh_probe(probe, path, threshold=0.5).collect()
+    assert 22 in {r["id_indexed"] for r in hits}

@@ -42,6 +42,17 @@ def _text(rng):
     return " ".join(rng.choice(WORDS) for _ in range(rng.randint(30, 60)))
 
 
+def _pq(spark, rows, name):
+    """Round-trip a batch through parquet — the production increment
+    shape (batches come from storage, so the banded write's size
+    targeting sees a real file-size estimate; a createDataFrame
+    LogicalRDD reports unknown and the sizing skips)."""
+    p = f"/tmp/minhash_soak_batches/{name}"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
 def main():
     n_inc = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     compact_every = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -52,7 +63,7 @@ def main():
     path = "/tmp/minhash_soak_index"
     shutil.rmtree(path, ignore_errors=True)
     corpus = [(i, _text(rng)) for i in range(BASE_DOCS)]
-    base = spark.createDataFrame(corpus, "doc_id long, text string")
+    base = _pq(spark, corpus, "base")
     dedup.build_minhash_index(base, path, num_hashes=16, bands=4)
     next_id = BASE_DOCS
 
@@ -69,7 +80,7 @@ def main():
             else:
                 rows.append((next_id, _text(rng)))
             next_id += 1
-        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        batch = _pq(spark, rows, f"inc{inc}")
 
         t0 = time.time()
         dedup.minhash_lsh_probe(batch, path, threshold=0.5,
@@ -94,10 +105,11 @@ def main():
     print(f"soak wall: {time.time() - t_all:.0f} s")
 
     # final compaction: probe result must be bit-identical pre/post
-    probe_batch = spark.createDataFrame(
+    probe_batch = _pq(
+        spark,
         [(next_id + i, _text(rng)) for i in range(BATCH)]
         + [(next_id + BATCH + i, corpus[i * 7][1]) for i in range(20)],
-        "doc_id long, text string")
+        "probe")
     pre = sorted(map(tuple, dedup.minhash_lsh_probe(
         probe_batch, path, threshold=0.5).collect()))
     reps = []
