@@ -31,12 +31,37 @@ def frac_gene_coverage(df: DataFrame, genes: DataFrame, cols=None) -> DataFrame:
 
     Pure composition of ``coverage`` + ``count_overlaps`` — both aggregate
     over distinct interval keys and equi-join back, so this inherits their
-    row-id-free, per-chromosome-ceiling-free plans."""
-    from .ops import count_overlaps, coverage
+    row-id-free, per-chromosome-ceiling-free plans.
+
+    When the gene table fits both operators' shared broadcast-kernel gate
+    (identical: plan size + bounded collect of (chrom,start,end) + no
+    inverted rows), it is collected ONCE and fed to both kernels —
+    value-identical to the composition (each kernel is exactly the one
+    its operator would build from its own collect of the same frame) but
+    one gene-table scan/collect instead of two, and the two pandas UDF
+    columns still evaluate in a single ArrowEvalPython pass over df."""
+    from .ops import (_SMALL_INPUT_BYTES, _broadcast_coverage_col,
+                      _count_overlaps_col, _coverage_lookup,
+                      _plan_size_bytes, _small_coords_pdf, count_overlaps,
+                      coverage)
 
     ck, sk, ek = _resolve_cols(cols)
-    out = coverage(df, genes.select(ck, sk, ek), cols1=cols, cols2=cols)
-    out = count_overlaps(out, genes.select(ck, sk, ek), cols1=cols, cols2=cols)
+    g = genes.select(ck, sk, ek)
+    if _plan_size_bytes(g) <= _SMALL_INPUT_BYTES:
+        pdf = _small_coords_pdf(g, ck, sk, ek)
+        if pdf is not None and (
+                len(pdf) == 0 or bool((pdf["s"] <= pdf["e"]).all())):
+            spark = df.sparkSession
+            out = df.withColumn("coverage", _broadcast_coverage_col(
+                spark, _coverage_lookup(pdf), ck, sk, ek))
+            out = out.withColumn("count", _count_overlaps_col(
+                spark, pdf, ck, sk, ek)).withColumnRenamed("count", "n_genes")
+            return out.withColumn(
+                "gene_coverage",
+                F.col("coverage").cast("double") / (F.col(ek) - F.col(sk)),
+            )
+    out = coverage(df, g, cols1=cols, cols2=cols)
+    out = count_overlaps(out, g, cols1=cols, cols2=cols)
     out = out.withColumnRenamed("count", "n_genes")
     return out.withColumn(
         "gene_coverage",

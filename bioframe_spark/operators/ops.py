@@ -2571,6 +2571,92 @@ def complement(df: DataFrame, view_df=None, view_name_col: str = "name",
     return out.filter(F.col(sk) < F.col(ek))
 
 
+def _assign_lookup(pdf) -> dict:
+    """chrom -> (starts, effective_ends, raw_ends, names) arrays, arms
+    sorted by (start, name) ascending — the top-1 window's tie order, so
+    a first-strict-max scan reproduces ``row_number() over (ovl DESC,
+    __vs ASC, __vn ASC) = 1`` exactly. Effective ends carry the same
+    point->length-1 rewrite as ``overlap_predicate``. Null names sort
+    first (SQL ASC NULLS FIRST)."""
+    import numpy as np
+
+    per = {}
+    for c, g in pdf.groupby("c", sort=False):
+        rows = sorted(
+            zip(g["s"].tolist(), g["e"].tolist(), g["n"].tolist()),
+            key=lambda r: (r[0], r[2] is not None, r[2]),
+        )
+        vs = np.array([r[0] for r in rows], dtype="int64")
+        ve = np.array([r[1] for r in rows], dtype="int64")
+        vn = np.array([r[2] for r in rows], dtype=object)
+        ve_eff = np.where(ve == vs, ve + 1, ve)
+        per[c] = (vs, ve_eff, ve, vn)
+    return per
+
+
+def _assign_view_col(spark, per: dict, ck: str, sk: str, ek: str) -> Column:
+    """Best-overlap view-region name from a broadcast arm lookup: a
+    vectorized Pandas UDF over (chrom,start,end) ONLY — df never
+    shuffles, no row ids, no window, nothing joins back. Per chromosome
+    the kernel sweeps its (bounded, see the caller's arms-per-chrom
+    gate) arm list once, vectorized over the batch rows; an arm wins
+    only on STRICTLY greater overlap length, so the (start, name)
+    pre-sort decides ties exactly like the window path's
+    (ovl DESC, __vs ASC, __vn ASC) top-1. Rows matching no arm (or with
+    a null coordinate, guarded outside) yield null."""
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(per)
+
+    @F.pandas_udf("string")
+    def _asgn(c, s, e):
+        import numpy as np
+
+        tbl = bc.value
+        res = np.full(len(c), None, dtype=object)
+        cs = c.to_numpy(dtype=object)
+        sv = s.to_numpy("int64")
+        ev = e.to_numpy("int64")
+        for chrom in pd.unique(c):
+            ent = tbl.get(chrom)
+            if ent is None:
+                continue
+            m = cs == chrom
+            VS, VEe, VE, VN = ent
+            qs, qe = sv[m], ev[m]
+            qe_eff = np.where(qe == qs, qe + 1, qe)
+            best_i = np.full(qs.size, -1, dtype="int64")
+            best_ovl = np.zeros(qs.size, dtype="int64")
+            for a in range(VS.size):
+                hit = (qs < VEe[a]) & (VS[a] < qe_eff)
+                if not hit.any():
+                    continue
+                ovl = np.minimum(qe, VE[a]) - np.maximum(qs, VS[a])
+                upd = hit & ((best_i < 0) | (ovl > best_ovl))
+                best_ovl[upd] = ovl[upd]
+                best_i[upd] = a
+            got = best_i >= 0
+            sub = np.full(qs.size, None, dtype=object)
+            sub[got] = VN[best_i[got]]
+            res[m] = sub
+        return pd.Series(res)
+
+    valid = (F.col(ck).isNotNull() & F.col(sk).isNotNull()
+             & F.col(ek).isNotNull())
+    return F.when(
+        valid,
+        _asgn(F.coalesce(F.col(ck).cast("string"), F.lit("")),
+              F.coalesce(F.col(sk).cast("long"), F.lit(0)),
+              F.coalesce(F.col(ek).cast("long"), F.lit(0))),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+_ASSIGN_KERNEL_MAX_ARMS = 256  # per-chrom arm bound for the map-only
+# kernel: its cost is (batch rows x arms of that chrom) vectorized ops —
+# linear and tiny for real genome views (tens of arms), quadratic-ish if
+# someone passes a bin grid as a "view"; those route to the join paths
+
+
 def assign_view(df: DataFrame, view_df, drop_unassigned: bool = False,
                 df_view_col: str = "view_region", view_name_col: str = "name",
                 cols=None, cols_view=None) -> DataFrame:
@@ -2578,12 +2664,18 @@ def assign_view(df: DataFrame, view_df, drop_unassigned: bool = False,
     (reference ``ops.py:1807-1901``). Deterministic ties → (view start,
     view name) ascending.
 
-    Two plans, size-selected like the other window-family ops: small
-    inputs keep the per-row-id broadcast-join + top-1 window (one shuffle
-    of the rows); large inputs exploit that assignment depends only on
-    the coordinate key — DISTINCT coords ⋈ broadcast(view) → top-1 per
-    coord struct → equi-join back — no per-row id, no per-chromosome
-    window ceiling (the row-id window is one task per chromosome)."""
+    Three plans. A view is small by construction (a genome partition),
+    so the PRIMARY plan is a broadcast kernel: collect the view (bounded
+    — ``_bounded_pdf``), broadcast per-chrom arm arrays, and compute the
+    best-overlap name as one vectorized map-only column over df —
+    no shuffle of df at ANY df size (this is also the 100 TB plan).
+    Falls back when the view exceeds the small-input/arms-per-chrom
+    bounds or df's key columns aren't (string, integral, integral):
+    small df keeps the per-row-id broadcast-join + top-1 window (one
+    shuffle of the rows); large df exploits that assignment depends only
+    on the coordinate key — DISTINCT coords ⋈ broadcast(view) → top-1
+    per coord struct → equi-join back — no per-row id, no
+    per-chromosome window ceiling."""
     ck, sk, ek = _resolve_cols(cols)
     ckv, skv, ekv = _resolve_cols(cols_view)
     view = construction.make_viewframe(
@@ -2592,6 +2684,32 @@ def assign_view(df: DataFrame, view_df, drop_unassigned: bool = False,
         F.col(ckv).alias("__vc"), F.col(skv).alias("__vs"), F.col(ekv).alias("__ve"),
         F.col(view_name_col).alias("__vn"),
     )
+    dt = dict(df.dtypes)
+    key_ok = (dt.get(ck) == "string"
+              and dt.get(sk) in ("bigint", "int", "smallint", "tinyint")
+              and dt.get(ek) in ("bigint", "int", "smallint", "tinyint"))
+    if key_ok and _plan_size_bytes(view) <= _SMALL_INPUT_BYTES:
+        # make_viewframe guarantees string chrom/name + long coords and
+        # drops nothing, so the collected frame is the view verbatim;
+        # null-coordinate view rows can never match (predicate null in
+        # the join paths) and are excluded the same way here
+        vsub = view.filter(
+            F.col("__vc").isNotNull() & F.col("__vs").isNotNull()
+            & F.col("__ve").isNotNull()
+        ).select(F.col("__vc").alias("c"), F.col("__vs").alias("s"),
+                 F.col("__ve").alias("e"), F.col("__vn").alias("n"))
+        vpdf = _bounded_pdf(vsub, _threshold(df, "smallInputMaxRows",
+                                             _SMALL_INPUT_MAX_ROWS))
+        if vpdf is not None and (
+                len(vpdf) == 0
+                or int(vpdf.groupby("c").size().max())
+                <= _threshold(df, "assignKernelMaxArms",
+                              _ASSIGN_KERNEL_MAX_ARMS)):
+            out = df.withColumn(df_view_col, _assign_view_col(
+                df.sparkSession, _assign_lookup(vpdf), ck, sk, ek))
+            if drop_unassigned:
+                out = out.filter(F.col(df_view_col).isNotNull())
+            return out
     if _plan_size_bytes(df) <= _threshold(df, "rangedWindowBytes",
                                           _RANGED_WINDOW_BYTES):
         d1 = _with_rid(df, ck, sk, ek)
@@ -2600,7 +2718,13 @@ def assign_view(df: DataFrame, view_df, drop_unassigned: bool = False,
         )
         joined = d1.join(F.broadcast(view), cond, "left_outer")
         ov_len = F.least(F.col(ek), F.col("__ve")) - F.greatest(F.col(sk), F.col("__vs"))
-        wtop = Window.partitionBy("__rid").orderBy(
+        # partition the top-1 window by (chrom, rid), not rid alone:
+        # __rid embeds the chromosome (struct(c=chrom, r=...)), so the
+        # groups are identical, but clustering by (chrom, rid) is
+        # already satisfied by the rid window's hashpartitioning(chrom)
+        # — EnsureRequirements inserts only a sort, not a second
+        # full-table exchange (guide §2.4: share one exchange)
+        wtop = Window.partitionBy(F.col(ck), F.col("__rid")).orderBy(
             F.desc_nulls_last("__ovl"), F.asc("__vs"), F.asc("__vn")
         )
         out = (

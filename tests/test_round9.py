@@ -363,3 +363,90 @@ def test_minhash_index_writes_are_size_targeted(spark, tmp_path):
                                   "doc_id long, text string")
     hits = dedup.minhash_lsh_probe(probe, path, threshold=0.5).collect()
     assert 22 in {r["id_indexed"] for r in hits}
+
+
+# ---------------------------------------------------------------------------
+# round-9 session 4: assign_view broadcast kernel + frac_gene_coverage fusion
+# ---------------------------------------------------------------------------
+
+def _assign_ab_frames(spark, seed):
+    """Adversarial interval frame + view for the assign_view A/B: dup
+    rows, zero-length intervals (both sides), null coords, unmatched
+    chroms, overlapping view regions, exact-tie overlaps, null name."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(300):
+        c = rng.choice(["chr1", "chr2", "chr3", None])
+        s = rng.choice([None, rng.randrange(0, 100)])
+        if s is None:
+            e = None if rng.random() < 0.5 else rng.randrange(0, 100)
+        else:
+            e = rng.choice([s, s + rng.randrange(0, 40)])
+        rows.append((c, s, e, i % 37))  # i%37 -> guaranteed duplicates
+    df = spark.createDataFrame(
+        rows, "chrom string, start long, end long, tag long")
+    view = [("chr1", 0, 20, "a"), ("chr1", 20, 40, "b"),
+            ("chr1", 30, 60, "ovl"),          # overlapping regions
+            ("chr1", 70, 70, "pt"),           # zero-length region
+            ("chr2", 0, 50, None),            # null name
+            ("chr2", 50, 100, "z")]           # chr3 unmatched
+    return df, view
+
+
+def test_assign_view_kernel_matches_window_path(spark):
+    """The map-only broadcast kernel must be row-identical to the
+    rid-window formulation (the oracle-pinned semantics) on adversarial
+    inputs, including the tie rule (ovl desc, view start asc, name asc)
+    and drop_unassigned."""
+    import bioframe_spark as bf
+
+    for seed in (1, 2, 3):
+        df, view = _assign_ab_frames(spark, seed)
+        got_k = bf.assign_view(df, view).collect()
+        spark.conf.set("spark.bioframe.assignKernelMaxArms", "0")
+        try:
+            got_w = bf.assign_view(df, view).collect()
+        finally:
+            spark.conf.unset("spark.bioframe.assignKernelMaxArms")
+        key = lambda r: tuple((v is None, v) for v in  # noqa: E731
+                              (r["chrom"], r["start"], r["end"], r["tag"],
+                               r["view_region"]))
+        assert sorted(got_k, key=key) == sorted(got_w, key=key)
+        assert [f.name for f in df.schema] + ["view_region"] == \
+            [f.name for f in bf.assign_view(df, view).schema]
+
+
+def test_assign_view_kernel_plan_is_map_only(spark):
+    """With a small view the assign plan must contain no Exchange and no
+    Window — one ArrowEvalPython over the input."""
+    import bioframe_spark as bf
+
+    df, view = _assign_ab_frames(spark, 7)
+    plan = bf.assign_view(df, view)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_frac_gene_coverage_single_collect_matches_composition(spark):
+    """The fused one-collect kernel pair must equal the two-operator
+    composition (forced by disabling the fused gate via the arms knob
+    equivalent: an over-cap smallInputMaxRows)."""
+    import bioframe_spark as bf
+
+    df, _ = _assign_ab_frames(spark, 11)
+    df = df.filter("chrom is not null and start is not null and end is not null") \
+           .filter("end > start")
+    genes = df.selectExpr("chrom", "start", "end").limit(40)
+    fused = bf.frac_gene_coverage(df, genes).collect()
+    spark.conf.set("spark.bioframe.smallInputMaxRows", "0")  # gate off ->
+    try:  # composition (whose own kernel gates also fail -> join path)
+        comp = bf.frac_gene_coverage(df, genes).collect()
+    finally:
+        spark.conf.unset("spark.bioframe.smallInputMaxRows")
+    key = lambda r: tuple((v is None, v) for v in  # noqa: E731
+                          (r["chrom"], r["start"], r["end"], r["tag"]))
+    fused_s, comp_s = sorted(fused, key=key), sorted(comp, key=key)
+    assert [r.asDict() for r in fused_s] == [r.asDict() for r in comp_s]
