@@ -2589,7 +2589,10 @@ def _assign_lookup(pdf) -> dict:
         vs = np.array([r[0] for r in rows], dtype="int64")
         ve = np.array([r[1] for r in rows], dtype="int64")
         vn = np.array([r[2] for r in rows], dtype=object)
-        ve_eff = np.where(ve == vs, ve + 1, ve)
+        # saturating point->length-1 rewrite (effective_end: a point AT
+        # INT64_MAX keeps INT64_MAX; numpy's +1 would wrap negative)
+        imax = np.iinfo(np.int64).max
+        ve_eff = np.where((ve == vs) & (ve != imax), ve + 1, ve)
         per[c] = (vs, ve_eff, ve, vn)
     return per
 
@@ -2624,7 +2627,9 @@ def _assign_view_col(spark, per: dict, ck: str, sk: str, ek: str) -> Column:
             m = cs == chrom
             VS, VEe, VE, VN = ent
             qs, qe = sv[m], ev[m]
-            qe_eff = np.where(qe == qs, qe + 1, qe)
+            # saturating effective_end (see _assign_lookup)
+            qe_eff = np.where(
+                (qe == qs) & (qe != np.iinfo(np.int64).max), qe + 1, qe)
             best_i = np.full(qs.size, -1, dtype="int64")
             best_ovl = np.zeros(qs.size, dtype="int64")
             for a in range(VS.size):

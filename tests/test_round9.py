@@ -450,3 +450,27 @@ def test_frac_gene_coverage_single_collect_matches_composition(spark):
                           (r["chrom"], r["start"], r["end"], r["tag"]))
     fused_s, comp_s = sorted(fused, key=key), sorted(comp, key=key)
     assert [r.asDict() for r in fused_s] == [r.asDict() for r in comp_s]
+
+
+def test_assign_view_kernel_int64_edge(spark):
+    """effective_end saturates at INT64_MAX in SQL (try_add+coalesce);
+    the kernel must not wrap. Zero-length rows/arms AT the edge match
+    nothing in both formulations; a real arm ending at the edge still
+    wins normally."""
+    import bioframe_spark as bf
+
+    IMAX = (1 << 63) - 1
+    df = spark.createDataFrame(
+        [("chr1", IMAX, IMAX), ("chr1", IMAX - 5, IMAX),
+         ("chr1", IMAX - 5, IMAX - 5), ("chr1", -IMAX - 1, -IMAX - 1)],
+        "chrom string, start long, end long")
+    view = [("chr1", IMAX, IMAX, "pt_edge"), ("chr1", IMAX - 10, IMAX, "tail"),
+            ("chr1", -IMAX - 1, -IMAX + 10, "head")]
+    got_k = bf.assign_view(df, view).collect()
+    spark.conf.set("spark.bioframe.assignKernelMaxArms", "0")
+    try:
+        got_w = bf.assign_view(df, view).collect()
+    finally:
+        spark.conf.unset("spark.bioframe.assignKernelMaxArms")
+    key = lambda r: (r["start"], r["end"], str(r["view_region"]))  # noqa: E731
+    assert sorted(got_k, key=key) == sorted(got_w, key=key)

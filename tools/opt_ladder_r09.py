@@ -99,7 +99,13 @@ def main():
         print(f"k={k}: ivals {a.count()}, docs {docs.count()}, "
               f"emb {emb.count()}", flush=True)
 
+        # replicate the view with the intervals (copy i's arms shift by
+        # i*SPAN like its rows) — constant match density, and the kernel
+        # honestly pays its arm-sweep growth (2k arms/chrom at k)
+        arms_k = [(c, s + i * SPAN, e + i * SPAN, f"c{i}_{n}")
+                  for i in range(k) for (c, s, e, n) in em.arms_view()]
         qs = {
+            "assign_view": lambda: bf.assign_view(a, arms_k),
             "merge_ranged": lambda: bf.merge(a, min_dist=0,
                                              range_width=50_000),
             "pileup_ranged": lambda: bf.pileup(a, range_width=50_000),
