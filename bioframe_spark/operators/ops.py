@@ -191,11 +191,18 @@ def _bin_stats(df1, sk1, ek1, df2, sk2, ek2) -> tuple:
     explode into 10^15 bins). Mean length (not max) drives the width so one
     whole-chromosome outlier can't force a single giant bin; long outliers
     just duplicate into more bins, which stays cheap.
+
+    ``hi`` must be the max EFFECTIVE (point-rewritten) end, not the raw
+    max: a zero-length interval AT the raw max end reaches raw_hi+1 under
+    the overlap predicate, but its first bin floor(hi/bin) can sit past a
+    partner clipped to raw_hi (when hi lands on a bin boundary), silently
+    dropping a true pair — caught by hypothesis differential fuzz.
     """
     def side(df, sk, ek):
         return df.select(
             F.col(sk).alias("__s"),
-            F.least(F.col(ek), F.lit(INT64_MAX)).alias("__e"),
+            F.least(effective_end(F.col(sk), F.col(ek)),
+                    F.lit(INT64_MAX)).alias("__e"),
         )
 
     # one job for both sides (union + grouping key), not two

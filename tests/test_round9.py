@@ -474,3 +474,30 @@ def test_assign_view_kernel_int64_edge(spark):
         spark.conf.unset("spark.bioframe.assignKernelMaxArms")
     key = lambda r: (r["start"], r["end"], str(r["view_region"]))  # noqa: E731
     assert sorted(got_k, key=key) == sorted(got_w, key=key)
+
+
+def test_binned_overlap_point_at_raw_max_end(spark):
+    """_bin_stats hi must be the max EFFECTIVE end: a zero-length row AT
+    the raw max end (effective end hi+1) bins to floor(hi/bin), past a
+    partner clipped to a raw-end hi when hi lands on a bin boundary —
+    the pair silently vanished (hypothesis-found: subtract dropped a
+    point at the corpus max end). Pin subtract identity under a
+    non-overlapping zero-length df2 AND the raw binned overlap pair."""
+    import bioframe_spark as bf
+    from bioframe_spark.operators import ops
+
+    a = [("chr1", 74, 101), ("chr1", 0, 0), ("chr1", 197, 197)]
+    s1 = spark.createDataFrame(a, "chrom string, start long, end long")
+    s2 = spark.createDataFrame([("chr1", 0, 0)],
+                               "chrom string, start long, end long")
+    hint = ops._bin_stats(s1, "start", "end", s2, "start", "end")
+    assert hint[1] == 198, f"hi must be max effective end, got {hint[1]}"
+    got = sorted((r["chrom"], r["start"], r["end"])
+                 for r in bf.subtract(s1, s2).collect())
+    assert got == sorted(a)
+    # the raw binned join keeps the point-at-hi pair too
+    comp = spark.createDataFrame([("chr1", 0, ops.INT64_MAX)],
+                                 "chrom string, start long, end long")
+    ov = ops.overlap(s1, comp, how="inner", suffixes=("", "_"),
+                     strategy="binned")
+    assert ov.count() == 3
