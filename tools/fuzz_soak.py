@@ -121,6 +121,27 @@ def main():
             d = rng.choice((0, 1, 7))
             checks.append((f"merge-{d}", ref.merge(p1, min_dist=d),
                            lambda d=d: bfs.merge(s1, min_dist=d)))
+        # view family on null-free frames (the reference view ops don't
+        # define null-row behavior); setdiff is a _bin_stats consumer too
+        q1, q2 = p1.dropna(), p2.dropna()
+        if len(q1) and len(q2):
+            t1, t2 = to_spark(spark, q1), to_spark(spark, q2)
+            checks.append(("setdiff", ref.setdiff(q1, q2),
+                           lambda: bfs.setdiff(t1, t2)))
+            checks.append(("cluster", ref.cluster(q1, min_dist=0),
+                           lambda: bfs.cluster(t1, min_dist=0)))
+            vlo, vhi = offset, offset + 2 * span + 50
+            vpdf = pd.DataFrame(
+                [(c, vlo, vhi, c) for c in ("chr1", "chr2", "chr10")],
+                columns=["chrom", "start", "end", "name"])
+            inside = q1[(q1.start >= vlo) & (q1.end <= vhi)]
+            if len(inside):
+                ti = to_spark(spark, inside)
+                checks.append(
+                    ("complement-view",
+                     ref.complement(inside, view_df=vpdf),
+                     lambda: bfs.complement(
+                         ti, view_df=vpdf.values.tolist())))
         for name, want, got_fn in checks:
             try:
                 got = got_fn()
