@@ -1,11 +1,14 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE COMPACT JSON line (totals + sentinel + worst-5 queries):
-{"metric": "...", "value": N, "unit": "sec", "sf": ..., "sentinel": ...}
+Prints ONE COMPACT JSON line (totals + sentinel + worst-5 + the
+per-query medians map — the driver's per-query/scaling comparison reads
+it from here):
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, ...}
 and writes the FULL per-query record (warm medians + cold firsts) to
 BENCH_LOCAL.json next to this file — the stdout line is captured from a
-bounded tail by the round driver and must never outgrow it again
-(BENCH_r06.json committed head-truncated at 47 queries).
+2000-char bounded tail by the round driver and must never outgrow it
+again (BENCH_r06.json committed head-truncated at 47 queries; the
+medians-only line measures ~1.45 KB at 53 queries).
 
 Each query is timed end-to-end (plan + execute + materialization of every
 output column) after a warmup of the session. The timing action is a
@@ -248,11 +251,16 @@ def main():
         # solo value ~0.1-0.2 s; 2x+ above that = contended snapshot
         "sentinel": {"pre": sentinel_pre, "post": sentinel_post},
     }
-    # The per-round artifact is captured from a BOUNDED TAIL of stdout:
-    # at 47 queries the one-line full JSON outgrew it and BENCH_r06.json
-    # committed head-truncated ("parsed": null). Ship the full record as
-    # a committed file and keep the stdout line compact (totals +
-    # sentinel + worst-5) so the tail capture always parses.
+    # The per-round artifact is captured from a BOUNDED TAIL of stdout
+    # (2000 chars in the committed BENCH_r*.json records): at 47 queries
+    # the full record (medians + colds) on one line outgrew it and
+    # BENCH_r06.json committed head-truncated ("parsed": null). Ship the
+    # full record as a committed file and keep the stdout line within the
+    # tail bound. r10 (VERDICT-r9 #2, additions-only): the stdout line
+    # regains the per-query MEDIANS map — without it the driver's PERF
+    # comparison had per_query: {} / n_common: 0 both optimization
+    # rounds. 53 medians ≈ 1.15 KB; measured line total 1.45 KB < 2000,
+    # and the cold map (the r6 overflow's other half) stays file-only.
     local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_LOCAL.json")
     with open(local_path, "w") as f:
@@ -268,6 +276,7 @@ def main():
         "n_queries": len(times),
         "sentinel": {"pre": sentinel_pre, "post": sentinel_post},
         "worst5": worst5,
+        "queries": times,
         "full": "BENCH_LOCAL.json",
     }))
 
