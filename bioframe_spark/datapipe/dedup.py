@@ -145,6 +145,21 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     cost is that a hot shingle's rows all land on one window task
     before the cutoff drops them (no AQE rescue for windows). Same
     tradeoff pair as duplicate_spans' strategy knob; value-identical.
+
+    Plan shape (r10, guide §2.3/§2.4): per-doc shingle counts are the
+    SIZE of the (distinct) shingle array — a map-side projection of the
+    document row, not an aggregation of the exploded table — and they
+    RIDE each exploded row through the self-join into the pair
+    aggregation's grouping key (n1/n2 are functionally dependent on
+    id1/id2, so the groups are identical). That removes the per-doc
+    counts shuffle AND the two joins that re-attached n1/n2 to the pair
+    table — at corpus scale those joins re-shuffled the QUADRATIC pair
+    output twice more (by id1, then id2); now the only pair-sized
+    exchange left is the intersection count's own, map-side-combined
+    one. Cost: +4 bytes (one int) per exploded row through the shingle
+    exchange. The ``df_strategy="window"`` path and the over-cap lazy
+    anti-join fallback keep the aggregated-counts formulation (their
+    per-doc counts depend on rows dropped AFTER the explode).
     """
     if df_strategy not in ("agg", "window"):
         raise ValueError(f"df_strategy must be 'agg' or 'window', got "
@@ -154,10 +169,6 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         # the single-exchange formulation replaces the cache: consumers
         # replay shuffle files, not the explode
         cache = False
-    if cache == "auto":
-        from ..operators.ops import _plan_size_bytes, _threshold
-        cache = _plan_size_bytes(df) <= _threshold(
-            df, "shingleCacheBytes", 64 << 20)
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     if hash_shingles:
         sh = sh.withColumn("shingle", F.xxhash64(F.col("shingle")))
@@ -214,13 +225,87 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         # bounded by maxResultSize + the post-hoc row check
         hot_pdf = _bounded_pdf(hot, cap, probe=False)
         if hot_pdf is None:
-            # implausibly many hot keys: keep the lazy formulation
+            # implausibly many hot keys: keep the lazy formulation (and
+            # the aggregated-counts shape below — per-doc counts must
+            # reflect rows the anti-join drops after the explode)
             sh = sh.join(F.broadcast(hot), key == F.col("__k"), "left_anti")
-        elif len(hot_pdf):
-            # literal hot SET -> a pure scan-stage filter (InSet above
-            # 10 items), no join in the plan at all
-            sh = sh.filter(~key.isin([int(v) for v in hot_pdf["__k"]]))
-        # empty hot list: nothing to drop, skip the filter entirely
+            lazy_hot = True
+        else:
+            # literal hot SET — applied below to the shingle ARRAY
+            # (pre-explode), so the ridden per-doc count sees the cutoff
+            hot_keys = [int(v) for v in hot_pdf["__k"]]
+            lazy_hot = False
+    else:
+        hot_keys = []
+        lazy_hot = False
+    if not window_cut and not lazy_hot:
+        # counts-ride formulation (see docstring): n_sh = array size,
+        # computed map-side and carried through the join. Rebuilt from
+        # the array form of the same shingle set word_shingles explodes.
+        base = _spread_if_underpartitioned(df).select(
+            F.col(id_col), shingle_array(F.col(text_col), n).alias("__arr"))
+        if hot_keys:
+            # same InSet membership test as the old exploded-row filter
+            # (key identity is the xxhash64 of the shingle string in both
+            # hash modes), applied per array element so size() below
+            # counts exactly the surviving shingles
+            base = base.select(F.col(id_col), F.filter(
+                "__arr", lambda s: ~F.xxhash64(s).isin(hot_keys))
+                .alias("__arr"))
+        # stacked select: __arr is consumed twice (size + passthrough),
+        # so CollapseProject leaves the chain in its own projection —
+        # split→transform→array_distinct evaluates ONCE per document
+        tbl = base.select(F.col(id_col), F.size("__arr").alias("__n_sh"),
+                          F.col("__arr"))
+        if cache == "auto":
+            # the cache is the MATERIALIZATION BARRIER for the shingle
+            # chain: without it each join side re-derives it from the
+            # raw text (and the inferred size(arr)>0 filter under the
+            # Generate pays the chain once more — PushDownPredicates
+            # substitutes the alias through any Project/Repartition, so
+            # no projection point can hold it). The ARRAY-form table is
+            # cached, not the exploded rows: the chain runs once into
+            # the cache, each join side pays only its own cheap explode
+            # of the stored arrays. Same plan-size gate as before: at
+            # 100 TB pinning a corpus-sized frame loses to recomputing,
+            # and the big-input join is a shingle-keyed SMJ whose two
+            # canonically-identical sides share one exchange anyway.
+            from ..operators.ops import _plan_size_bytes, _threshold
+            cache = _plan_size_bytes(df) <= _threshold(
+                df, "shingleCacheBytes", 64 << 20)
+        if cache:
+            tbl = tbl.cache()
+        sh = tbl.select(F.col(id_col), "__n_sh",
+                        F.explode("__arr").alias("shingle"))
+        if hash_shingles:
+            sh = sh.withColumn("shingle", F.xxhash64(F.col("shingle")))
+        a = sh.select(F.col(id_col).alias("id1"),
+                      F.col("__n_sh").alias("n1"), "shingle")
+        b = sh.select(F.col(id_col).alias("id2"),
+                      F.col("__n_sh").alias("n2"), "shingle")
+        out = (
+            a.join(b, "shingle")
+            .filter(F.col("id1") < F.col("id2"))
+            # n1/n2 are functions of id1/id2 — identical groups, and the
+            # partial aggregate still collapses map-side
+            .groupBy("id1", "id2", "n1", "n2")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            # long arithmetic like the old counts (ANSI overflow safety)
+            .withColumn("n_union", F.col("n1").cast("long")
+                        + F.col("n2") - F.col("n_common"))
+            # integer-form threshold test: inter/union >= t <=> inter >= t*union
+            .filter(F.col("n_common").cast("double")
+                    >= F.lit(threshold) * F.col("n_union"))
+            .select("id1", "id2", "n_common", "n_union")
+        )
+        if cache:
+            _ride_cache(out, [tbl])
+        return out
+    # aggregated-counts formulation: window_cut / lazy anti-join fallback
+    if cache == "auto":
+        from ..operators.ops import _plan_size_bytes, _threshold
+        cache = _plan_size_bytes(df) <= _threshold(
+            df, "shingleCacheBytes", 64 << 20)
     if cache:
         sh = sh.cache()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -291,8 +376,26 @@ def _ride_cache(out: DataFrame, handles: list) -> DataFrame:
     import weakref
 
     out._bioframe_cache = handles
-    weakref.finalize(out, _unpersist_jdfs, [h._jdf for h in handles])
+    out._bioframe_finalizer = weakref.finalize(
+        out, _unpersist_jdfs, [h._jdf for h in handles])
     return out
+
+
+def carry_cache(derived: DataFrame, source: DataFrame) -> DataFrame:
+    """Move ride-on-result cache handles from ``source`` onto a frame
+    DERIVED from it (``source.select(...)`` etc.): without this, letting
+    ``source`` go out of scope fires its GC finalizer and unpersists the
+    internal caches BEFORE the derived plan (which still references
+    them) ever materializes — correct but re-executes the shared
+    subtrees the persist exists to share. No-op when ``source`` carries
+    no handles."""
+    handles = getattr(source, "_bioframe_cache", None)
+    if not handles:
+        return derived
+    fin = getattr(source, "_bioframe_finalizer", None)
+    if fin is not None:
+        fin.detach()
+    return _ride_cache(derived, handles)
 
 
 def _seeded_hash(col: Column, seed: int, hash_fn: str) -> Column:
@@ -573,8 +676,12 @@ def _size_banded_write(banded: DataFrame, source: DataFrame,
     Targets ceil(source_bytes / 128 MiB) files per band (the source
     TEXT size upper-bounds total signature bytes for docs past a few
     hundred chars, and a crawl batch under that is tiny anyway), keyed
-    (band, salt) so each write task lands in exactly one band
-    directory. Signature COMPUTE parallelism is untouched — it runs in
+    (band, salt). The repartition is HASH-based, so distinct (band,
+    salt) groups can collide into one partition (and leave others
+    empty): per-band file counts are only APPROXIMATELY the
+    ceil(bytes/target) goal — close enough for the small-file
+    pathology this exists to prevent, and exactness would cost a
+    range partitioning. Signature COMPUTE parallelism is untouched — it runs in
     the map stage before this exchange. Unknown size estimate (e.g. a
     createDataFrame-backed LogicalRDD reports Long.MaxValue) → leave
     the plan's own partitioning; storage-backed batches — the
@@ -652,8 +759,9 @@ def compact_minhash_index(spark, path: str, *,
     per_band = max(1, math.ceil(
         total_bytes / max(int(m.bands), 1) / max(int(target_file_bytes), 1)))
     df = spark.read.parquet(base)
-    # band is a partition column: repartition on (band, salt) so each
-    # task writes into exactly one band directory, per_band tasks each
+    # band is a partition column: repartition on (band, salt) — hash
+    # partitioning, so per-band file counts only APPROXIMATE per_band
+    # (groups can collide into one task); good enough for compaction
     df = df.repartition(
         int(m.bands) * per_band, F.col("band"),
         F.pmod(F.xxhash64("__iid"), F.lit(per_band)))
@@ -884,6 +992,13 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3,
     ``spark.bioframe.simhashCacheBytes``, 4 GB) is generous; the handle
     rides on the result for ``release_cache()``, same lifecycle as
     :func:`ngram_jaccard_pairs`.
+
+    PRECONDITION: ``id_col`` values must be UNIQUE (the normal dedup
+    contract — ids are document keys). The kept-once rule emits one row
+    per (id1, id2) value combination whose signatures collide; with
+    duplicated id values the historical trailing ``.distinct()``
+    collapsed repeated (id1, id2, hamming) rows, so non-unique ids
+    change the output multiplicity. Dedup ids upstream if unsure.
     """
     if not 0 <= max_hamming <= 31:
         # >31 → slices of <2 bits: blocking degenerates to all-pairs

@@ -355,10 +355,15 @@ def semantic_dedup(
                 sizes = np.bincount(roots, minlength=len(pdf))
                 in_group = sizes[roots] >= 2
                 # representative = first member in (ccos asc, id asc)
-                # order — the old window's row_number()==1 rule
+                # order — the old window's row_number()==1 rule. A
+                # zero-norm centroid/vector makes ccos NaN, which breaks
+                # Python's sort total order (nondeterministic keep);
+                # Spark's window ordered NaN LAST ascending — mirror
+                # that deterministically by sorting NaN as +inf.
+                ckey = np.where(np.isnan(ccos), np.inf, ccos)
                 seen = set()
                 for i in sorted(np.flatnonzero(in_group).tolist(),
-                                key=lambda i: (ccos[i], ids[i])):
+                                key=lambda i: (ckey[i], ids[i])):
                     r = roots[i]
                     if r in seen:
                         keep[i] = False
