@@ -21,8 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import (drop_exact_duplicates, drop_near_duplicates,
-                    ngram_jaccard_pairs)
+from .dedup import (_ride_cache, drop_exact_duplicates,
+                    drop_near_duplicates, ngram_jaccard_pairs)
 from .sampling import train_val_split
 from .text import token_count
 
@@ -62,5 +62,10 @@ def curate_corpus(
                                 text_col=text_col, id_col=id_col,
                                 max_doc_freq=max_doc_freq)
     canonical = drop_near_duplicates(exact, pairs, id_col=id_col)
-    return train_val_split(canonical, val_fraction, key_col=id_col,
-                           seed=seed)
+    out = train_val_split(canonical, val_fraction, key_col=id_col,
+                          seed=seed)
+    # the persist handle rides on the result (release_cache /
+    # weakref-finalize lifecycle, same as dedup.py's internal caches) so
+    # repeated calls in a long-lived session don't accumulate
+    # corpus-sized CacheManager entries
+    return _ride_cache(out, [exact])

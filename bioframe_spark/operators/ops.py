@@ -1067,9 +1067,24 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     # fuses coincident points, and islands holding >=2 rows have
     # positive width), so __mult still equals the number of copies.
     mult = F.sum(weight) if weight else F.count(F.lit(1))
-    dd = df.groupBy(*keys, sk, ek).agg(mult.cast("long").alias("__mult"))
+    # ONE input-sized exchange instead of two (r10, guide §2.4): the
+    # historical shape paid the dedup aggregate's own exchange on
+    # (keys, sk, ek) and then a SECOND full exchange to the windows'
+    # (keys, __rng) partitioning. Repartitioning by (keys, __rng) FIRST
+    # satisfies both: hash partitioning on a subset of the grouping
+    # columns clusters the dedup groups (__rng is a function of sk, so
+    # adding it to the groupBy leaves the groups identical), and the
+    # aggregate preserves the partitioning the windows require, so
+    # EnsureRequirements inserts only sorts downstream. Trade-off,
+    # measured: the raw rows cross the one exchange un-deduplicated
+    # (map-side partial aggregation can no longer shrink them first) —
+    # a loss only when within-partition duplicates are heavy, a shape
+    # the premerge path already collapses before this runs.
+    dd = (df.withColumn("__rng", F.floor(F.col(sk) / F.lit(range_width)))
+            .repartition(*keys, "__rng")
+            .groupBy(*keys, "__rng", sk, ek)
+            .agg(mult.cast("long").alias("__mult")))
     dd = _expand_point_dups(dd, sk, ek, min_dist)
-    dd = dd.withColumn("__rng", F.floor(F.col(sk) / F.lit(range_width)))
     w = Window.partitionBy(*keys, "__rng").orderBy(sk, ek, "__dup")
     local_prev = F.max(ek).over(w.rowsBetween(Window.unboundedPreceding, -1))
     if min_dist is None:
@@ -1126,8 +1141,13 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     # scan → dedup agg → exchange → windows (no exchange reuse across the
     # branches — column pruning de-canonicalizes the subtrees). Same
     # persist-the-shared-frame convention as merge()'s premerge path.
+    # The handle rides on the returned frame (``_bioframe_cache``) so the
+    # public caller can attach the release_cache / weakref-finalize
+    # lifecycle to its result — without it, repeated calls in a
+    # long-lived session accumulate CacheManager entries (r10 advisor).
     from pyspark.storagelevel import StorageLevel
     dd = dd.persist(StorageLevel.MEMORY_AND_DISK)
+    dd_handle = dd
     # partitioning (keys, __rng) is preserved by the cache, so this
     # aggregate is map-side only (no exchange) over the persisted rows
     kcounts = dd.groupBy(*keys, "__rng").agg(F.max("__k").alias("__k"))
@@ -1152,7 +1172,9 @@ def _distinct_islands_ranged(df: DataFrame, ck: str, sk: str, ek: str, on: list,
     # range's first effective border get __ofs = the previous chain's last
     # island number
     dd = dd.withColumn("__island", F.col("__ofs") + F.col("__local_isl"))
-    return dd.drop("__rng", "__M", "__b", "__local_isl", "__ofs", "__k")
+    out = dd.drop("__rng", "__M", "__b", "__local_isl", "__ofs", "__k")
+    out._bioframe_cache = [dd_handle]
+    return out
 
 
 _RANGED_PILEUP_BYTES = 64 << 20  # pileup's two-phase ranged scan-sum
@@ -1516,9 +1538,11 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
                 if n_pm <= _threshold(df, "premergeClassicRows",
                                       _PREMERGE_CLASSIC_ROWS):
                     range_width = None
+        handles = [pm]
         if range_width is not None:
             isl = _distinct_islands_ranged(pm, ck, sk, ek, on, min_dist,
                                            range_width, weight="__cnt")
+            handles += getattr(isl, "_bioframe_cache", [])
             out = isl.groupBy(ck, *on, "__island").agg(
                 F.min(sk).alias(sk),
                 F.max(ek).alias(ek),
@@ -1530,7 +1554,11 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
         nulls_out = nulls.select(
             ck, sk, ek, *on, F.lit(None).cast("long").alias("n_intervals")
         )
-        return out.unionByName(nulls_out)
+        # internal persists ride the result for deterministic release
+        # (release_cache + weakref-finalize backstop; dedup.py owns the
+        # single helper copy)
+        from ..datapipe.dedup import _ride_cache
+        return _ride_cache(out.unionByName(nulls_out), handles)
     if range_width is not None:
         nulls, valid = _null_key_rows(df, ck, sk, ek, on)
         isl = _distinct_islands_ranged(valid, ck, sk, ek, on, min_dist, range_width)
@@ -1543,7 +1571,12 @@ def merge(df: DataFrame, min_dist: int | None = 0, cols=None,
         nulls_out = nulls.select(
             ck, sk, ek, *on, F.lit(None).cast("long").alias("n_intervals")
         )
-        return out.unionByName(nulls_out)
+        out = out.unionByName(nulls_out)
+        handles = getattr(isl, "_bioframe_cache", [])
+        if handles:
+            from ..datapipe.dedup import _ride_cache
+            out = _ride_cache(out, handles)
+        return out
     # Single-scan, single-shuffle, border-row path: null-key rows ride the
     # SAME window pass in their own partition group (flagged), so the
     # input is read once and no union branch exists.
@@ -1633,8 +1666,10 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
     keys = [ck] + on
     if range_width is not None:
         isl_d = _distinct_islands_ranged(df, ck, sk, ek, on, min_dist, range_width)
+        cache_handles = getattr(isl_d, "_bioframe_cache", [])
     else:
         isl_d = _distinct_islands(df, ck, sk, ek, on, min_dist)
+        cache_handles = []
     # keep isl_d's consumer count minimal: every consumer re-expands the
     # whole distinct-islands subtree in the physical plan (no exchange
     # reuse), i.e. another scan + shuffle of the input at scale. Two
@@ -1684,7 +1719,9 @@ def _cluster_islands(df: DataFrame, ck, sk, ek, on, min_dist,
     # joined per-row result would re-expand the whole plan again
     totals = counts.agg(
         F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("__base"))
-    return out.drop(*["__k_" + k for k in keys], "__ofs"), totals
+    out = out.drop(*["__k_" + k for k in keys], "__ofs")
+    out._bioframe_cache = cache_handles
+    return out, totals
 
 
 def _cluster_premerged(df: DataFrame, ck, sk, ek, on, min_dist):
@@ -1861,10 +1898,12 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
             clustered, n_real = res
             totals = df.sparkSession.range(1).select(
                 F.lit(n_real).cast("long").alias("__base"))
+    cluster_handles = []
     if clustered is None:
         range_width = _auto_range_width(df, sk, ek, range_width)
         clustered, totals = _cluster_islands(valid, ck, sk, ek, on, min_dist,
                                              range_width=range_width)
+        cluster_handles = getattr(clustered, "_bioframe_cache", [])
         clustered = clustered.drop("__island")
     # null rows: singleton clusters numbered after the real ones; the
     # base comes from the aggregated island counts, NOT from
@@ -1897,6 +1936,11 @@ def cluster(df: DataFrame, min_dist: int | None = 0, cols=None,
     if not return_input:
         out = out.select([c for c in ["cluster", "cluster_start", "cluster_end"]
                           if c in out.columns])
+    if cluster_handles:
+        # internal ranged-islands persist rides the result (release_cache
+        # + weakref-finalize lifecycle — see _distinct_islands_ranged)
+        from ..datapipe.dedup import _ride_cache
+        out = _ride_cache(out, cluster_handles)
     return out
 
 
@@ -2316,7 +2360,12 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
             # no spread guard — see count_overlaps (light kernel rule)
             out = df1.withColumn("coverage", cov)
             return out if return_input else out.select("coverage")
-    merged2 = merge(df2, min_dist=0, cols=cols2).filter(F.col(ck2).isNotNull())
+    m2 = merge(df2, min_dist=0, cols=cols2)
+    merged2 = m2.filter(F.col(ck2).isNotNull())
+    # keep merge's internal persist (if any) alive until THIS result is
+    # released — chaining .filter() would otherwise GC the merge result
+    # and fire its finalizer before the coverage plan ever runs
+    _merge_handles = getattr(m2, "_bioframe_cache", [])
     coords = (
         df1.select(F.col(ck1).alias("__cc"), F.col(sk1).alias("__cs"),
                    F.col(ek1).alias("__ce"))
@@ -2342,7 +2391,11 @@ def coverage(df1: DataFrame, df2: DataFrame, suffixes=("", "_"),
         .withColumn("coverage", F.coalesce(F.col("__cov"), F.lit(0)))
         .drop("__cc", "__cs", "__ce", "__cov")
     )
-    return out if return_input else out.select("coverage")
+    out = out if return_input else out.select("coverage")
+    if _merge_handles:
+        from ..datapipe.dedup import _ride_cache
+        out = _ride_cache(out, _merge_handles)
+    return out
 
 
 def _complement_infinite(df: DataFrame, ck: str, sk: str, ek: str) -> DataFrame:
