@@ -601,10 +601,14 @@ def q_contamination(spark, sf_dir):
 def q_curate(spark, sf_dir):
     """The end-to-end curation pipeline: quality gate → exact dedup →
     fuzzy dedup (components → canonical) → train/val split, one DAG."""
+    from bioframe_spark.datapipe.dedup import carry_cache
     from bioframe_spark.datapipe.pipeline import curate_corpus
     docs = _t(spark, sf_dir, "documents")
-    return curate_corpus(docs, min_tokens=30, jaccard_threshold=0.5,
-                         val_fraction=0.2, seed=5).select("doc_id", "split")
+    out = curate_corpus(docs, min_tokens=30, jaccard_threshold=0.5,
+                        val_fraction=0.2, seed=5)
+    # carry the pipeline's internal persist across the select so it
+    # survives until THIS frame is materialized and released
+    return carry_cache(out.select("doc_id", "split"), out)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -1052,17 +1056,12 @@ def _drive_stream(spark, sf_dir, build, capture):
     stream = (spark.readStream.schema("chrom string, start long, end long")
               .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
     snap = {}
-    # Size the stateful shuffle to the GROUPING-KEY cardinality, not the
-    # session default (r9, guide §2.4/§6): these operators key on chrom
-    # (N_CHROMS = 8 distinct values), so a state store per session-default
-    # partition (32 locally, 200+ on a cluster) is mostly empty stores
-    # paying load/commit/maintenance per micro-batch — measured 4.7 → 3.1 s
-    # on the sf0.1 drive. Scale-adaptive by construction: the right value
-    # tracks key cardinality (bounded by the assembly's chromosome count),
-    # not the machine. Conf is read at query START (fresh checkpoint per
-    # drive), restored immediately after.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(N_CHROMS))
+    # Size the stateful shuffle to the GROUPING-KEY cardinality (chrom,
+    # N_CHROMS distinct values), not the session default — r10 moves the
+    # r9 harness pin into the package (stream_ops.sized_state_shuffle,
+    # where the mechanism and the measurement are documented) so
+    # production streams get the same win.
+    from bioframe_spark.streaming.stream_ops import sized_state_shuffle
     # Ephemeral per-drive checkpoint on tmpfs (r9, guide §6): the drive
     # recomputes everything from the chunk files each call and discards
     # its checkpoint, so its offset/commit/state-delta writes (8 stores x
@@ -1080,17 +1079,17 @@ def _drive_stream(spark, sf_dir, build, capture):
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
     ck = tempfile.mkdtemp(prefix="stream_gate_ck_", dir=ck_root)
     try:
-        q = (build(stream).writeStream
-             .option("checkpointLocation", ck)
-             .foreachBatch(lambda bdf, _bid: capture(bdf.toPandas(), snap))
-             .outputMode("update").trigger(availableNow=True).start())
-        # the conf is captured into the stream's offset metadata when the
-        # FIRST micro-batch is constructed (async, after start()) — hold
-        # the override until the drive completes, then restore
-        finished = q.awaitTermination(300)
-        q.stop()
+        with sized_state_shuffle(spark, N_CHROMS):
+            q = (build(stream).writeStream
+                 .option("checkpointLocation", ck)
+                 .foreachBatch(lambda bdf, _bid: capture(bdf.toPandas(), snap))
+                 .outputMode("update").trigger(availableNow=True).start())
+            # the conf is captured into the stream's offset metadata when
+            # the FIRST micro-batch is constructed (async, after start())
+            # — the sizing window must span awaitTermination
+            finished = q.awaitTermination(300)
+            q.stop()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(ck, ignore_errors=True)
     if not finished:
         raise TimeoutError("streaming gate query still running after 300 s")
