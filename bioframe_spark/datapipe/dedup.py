@@ -146,20 +146,26 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     before the cutoff drops them (no AQE rescue for windows). Same
     tradeoff pair as duplicate_spans' strategy knob; value-identical.
 
-    Plan shape (r10, guide §2.3/§2.4): per-doc shingle counts are the
-    SIZE of the (distinct) shingle array — a map-side projection of the
-    document row, not an aggregation of the exploded table — and they
-    RIDE each exploded row through the self-join into the pair
-    aggregation's grouping key (n1/n2 are functionally dependent on
-    id1/id2, so the groups are identical). That removes the per-doc
-    counts shuffle AND the two joins that re-attached n1/n2 to the pair
-    table — at corpus scale those joins re-shuffled the QUADRATIC pair
-    output twice more (by id1, then id2); now the only pair-sized
-    exchange left is the intersection count's own, map-side-combined
-    one. Cost: +4 bytes (one int) per exploded row through the shingle
-    exchange. The ``df_strategy="window"`` path and the over-cap lazy
-    anti-join fallback keep the aggregated-counts formulation (their
-    per-doc counts depend on rows dropped AFTER the explode).
+    Plan shape (r10, guide §2.3/§2.4; DEFAULT path — ``max_doc_freq``
+    None): per-doc shingle counts are the SIZE of the (distinct)
+    shingle array — a map-side projection of the document row, not an
+    aggregation of the exploded table — and they RIDE each exploded row
+    through the self-join into the pair aggregation's grouping key
+    (n1/n2 are functionally dependent on id1/id2, so the groups are
+    identical). That removes the per-doc counts shuffle AND the two
+    joins that re-attached n1/n2 to the pair table — at corpus scale
+    those joins re-shuffled the QUADRATIC pair output twice more (by
+    id1, then id2); now the only pair-sized exchange left is the
+    intersection count's own, map-side-combined one. Cost: +4 bytes
+    (one int) per exploded row through the shingle exchange. Every
+    ``max_doc_freq`` variant keeps the aggregated-counts formulation:
+    cutoff counts depend on rows dropped after the explode, and the
+    pre-explode equivalent (a higher-order array filter over the hot
+    set) is an interpreted per-element pass that measured no better.
+    Large hot lists re-enter as a broadcast anti-join against the
+    collected rows rather than a literal InSet (above
+    ``spark.bioframe.hotInSetMax``, 1024): a 26k-literal In expression
+    measured 17 s of pure driver plan-construction at sf0.1.
     """
     if df_strategy not in ("agg", "window"):
         raise ValueError(f"df_strategy must be 'agg' or 'window', got "
@@ -224,34 +230,36 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         # output that is small by construction; the collect stays
         # bounded by maxResultSize + the post-hoc row check
         hot_pdf = _bounded_pdf(hot, cap, probe=False)
+        # r10: the literal InSet only below spark.bioframe.hotInSetMax
+        # keys. A big hot list as an In(...) expression is a DRIVER
+        # bomb: the analyzer/optimizer re-walk every literal child each
+        # rule pass — measured 17 s of plan construction for the 26,530
+        # hot keys that sf0.1 produces at max_doc_freq=3 (the df-agg
+        # job itself is 3 s). Over the bar the collected list re-enters
+        # as a LOCAL relation + broadcast anti-join instead: still no
+        # re-execution of the df-agg subtree (the r6 hazard the literal
+        # was built to avoid — the join side is the driver-collected
+        # rows, not the lazy aggregate), same dropped-key set, and the
+        # broadcast hash probe replaces the 26k-literal expression.
+        inset_max = _threshold(df, "hotInSetMax", 1024)
         if hot_pdf is None:
-            # implausibly many hot keys: keep the lazy formulation (and
-            # the aggregated-counts shape below — per-doc counts must
-            # reflect rows the anti-join drops after the explode)
+            # implausibly many hot keys: keep the lazy formulation
             sh = sh.join(F.broadcast(hot), key == F.col("__k"), "left_anti")
-            lazy_hot = True
-        else:
-            # literal hot SET — applied below to the shingle ARRAY
-            # (pre-explode), so the ridden per-doc count sees the cutoff
-            hot_keys = [int(v) for v in hot_pdf["__k"]]
-            lazy_hot = False
-    else:
-        hot_keys = []
-        lazy_hot = False
-    if not window_cut and not lazy_hot:
+        elif len(hot_pdf) > inset_max:
+            hot_local = df.sparkSession.createDataFrame(hot_pdf)
+            sh = sh.join(F.broadcast(hot_local), key == F.col("__k"),
+                         "left_anti")
+        elif len(hot_pdf):
+            # literal hot SET -> a pure scan-stage filter (InSet above
+            # 10 items), no join in the plan at all
+            sh = sh.filter(~key.isin([int(v) for v in hot_pdf["__k"]]))
+        # empty hot list: nothing to drop, skip the filter entirely
+    if max_doc_freq is None:
         # counts-ride formulation (see docstring): n_sh = array size,
         # computed map-side and carried through the join. Rebuilt from
         # the array form of the same shingle set word_shingles explodes.
         base = _spread_if_underpartitioned(df).select(
             F.col(id_col), shingle_array(F.col(text_col), n).alias("__arr"))
-        if hot_keys:
-            # same InSet membership test as the old exploded-row filter
-            # (key identity is the xxhash64 of the shingle string in both
-            # hash modes), applied per array element so size() below
-            # counts exactly the surviving shingles
-            base = base.select(F.col(id_col), F.filter(
-                "__arr", lambda s: ~F.xxhash64(s).isin(hot_keys))
-                .alias("__arr"))
         # stacked select: __arr is consumed twice (size + passthrough),
         # so CollapseProject leaves the chain in its own projection —
         # split→transform→array_distinct evaluates ONCE per document
@@ -301,7 +309,8 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         if cache:
             _ride_cache(out, [tbl])
         return out
-    # aggregated-counts formulation: window_cut / lazy anti-join fallback
+    # aggregated-counts formulation: every max_doc_freq variant (eager
+    # InSet / window / lazy anti-join) — see the docstring's r10 note
     if cache == "auto":
         from ..operators.ops import _plan_size_bytes, _threshold
         cache = _plan_size_bytes(df) <= _threshold(
