@@ -88,6 +88,10 @@ def main():
             "cluster_ranged": lambda: bf.cluster(
                 ivals, min_dist=0, range_width=50_000, premerge=False),
         }
+        def _n_persistent():
+            return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+        base_cached = _n_persistent()
         for name, thunk in cases.items():
             spark.sparkContext.setJobDescription(f"ladder:{name}@{k}x")
             samples, n = [], 0
@@ -95,6 +99,16 @@ def main():
                 t0 = time.time()
                 n = force_count(thunk())
                 samples.append(time.time() - t0)
+                # fairness vs code that leaks internal persists (the
+                # pre-r10 package): a leaked islands/shingle cache hands
+                # rep 2+ a CacheManager hit, so the A/B would compare a
+                # full plan against a cache replay. Same reset-and-repin
+                # discipline as bench.py / scale_ladder.py.
+                if _n_persistent() > base_cached:
+                    spark.catalog.clearCache()
+                    docs.cache().count()
+                    ivals.cache().count()
+                    base_cached = _n_persistent()
             med = sorted(samples)[len(samples) // 2]
             results[(name, k)] = (med, n)
             print(f"  {name}@{k}x: median {med:.2f}s "
