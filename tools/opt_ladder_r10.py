@@ -57,8 +57,15 @@ def rep_docs(df, k):
 
 
 def main():
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    ks = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+    only = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            argv.append(a)
+    reps = int(argv[0]) if argv else 3
+    ks = [int(x) for x in argv[1:]] or [1, 4, 16]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("opt-ladder-r10")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,11 +98,19 @@ def main():
         def _n_persistent():
             return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
-        base_cached = _n_persistent()
         for name, thunk in cases.items():
+            if only and name not in only:
+                continue
             spark.sparkContext.setJobDescription(f"ladder:{name}@{k}x")
             samples, n = [], 0
             for _ in range(reps):
+                # PER-REP baseline: a sticky baseline goes stale when
+                # localCheckpoint blocks (which clearCache does NOT
+                # remove) are later GC'd — the count drops below the
+                # baseline and a following case's leaked persist slips
+                # under it (observed: pre-r10 merge_ranged reps 2-3 at
+                # 0.86 s — cache replays of the leaked islands frame).
+                pre_cached = _n_persistent()
                 t0 = time.time()
                 n = force_count(thunk())
                 samples.append(time.time() - t0)
@@ -104,11 +119,10 @@ def main():
                 # rep 2+ a CacheManager hit, so the A/B would compare a
                 # full plan against a cache replay. Same reset-and-repin
                 # discipline as bench.py / scale_ladder.py.
-                if _n_persistent() > base_cached:
+                if _n_persistent() > pre_cached:
                     spark.catalog.clearCache()
                     docs.cache().count()
                     ivals.cache().count()
-                    base_cached = _n_persistent()
             med = sorted(samples)[len(samples) // 2]
             results[(name, k)] = (med, n)
             print(f"  {name}@{k}x: median {med:.2f}s "
